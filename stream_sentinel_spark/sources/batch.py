@@ -1,0 +1,99 @@
+"""Batch sources: the driver's parquet tables and reference-style JSON
+event corpora.
+
+S1's batch twin (SURVEY §2.1): ``spark.read.parquet``. The JSON path
+reproduces S2's semantics — permissive parse, malformed → NULL row
+dropped, never crashes (EventDeserializationSchema.java:30-42) — via the
+JSON datasource's PERMISSIVE mode + an isNotNull filter (S3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Driver-generated tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Reference event corpus schema (examples/sample-events.json:1-41).
+SAMPLE_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("userId", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("merchantId", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("deviceId", T.StringType()),
+    ]
+)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects outright (PARQUET_TYPE_ILLEGAL) — the driver's ``events.ts``
+    is one. Detected from the footer so the workaround is general."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not parts:
+                return []
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. TIMESTAMP(NANOS) columns are read via the
+    ``nanosAsLong`` escape hatch (runtime-settable) and truncated to
+    microsecond timestamps — the same truncation DuckDB's µs timestamps
+    apply, so oracle comparisons agree."""
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def events_from_json(
+    spark: SparkSession, path: str, schema: T.StructType = SAMPLE_EVENT_SCHEMA
+) -> DataFrame:
+    """Read a reference-style JSON event corpus with S2/S3 semantics:
+    permissive parse, corrupt records dropped, event `timestamp` parsed
+    as the deterministic time axis into ``ts`` (SURVEY §7.4.3)."""
+    with_corrupt = schema.add("_corrupt_record", T.StringType())
+    df = spark.read.schema(with_corrupt).option("mode", "PERMISSIVE").option(
+        "multiLine", "true"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .drop("_corrupt_record")
+        .withColumn("ts", F.to_timestamp(F.col("timestamp")))
+    )

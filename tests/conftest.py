@@ -1,0 +1,22 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark() -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    session = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("stream-sentinel-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    yield session
+    session.stop()

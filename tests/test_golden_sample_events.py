@@ -1,0 +1,112 @@
+"""Golden end-to-end: the reference's example corpus
+(examples/sample-events.json, 33 events / 7 users) through the default
+3-rule set (config/rules.yml:15-35), Spark plan vs reference simulator.
+
+Also property-style parity on random corpora (hypothesis) — the Spark
+batch plan must agree with the deque semantics on ANY input.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from stream_sentinel_spark.loader import load_rules
+from stream_sentinel_spark.plans.pipeline import compile_rules
+from stream_sentinel_spark.sources.batch import events_from_json
+
+from tests.reference_sim import simulate
+
+SAMPLE_PATH = "/root/reference/examples/sample-events.json"
+
+
+def spark_alerts(df, rules, key_field="userId", order_cols=()):
+    out = compile_rules(df, rules, key_field=key_field, order_cols=order_cols)
+    rows = out.orderBy("key", "alert_ts", "rule_index").collect()
+    return [
+        (r.rule_name, r.key, r.alert_ts.replace(tzinfo=None), r.details, r.rule_index)
+        for r in rows
+    ]
+
+
+def test_sample_events_golden(spark):
+    rules = load_rules()  # packaged default = reference config/rules.yml
+    df = events_from_json(spark, SAMPLE_PATH)
+
+    with open(SAMPLE_PATH) as fh:
+        raw = json.load(fh)
+    for ev in raw:
+        ev["ts"] = datetime.fromisoformat(ev["timestamp"].replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+    expected = simulate(raw, rules)
+
+    got = spark_alerts(df, rules)
+    assert got == expected
+
+    # sanity: the scenario SURVEY §5 describes
+    fired = {(r, k) for r, k, *_ in got}
+    assert ("high_rate", "user_001") in fired
+    assert ("high_amount", "user_002") in fired
+    assert ("unusual_amount", "user_003") in fired
+    assert ("high_rate", "user_004") in fired
+    assert ("unusual_amount", "user_006") in fired
+    assert not any(k in ("user_005", "user_007") for _, k in fired)
+
+
+# --- property-based parity -------------------------------------------------
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("userId", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("seq", T.IntegerType()),
+    ]
+)
+
+T0 = datetime(2024, 1, 15, 10, 0, 0)
+
+event_strategy = st.tuples(
+    st.sampled_from(["a", "b", "c"]),
+    st.one_of(st.none(), st.floats(min_value=-1000, max_value=1000, width=32)),
+    st.integers(min_value=0, max_value=120),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(event_strategy, min_size=1, max_size=40))
+def test_random_corpus_parity(spark, raw_events):
+    # distinct per-key timestamps: offset each duplicate (key, second) by
+    # a unique ms so arrival order is total (SURVEY §7.4.4 ties caveat)
+    seen: dict = {}
+    rows = []
+    for i, (user, amount, sec) in enumerate(sorted(raw_events, key=lambda e: e[2])):
+        ts = T0 + timedelta(seconds=sec, milliseconds=seen.get(user, 0))
+        seen[user] = seen.get(user, 0) + 1
+        rows.append((user, amount, ts, i))
+    rules = [
+        r
+        for r in load_rules()
+    ]
+    # retarget rules at this corpus: key userId, field amount, tighter stats
+    rules[0].window_seconds = 10
+    rules[0].threshold = 3
+    rules[1].threshold = 500
+    rules[2].window_size = 5
+    rules[2].deviation_factor = 2.0
+
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    got = spark_alerts(df, rules)
+
+    sim_events = [
+        {"userId": u, "amount": a, "ts": ts} for u, a, ts, _ in sorted(rows, key=lambda r: r[2])
+    ]
+    expected = simulate(sim_events, rules)
+    assert got == expected
