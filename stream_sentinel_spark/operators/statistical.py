@@ -64,22 +64,63 @@ def compile_statistical(
         .orderBy(*order)
         .rowsBetween(-window_size, -1)
     )
-    stats = (
-        valid.withColumn(_MEAN, F.avg(_VAL).over(frame))
-        .withColumn(_SD, F.stddev_pop(_VAL).over(frame))
-        .withColumn(_CNT, F.count(_VAL).over(frame))
-    )
+
+    if rule.decimal_scale is None:
+        # Native float path: Welford-style built-ins, fastest, semantics
+        # match the reference's double arithmetic to float precision.
+        stats = (
+            valid.withColumn(_MEAN, F.avg(_VAL).over(frame))
+            .withColumn(_SD, F.stddev_pop(_VAL).over(frame))
+            .withColumn(_CNT, F.count(_VAL).over(frame))
+        )
+        mean_fmt = F.col(_MEAN)
+    else:
+        # Exact fixed-point path: sums of scaled integers are exact and
+        # order-insensitive, so mean/σ (and their %.2f rendering) are
+        # bit-identical across engines and partitionings. Requires field
+        # values to carry at most `decimal_scale` decimals.
+        p = 10 ** int(rule.decimal_scale)
+        cents = (
+            (F.col(_VAL).cast(f"decimal(18,{rule.decimal_scale})") * p)
+            .cast("long")
+        )
+        s_cents = F.sum(cents).over(frame)
+        sumsq_cents = F.sum(cents * cents).over(frame)
+        cnt = F.count(cents).over(frame)
+        mean_true = (s_cents.cast("double") / float(p)) / cnt
+        # round-half-up of (s_cents / cnt) via integer-exact floor;
+        # denominators ≤ 2·windowSize keep the double division exact
+        # enough that floor can never straddle an integer boundary
+        mean_r = F.floor((2 * s_cents + cnt) / (2 * cnt))
+        variance = (sumsq_cents.cast("double") / float(p * p)) / cnt - (
+            mean_true * mean_true
+        )
+        sd = F.sqrt(F.greatest(variance, F.lit(0.0)))
+        stats = (
+            valid.withColumn(_MEAN, mean_true)
+            .withColumn(_SD, sd)
+            .withColumn(_CNT, cnt)
+            .withColumn("__ss_mean_fmt", mean_r.cast("double") / float(p))
+            # pre-round σ for rendering: with 2-row windows σ is often an
+            # exact half-cent (|a−b|/2), where Java's %.2f (shortest-repr
+            # HALF_UP) and C's printf (exact-expansion half-even) disagree;
+            # explicit floor(σ·p + 0.5) is engine-independent
+            .withColumn("__ss_sd_fmt", F.floor(sd * p + F.lit(0.5)).cast("double") / float(p))
+        )
+        mean_fmt = F.col("__ss_mean_fmt")
+
     fire_bound = F.when(F.col(_SD) == 0.0, F.lit(0.0)).otherwise(F.lit(factor) * F.col(_SD))
     fired = stats.filter(
         (F.col(_CNT) >= MIN_HISTORY_SIZE)
         & (F.abs(F.col(_VAL) - F.col(_MEAN)) > fire_bound)
     )
+    sd_fmt = F.col(_SD) if rule.decimal_scale is None else F.col("__ss_sd_fmt")
     details = F.format_string(
         DETAILS_FORMAT,
         F.lit(rule.field),
         F.col(_VAL),
-        F.col(_MEAN),
-        F.col(_SD),
+        mean_fmt,
+        sd_fmt,
         F.lit(factor),
     )
     return to_alerts(

@@ -1,0 +1,685 @@
+"""The declared query corpus (FIXTURES.md Q1-Q20 + detection pipeline).
+
+Each entry: a Spark DataFrame-API callable ``(spark, sf_dir) -> DataFrame``
+and (where SQL-expressible) a DuckDB oracle SQL string over the same
+parquet tables. This is the engine's batch surface contract — the driver
+hash-compares both sides at sf=0.01 (row count + schema + value hash).
+
+Cross-engine determinism rules used throughout (the reason these hash-match):
+- money/double aggregates accumulate in DECIMAL (exact, order-insensitive)
+  and cast the final value to double: ``CAST(SUM(CAST(x AS DECIMAL)) AS
+  DOUBLE)`` — a plain double SUM differs between engines in the last bits
+  because summation order differs;
+- averages are expressed as decimal-sum / count (one IEEE division, same
+  bits both sides) rather than engine-native AVG;
+- timestamps never leave queries raw: epoch millis (``unix_millis`` /
+  ``epoch_ms``) are timezone-proof and integer-exact;
+- every LIMIT/top-k carries a total-order tie-break;
+- numeric coercion uses TRY_CAST semantics on both sides (Spark 4 ANSI
+  mode would throw on a bare CAST).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.functions.coercion import key_column
+from stream_sentinel_spark.plans.pipeline import compile_rules
+from stream_sentinel_spark.rules import DetectionRule
+from stream_sentinel_spark.sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# The detection rule set used for the oracle corpus over the driver's
+# `events` table (key user_id, field value, time ts — FIXTURES.md §1.1).
+# Thresholds tuned to the synthetic data so every rule actually fires.
+# ---------------------------------------------------------------------------
+
+RATE_RULE = DetectionRule(
+    name="high_rate", type="rate", key_field="user_id", window_seconds=86_400, threshold=4
+)
+THRESHOLD_RULE = DetectionRule(
+    name="high_value", type="threshold", field="value", threshold=250.0
+)
+STATISTICAL_RULE = DetectionRule(
+    name="unusual_value", type="statistical", field="value", window_size=10,
+    deviation_factor=2.5, decimal_scale=2,
+)
+DEFAULT_RULES = [RATE_RULE, THRESHOLD_RULE, STATISTICAL_RULE]
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q2: scan / projection / coercion
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_scan_projection",
+    "SELECT event_id, user_id, value FROM events",
+)
+def q01(spark, sf):
+    # S1 batch twin: parquet scan with column pruning — ReadSchema should
+    # list exactly these three columns.
+    return _t(spark, sf, "events").select("event_id", "user_id", "value")
+
+
+@query(
+    "q02_json_numeric_coercion",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num
+    FROM events
+    """,
+)
+def q02(spark, sf):
+    # P2: absent/non-numeric → NULL, never zero, never crash
+    # (Event.java:101-114).
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("double").alias("k_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-Q4: threshold rule (P4/W3/P5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q03_threshold_rule",
+    "SELECT event_id FROM events WHERE value > 250.0",
+)
+def q03(spark, sf):
+    # strict > (ThresholdDetector.java:59); predicate pushes to the scan.
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("value") > F.lit(250.0)).select("event_id")
+
+
+@query(
+    "q04_threshold_alert_details",
+    """
+    SELECT event_id,
+           printf('Threshold exceeded: %s=%.2f (threshold: %.2f)',
+                  'value', value, 250.0) AS details
+    FROM events WHERE value > 250.0
+    """,
+)
+def q04(spark, sf):
+    # P5 details rendering — exact reference format (ThresholdDetector.java:71-72).
+    ev = _t(spark, sf, "events")
+    return ev.filter(F.col("value") > F.lit(250.0)).select(
+        "event_id",
+        F.format_string(
+            "Threshold exceeded: %s=%.2f (threshold: %.2f)",
+            F.lit("value"), F.col("value"), F.lit(250.0),
+        ).alias("details"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: keyBy + sentinel (G1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q05_keyby_sentinel_counts",
+    """
+    SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q05(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(key_column(ev, "user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-Q7: rate rule (W1) — per-event trailing RANGE frame
+# ---------------------------------------------------------------------------
+
+def _rate_oracle(window_s: int, threshold: float) -> str:
+    win_ms = window_s * 1000
+    return f"""
+    WITH counted AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS key,
+             epoch_ms(ts) AS ts_ms,
+             COUNT(*) OVER (
+               PARTITION BY COALESCE(CAST(user_id AS VARCHAR), '__unknown__')
+               ORDER BY epoch_ms(ts)
+               RANGE BETWEEN {win_ms} PRECEDING AND CURRENT ROW) AS cnt
+      FROM events)
+    SELECT key, ts_ms AS alert_ts_ms,
+           printf('Rate spike: %d events in %d seconds (threshold: %.0f)',
+                  cnt, {window_s}, {threshold}) AS details
+    FROM counted WHERE cnt > {threshold}
+    """
+
+
+def _rate_query(rule: DetectionRule):
+    def run(spark, sf):
+        ev = _t(spark, sf, "events")
+        alerts = compile_rules(ev, [rule], key_field="user_id", time_col="ts")
+        return alerts.select(
+            "key",
+            F.unix_millis("alert_ts").alias("alert_ts_ms"),
+            "details",
+        )
+    return run
+
+
+query("q06_rate_rule_window", _rate_oracle(86_400, 4.0))(_rate_query(RATE_RULE))
+query("q07_rate_long_window", _rate_oracle(604_800, 25.0))(
+    _rate_query(
+        DetectionRule(name="weekly_rate", type="rate", key_field="user_id",
+                      window_seconds=604_800, threshold=25)
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q8-Q9: statistical rule (W2) — trailing ROWS frame, evaluate-before-insert
+# ---------------------------------------------------------------------------
+
+def _stat_oracle(value_expr: str, window: int, factor: float) -> str:
+    # ROWS ... 1 PRECEDING ≡ evaluate-before-insert; population σ (÷N,
+    # StatisticalOutlierDetector.java:149-156); σ=0 → fire-on-any-
+    # difference CASE (:96-99). The arithmetic mirrors the operator's
+    # exact fixed-point mode (decimal_scale=2) expression for expression:
+    # scaled-integer window sums (exact, order-insensitive), one double
+    # division per statistic, half-up mean rounding via integer floor —
+    # which is what makes the two engines agree to the bit.
+    return f"""
+    WITH valid AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS key,
+             ts, event_id, {value_expr} AS v,
+             CAST(CAST({value_expr} AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE {value_expr} IS NOT NULL),
+    sums AS (
+      SELECT key, ts, v,
+             SUM(cents)         OVER w AS s_cents,
+             SUM(cents * cents) OVER w AS ssq_cents,
+             COUNT(cents)       OVER w AS cnt
+      FROM valid
+      WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                   ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING)),
+    stats AS (
+      SELECT key, ts, v, cnt,
+             (CAST(s_cents AS DOUBLE) / 100.0) / cnt AS mean_true,
+             FLOOR((2 * s_cents + cnt) / (2 * cnt)) / 100.0 AS mean_fmt,
+             SQRT(GREATEST(
+               (CAST(ssq_cents AS DOUBLE) / 10000.0) / cnt
+                 - ((CAST(s_cents AS DOUBLE) / 100.0) / cnt)
+                   * ((CAST(s_cents AS DOUBLE) / 100.0) / cnt),
+               0.0)) AS sd
+      FROM sums)
+    SELECT key, epoch_ms(ts) AS alert_ts_ms,
+           printf('Statistical outlier: %s=%.2f (mean=%.2f, stddev=%.2f, factor=%.1f)',
+                  'value', v, mean_fmt, FLOOR(sd * 100 + 0.5) / 100.0, {factor}) AS details
+    FROM stats
+    WHERE cnt >= 2
+      AND ABS(v - mean_true) > (CASE WHEN sd = 0 THEN 0 ELSE {factor} * sd END)
+    """
+
+
+@query("q08_statistical_rule", _stat_oracle("value", 10, 2.5))
+def q08(spark, sf):
+    ev = _t(spark, sf, "events")
+    alerts = compile_rules(
+        ev, [STATISTICAL_RULE], key_field="user_id", time_col="ts",
+        order_cols=("event_id",),
+    )
+    return alerts.select(
+        "key", F.unix_millis("alert_ts").alias("alert_ts_ms"), "details"
+    )
+
+
+@query(
+    "q09_statistical_sigma_zero",
+    _stat_oracle("CAST(FLOOR(value / 100) * 100 AS DOUBLE)", 4, 2.0),
+)
+def q09(spark, sf):
+    # Coarse integer-valued field → many constant windows → exercises the
+    # σ=0 rule and warm-up guard on real data, with exact arithmetic
+    # (integer-valued doubles sum exactly, so both engines agree to the bit).
+    ev = _t(spark, sf, "events").withColumn(
+        "coarse", (F.floor(F.col("value") / 100) * 100).cast("double")
+    )
+    rule = DetectionRule(
+        name="sigma_zero", type="statistical", field="coarse", window_size=4,
+        deviation_factor=2.0, decimal_scale=2,
+    )
+    alerts = compile_rules(
+        ev, [rule], key_field="user_id", time_col="ts", order_cols=("event_id",)
+    )
+    # details say 'value' in the oracle; rename field label for parity
+    return alerts.select(
+        "key",
+        F.unix_millis("alert_ts").alias("alert_ts_ms"),
+        F.replace(F.col("details"), F.lit("coarse"), F.lit("value")).alias("details"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: counters (W5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q10_counters",
+    """
+    SELECT COUNT(*) AS events_processed,
+           COUNT(*) FILTER (WHERE value > 250.0) AS anomalies_detected
+    FROM events
+    """,
+)
+def q10(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("events_processed"),
+        F.count(F.when(F.col("value") > 250.0, 1)).alias("anomalies_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-Q14: joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_join_orders_customer",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q11(spark, sf):
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    # customer is the small dimension — broadcast it (no shuffle of orders
+    # beyond the final aggregation).
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        total.alias("total_price"),
+        (total / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+@query(
+    "q12_tpch_q3_topk",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           epoch_ms(o_orderdate) AS o_orderdate_ms,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND epoch_ms(o_orderdate) < 820454400000
+      AND epoch_ms(l_shipdate)  > 820454400000
+    GROUP BY l_orderkey, o_orderdate_ms, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q12(spark, sf):
+    # TPC-H Q3 shape: two broadcast-able dims against the fact table;
+    # filters push to every scan; LIMIT has a total-order tie-break.
+    customer = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(
+        F.unix_millis("o_orderdate") < 820454400000
+    )
+    lineitem = _t(spark, sf, "lineitem").filter(
+        F.unix_millis("l_shipdate") > 820454400000
+    )
+    joined = (
+        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    revenue = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            "o_orderpriority",
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q13_anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q13(spark, sf):
+    customer = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q14_semi_join_region",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (
+      SELECT 1 FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE n_nationkey = s_nationkey AND r_name = 'ASIA')
+    """,
+)
+def q14(spark, sf):
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return supplier.join(
+        F.broadcast(asia_nations),
+        supplier.s_nationkey == asia_nations.n_nationkey,
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Q15: grouped agg + distinct + rollup (TPC-H Q1-ish)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+             AS avg_qty,
+           COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q15(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        sum_qty.alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        (sum_qty / F.count("l_quantity")).alias("avg_qty"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-Q17: ranking windows, sort/limit/top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_ranking_windows",
+    """
+    SELECT o_custkey, o_orderkey, rn, rnk, drnk FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             RANK()       OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS drnk
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q16(spark, sf):
+    orders = _t(spark, sf, "orders")
+    total_order = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    value_order = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(total_order).alias("rn"),
+            F.rank().over(value_order).alias("rnk"),
+            F.dense_rank().over(value_order).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q17_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q17(spark, sf):
+    # Catalyst plans this as TakeOrderedAndProject — a per-partition top-K
+    # + driver merge, no global sort. Exactly what you want at 100 TB.
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18: set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_set_ops",
+    """
+    SELECT 'union' AS op, n_key FROM (
+      SELECT c_nationkey AS n_key FROM customer
+      UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', n_key FROM (
+      SELECT c_nationkey AS n_key FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except', n_key FROM (
+      SELECT c_nationkey AS n_key FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+)
+def q18(spark, sf):
+    cust = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("n_key"))
+    supp = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("n_key"))
+    tagged = [
+        cust.union(supp).distinct().withColumn("op", F.lit("union")),
+        cust.intersect(supp).withColumn("op", F.lit("intersect")),
+        # subtract == SQL EXCEPT (distinct semantics); exceptAll would
+        # keep multiplicity and diverge from the oracle
+        cust.subtract(supp).withColumn("op", F.lit("except")),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out.select("op", "n_key")
+
+
+# ---------------------------------------------------------------------------
+# Q19/Q21: scalar functions (string / math / date)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_scalars_part",
+    """
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 8)) AS name8,
+           CONCAT(p_brand, '#', p_type) AS brand_type,
+           LENGTH(p_name) AS name_len,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           ABS(p_retailprice - 1000.0) AS price_dist
+    FROM part
+    """,
+)
+def q19(spark, sf):
+    part = _t(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name8"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+    )
+
+
+@query(
+    "q21_dates_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS d,
+           epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+    FROM orders
+    WHERE epoch_ms(o_orderdate) >= 852076800000
+    """,
+)
+def q21(spark, sf):
+    # 852076800000 = 1997-01-01T00:00Z; epoch-millis comparisons are
+    # timezone-proof (session tz never touches the stored instant).
+    # Calendar parts go through epoch-day arithmetic (date_from_unix_date
+    # / unix_date are pure integer math, no timezone anywhere) so a
+    # non-UTC session timezone cannot shift them.
+    orders = _t(spark, sf, "orders")
+    utc_date = F.date_from_unix_date(
+        F.floor(F.unix_millis("o_orderdate") / F.lit(86_400_000)).cast("int")
+    )
+    return orders.filter(F.unix_millis("o_orderdate") >= 852076800000).select(
+        "o_orderkey",
+        F.year(utc_date).alias("y"),
+        F.month(utc_date).alias("m"),
+        F.dayofmonth(utc_date).alias("d"),
+        (F.unix_date(F.trunc(utc_date, "month")).cast("long") * 86_400_000).alias(
+            "month_start_ms"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: JSON extraction + grouped agg over extracted value
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_json_group",
+    """
+    SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q20(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_val")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The flagship: full 3-rule detection pipeline (union of branches)
+# ---------------------------------------------------------------------------
+
+_DETECT_ORACLE = f"""
+WITH rate_alerts AS (
+  {_rate_oracle(86_400, 4.0)}
+),
+thr_alerts AS (
+  SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS key,
+         epoch_ms(ts) AS alert_ts_ms,
+         printf('Threshold exceeded: %s=%.2f (threshold: %.2f)',
+                'value', value, 250.0) AS details
+  FROM events WHERE value > 250.0
+),
+stat_alerts AS (
+  {_stat_oracle("value", 10, 2.5)}
+)
+SELECT 'high_rate' AS rule_name, key, alert_ts_ms, details, 0 AS rule_index
+  FROM rate_alerts
+UNION ALL
+SELECT 'high_value', key, alert_ts_ms, details, 1 FROM thr_alerts
+UNION ALL
+SELECT 'unusual_value', key, alert_ts_ms, details, 2 FROM stat_alerts
+"""
+
+
+@query("detect_pipeline", _DETECT_ORACLE)
+def detect_pipeline(spark, sf):
+    """The reference's whole job as one batch plan: 3 rules compiled and
+    unioned (StreamSentinelJob.buildPipeline parity, SURVEY §3.1)."""
+    ev = _t(spark, sf, "events")
+    alerts = compile_rules(
+        ev, DEFAULT_RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",),
+    )
+    return alerts.select(
+        "rule_name",
+        "key",
+        F.unix_millis("alert_ts").alias("alert_ts_ms"),
+        "details",
+        F.col("rule_index").cast("int").alias("rule_index"),
+    )

@@ -42,6 +42,12 @@ class DetectionRule:
     threshold: float = 0.0
     window_size: int = DEFAULT_WINDOW_SIZE
     deviation_factor: float = DEFAULT_DEVIATION_FACTOR
+    # Engine extension (not in the reference YAML grammar): when set, the
+    # statistical detector accumulates window sums in exact fixed-point
+    # (values must have at most this many decimals) so results are
+    # bit-identical across engines and summation orders — the right mode
+    # for currency-like fields and for oracle-checked runs.
+    decimal_scale: int | None = None
 
     def __post_init__(self) -> None:
         if self.type is not None:

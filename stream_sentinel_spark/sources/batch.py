@@ -67,6 +67,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamps — the same truncation DuckDB's µs timestamps
     apply, so oracle comparisons agree."""
     path = f"{sf_dir}/{name}.parquet"
+    # Read unadjusted parquet timestamps as instants (TimestampType), not
+    # TIMESTAMP_NTZ: stored micros == the UTC instant, which keeps
+    # unix_millis() available and every epoch comparison timezone-proof.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
