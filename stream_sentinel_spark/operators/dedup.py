@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame ops (JVM-side, no Python UDFs), all
+designed for the 100 TB shape: no driver collects, no cross joins —
+candidate generation is always an equi-join on a derived key (shingle /
+band hash / bit-chunk) so Catalyst plans a hash shuffle partitioned by
+that key, and AQE handles skew.
+
+- exact:      content fingerprint (md5) → groupBy fingerprint
+- n-gram Jaccard: character shingles → explode → pair-join on shared
+              shingle → |∩| / |∪| (exact similarity, O(pairs sharing a
+              shingle) not O(n²))
+- MinHash+LSH: k seeded xxhash64 min-hashes → banded signatures →
+              bucket equi-join → candidates (+ optional exact verify)
+- SimHash:    token hashes → per-bit majority → 64-bit fingerprint →
+              banded chunks for hamming-≤k candidate pairs (pigeonhole)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content: fingerprint, surviving (minimum) id,
+    and copy count. Single hash shuffle on the fingerprint."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col).alias("_id"))
+        .groupBy("fp")
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Return the deduplicated frame (first id per content wins)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select("keep_id")
+    return df.join(
+        keep, df[id_col] == keep.keep_id, "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct character n-grams per document: (id, shingle).
+
+    Built with sequence+transform+explode — stays in whole-stage codegen;
+    array_distinct caps the blow-up at distinct-shingle count per doc.
+    """
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(0))),
+            lambda i: F.col(text_col).substr(i, F.lit(n)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .select("id", F.explode("grams").alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Plan shape: shingle explode → self equi-join on shingle (shuffle
+    partitioned by shingle) → pair-count aggregation → join per-doc
+    sizes → filter. At scale, ultra-frequent shingles dominate the
+    pair-join; callers should pre-filter them (see ``max_doc_freq``).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("a_id"), "shingle")
+    b = sh.select(F.col("id").alias("b_id"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("a_sz") + F.col("b_sz") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "shared", "a_sz", "b_sz", "jaccard")
+    )
+
+
+def filter_frequent_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_doc_freq`` docs — the
+    standard skew guard before the pair join at scale."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    return sh.join(
+        F.broadcast(freq.filter(F.col("df_") <= max_doc_freq).select("shingle")),
+        "shingle",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<long>) — element h is min over shingles of the
+    h-seeded xxhash64. One aggregation over the exploded shingle frame;
+    deterministic across runs and partitionings."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{h}" for h in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
+
+    rows/band = num_hashes/bands. Banding → explode → equi-join on
+    (band, band_hash): the only shuffle key is the bucket, so the plan
+    is a standard hash join at any scale — never a cross join.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("a_id"), "band", "bucket")
+    b = banded.select(F.col("id").alias("b_id"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash: long) — per-bit majority vote over whitespace-token
+    xxhash64 values, built from explode + 64 conditional sums (all
+    codegen'd; no UDF)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("id").agg(*votes)
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, chunks: int = 4
+) -> DataFrame:
+    """Pairs whose SimHashes agree on ≥1 of ``chunks`` 16-bit chunks —
+    by pigeonhole, a superset of all pairs with hamming distance <
+    ``chunks``. Equi-join on (chunk index, chunk value); includes the
+    exact hamming distance for downstream filtering."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    chunked = fp.select(
+        "id", "simhash", F.explode(chunk_structs).alias("cc")
+    ).select("id", "simhash", "cc.chunk", "cc.val")
+    a = chunked.select(F.col("id").alias("a_id"), F.col("simhash").alias("a_fp"), "chunk", "val")
+    b = chunked.select(F.col("id").alias("b_id"), F.col("simhash").alias("b_fp"), "chunk", "val")
+    pairs = (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_fp", "b_fp")
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    ).select("a_id", "b_id", "hamming")

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- brute-force cosine top-k — the exact baseline. Dot products via
+  ``zip_with`` + ``aggregate`` (JVM-side, codegen; no Python). The
+  candidate join broadcasts the (small) query side; ranking is a
+  per-query window top-k, so the plan is broadcast-join → window, no
+  shuffle of the corpus beyond the final per-query grouping.
+- sign-LSH bucketed — the scale path. Deterministic pseudo-random
+  hyperplanes (seeded off plane/dimension indices, not RNG state) give
+  every vector a b-bit signature; candidates are an equi-join on
+  (band, signature chunk). At 100 TB this replaces the all-pairs
+  product with bucket-local joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    """Σ aᵢ·bᵢ in array order — deterministic IEEE, engine-agnostic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast (assumed ≪ corpus); ties broken by
+    neighbor id for a total order.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "cos")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup dedup).
+    Exact; quadratic candidate set — use :func:`lsh_candidates` first at
+    scale and feed the surviving buckets here."""
+    a = df.select(F.col(id_col).alias("a_id"), _as_double(F.col(vec_col)).alias("a_vec"))
+    b = df.select(F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("b_vec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def _planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from sha256(seed, bit, dim
+    index) — reproducible across sessions with no RNG state."""
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{b}:{d}".encode()).digest()
+            row.append(1.0 if h[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: long) — sign of ⟨v, plane_b⟩ per bit."""
+    planes = _planes(dim, bits, seed)
+    v = _as_double(F.col(vec_col))
+    sig = None
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-neighbor candidate pairs: equal signature chunk in ≥1 band."""
+    sig = lsh_signatures(df, id_col, vec_col, bits, dim, seed)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(bands)
+        ]
+    )
+    chunked = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", "bb.band", "bb.val"
+    )
+    a = chunked.select(F.col("id").alias("a_id"), "band", "val")
+    b = chunked.select(F.col("id").alias("b_id"), "band", "val")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )

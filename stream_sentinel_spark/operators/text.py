@@ -1,0 +1,110 @@
+"""Text analysis operators for training-data curation.
+
+All pure column expressions (codegen'd, zero UDFs), so they cost one
+scan at any scale: token/char statistics, quality scoring, heuristic
+language ID, and content fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny stopword lexicons for the heuristic language guesser. Word-
+#: boundary regex match counts per language; argmax wins (first language
+#: in this order wins ties — keep the order stable, it is part of the
+#: operator's contract).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b",
+    "es": r"\b(el|la|los|las|de|que|y|en|un|es)\b",
+    "fr": r"\b(le|la|les|et|des|un|une|est|que|dans)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    """Count of non-alphanumeric, non-space characters (explicit class —
+    identical semantics across regex dialects)."""
+    return F.length(col) - F.length(
+        F.regexp_replace(col, r"[^a-zA-Z0-9 \t\n]", "")
+    )
+
+
+def stopword_count(col: Column, pattern: str = LANG_MARKERS["en"]) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), F.lit(0)))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Score = mean of three deterministic ratio signals (token length
+    band, low punctuation, stopword presence) — division-only double
+    arithmetic, reproducible anywhere.
+    """
+    c = F.col(text_col)
+    toks = token_count(c)
+    chars = char_count(c)
+    puncts = punct_count(c)
+    stops = stopword_count(c)
+    avg_tok_len = F.when(toks > 0, chars.cast("double") / toks).otherwise(F.lit(0.0))
+    punct_ratio = F.when(chars > 0, puncts.cast("double") / chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(toks > 0, stops.cast("double") / toks).otherwise(F.lit(0.0))
+    tok_len_ok = F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+        chars.alias("n_chars"),
+        puncts.alias("n_punct"),
+        stops.alias("n_stopwords"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((tok_len_ok + punct_ok + stop_ok) / F.lit(3.0)).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: stopword-marker match counts per language,
+    argmax with a stable tie order (lexicon declaration order)."""
+    lowered = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS.items()
+    }
+    # argmax via a greatest-first CASE chain in declaration order
+    best = F.greatest(*scores.values())
+    guess = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):
+        guess = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        guess.alias("lang_guess"),
+    )
+    return out
+
+
+def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalization fingerprint: md5 of the lower-cased text with all
+    non-alphanumerics stripped — catches whitespace/punctuation-only
+    near-duplicates exactly."""
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).alias("normalized_len"),
+    )

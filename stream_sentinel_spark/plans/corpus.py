@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_sentinel_spark.functions.coercion import key_column
+from stream_sentinel_spark.operators import dedup, multimodal, similarity, text
 from stream_sentinel_spark.plans.pipeline import compile_rules
 from stream_sentinel_spark.rules import DetectionRule
 from stream_sentinel_spark.sources.batch import load_table
@@ -683,3 +684,183 @@ def detect_pipeline(spark, sf):
         "details",
         F.col("rule_index").cast("int").alias("rule_index"),
     )
+
+
+# ===========================================================================
+# Training-data pipeline extensions (SURVEY §7.1 M6) — first-class
+# operators for 100 TB curation: dedup, similarity search, text
+# analysis, multimodal plumbing. Oracle-checked where SQL-expressible;
+# hash-based ops (MinHash/SimHash/LSH, mapInPandas features) are
+# rows-only by design (no xxhash64 in DuckDB).
+# ===========================================================================
+
+@query(
+    "x01_dedup_exact",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+    FROM documents GROUP BY 1
+    """,
+)
+def x01(spark, sf):
+    return dedup.exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x02_dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(
+               [substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]
+             )) AS shingle
+      FROM documents),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2)
+    SELECT a_id, b_id, shared, sa.sz AS a_sz, sb.sz AS b_sz,
+           CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.id = a_id
+    JOIN sizes sb ON sb.id = b_id
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
+    """,
+)
+def x02(spark, sf):
+    # jaccard = int/int division — bit-identical across engines.
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, threshold=0.8
+    )
+
+
+@query(
+    "x03_text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS normalized_len
+    FROM documents
+    """,
+)
+def x03(spark, sf):
+    return text.content_fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_QUALITY_ORACLE = r"""
+WITH feat AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n]', '', 'g'))
+           AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS n_stopwords
+  FROM documents),
+ratios AS (
+  SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords,
+         CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS avg_token_len,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stopwords AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS stopword_ratio
+  FROM feat)
+SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords,
+       avg_token_len, punct_ratio, stopword_ratio,
+       ((CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+        + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0
+         AS quality_score
+FROM ratios
+"""
+
+
+@query("x04_text_quality", _QUALITY_ORACLE)
+def x04(spark, sf):
+    return text.quality_features(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_LANG_ORACLE = r"""
+WITH scores AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS score_en,
+         len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein|zu|den)\b')) AS score_de,
+         len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|que|y|en|un|es)\b')) AS score_es,
+         len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|un|une|est|que|dans)\b')) AS score_fr,
+         len(regexp_extract_all(lower(text), '[一-鿿]')) AS score_zh
+  FROM documents)
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0
+            THEN 'unknown'
+            WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS lang_guess
+FROM scores
+"""
+
+
+@query("x05_lang_id", _LANG_ORACLE)
+def x05(spark, sf):
+    return text.lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x06_ann_cosine_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+    SELECT q_id, n_id, rk, cos FROM ranked WHERE rk <= 5
+    """,
+)
+def x06(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=5
+    )
+
+
+@query(
+    "x07_embedding_cosine_pairs",
+    """
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.40
+    """,
+)
+def x07(spark, sf):
+    return similarity.cosine_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.40
+    )
+
+
+@query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
+def x08(spark, sf):
+    return dedup.minhash_lsh_candidates(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3, num_hashes=64, bands=16
+    )
+
+
+@query("x09_simhash_candidates")  # rows-only: xxhash64 has no DuckDB twin
+def x09(spark, sf):
+    return dedup.simhash_candidates(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query("x10_multimodal_features")  # rows-only: mapInPandas feature extraction
+def x10(spark, sf):
+    media = multimodal.synthesize_media(_t(spark, sf, "documents"), "doc_id", "text")
+    return multimodal.extract_features(media)
