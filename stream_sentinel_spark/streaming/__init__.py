@@ -1,0 +1,35 @@
+"""Structured Streaming surface — sources, stateful detectors, sinks.
+
+The streaming twin of the batch rule compiler (SURVEY §7.0): one
+rule-compilation codepath; per-event sliding windows (W1/W2) swap the
+batch window-frame plans for a keyed `applyInPandasWithState` processor
+with identical semantics (tests/test_streaming_parity.py).
+"""
+
+from stream_sentinel_spark.streaming.job import (
+    compile_rules_streaming,
+    run_available_now,
+    write_alerts_files,
+    write_alerts_kafka,
+)
+from stream_sentinel_spark.streaming.sources import (
+    DEFAULT_WATERMARK,
+    INGEST_COL,
+    parse_events,
+    read_file_stream,
+    read_kafka_stream,
+)
+from stream_sentinel_spark.streaming.state import stateful_alerts
+
+__all__ = [
+    "DEFAULT_WATERMARK",
+    "INGEST_COL",
+    "compile_rules_streaming",
+    "parse_events",
+    "read_file_stream",
+    "read_kafka_stream",
+    "run_available_now",
+    "stateful_alerts",
+    "write_alerts_files",
+    "write_alerts_kafka",
+]

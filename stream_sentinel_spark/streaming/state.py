@@ -1,0 +1,259 @@
+"""Per-key stateful streaming detectors — W1/W2 on `applyInPandasWithState`.
+
+The reference keeps one `ValueState<List<AnomalyDetector>>` per key and
+runs every detector on every event in arrival order
+(AnomalyProcessFunction.java:59-60,106-143). Spark has no built-in
+per-event trailing-window operator (grouped `window()` fires per window,
+not per event — SURVEY §7.4.1), so this is the one place the engine
+drops to the custom-stateful escape hatch: ONE `applyInPandasWithState`
+processor per query that owns ALL stateful rules for a key — a single
+key shuffle and a single state store, mirroring the reference's single
+keyBy (StreamSentinelJob.java:121-124).
+
+State is a JSON blob per key: ``{"r<idx>": [..]}`` — rate rules hold the
+timestamp deque in epoch ms (bounded by the window duration,
+RateSpikeDetector.java:85-90), statistical rules the last-N value deque
+(bounded by windowSize, StatisticalOutlierDetector.java:124-127). Both
+bounds are tiny (≤ dozens of entries), so state size is O(keys), the
+same as the reference.
+
+Arithmetic parity: the evaluation re-implements the batch operators'
+exact expressions (operators/rate.py, operators/statistical.py) —
+including the fixed-point `decimal_scale` path and Java's
+``BigDecimal(double).setScale(HALF_UP)`` rendering of ``%.nf`` — so a
+streaming run over the same rows in the same order produces
+bit-identical alerts to the batch plan (tested in
+tests/test_streaming_parity.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterator, Sequence
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from stream_sentinel_spark.functions.alerts import original_event_map
+from stream_sentinel_spark.functions.coercion import key_column, numeric_field
+from stream_sentinel_spark.operators.rate import DETAILS_FORMAT as RATE_FORMAT
+from stream_sentinel_spark.operators.statistical import (
+    DETAILS_FORMAT as STAT_FORMAT,
+    MIN_HISTORY_SIZE,
+)
+from stream_sentinel_spark.rules import DetectionRule
+
+_KEY = "__ss_key"
+_TSUS = "__ss_ts_us"
+_EVMAP = "__ss_event"
+
+#: Output schema of the stateful branch — identical to functions.alerts
+#: ALERT_FIELDS except alert_ts carried as epoch micros (converted back
+#: to TimestampType right after the processor; Arrow-safe either way).
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("rule_name", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("alert_ts_us", T.LongType()),
+        T.StructField("details", T.StringType()),
+        T.StructField("original_event", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("rule_index", T.IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("state_json", T.StringType())])
+
+
+def _java_fmt(x: float, nd: int) -> str:
+    """Java's ``String.format("%.<nd>f", double)``: HALF_UP rounding of
+    the double's exact decimal expansion — NOT Python's ``%`` operator,
+    which rounds half-even and would diverge on exact ties."""
+    q = Decimal(1).scaleb(-nd) if nd > 0 else Decimal(1)
+    return str(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _cents(v: float, scale: int) -> int:
+    """Spark's ``cast(decimal(18,s)) * 10^s → long`` (HALF_UP)."""
+    p = Decimal(1).scaleb(-scale)
+    return int(Decimal(v).quantize(p, rounding=ROUND_HALF_UP).scaleb(scale))
+
+
+def _eval_rate(rule_spec: dict, hist: list, ts_ms: int) -> str | None:
+    """RateSpikeDetector.evaluate (:74-114): evict strictly-older-than
+    window (boundary kept, :85-87), append (:90), fire iff count >
+    threshold (:94)."""
+    window_ms = rule_spec["window_seconds"] * 1000
+    cutoff = ts_ms - window_ms
+    while hist and hist[0] < cutoff:
+        hist.pop(0)
+    hist.append(ts_ms)
+    cnt = len(hist)
+    if cnt > rule_spec["threshold"]:
+        return RATE_FORMAT.replace("%d", "{}", 2).replace("%.0f", "{}").format(
+            cnt, rule_spec["window_seconds"], _java_fmt(rule_spec["threshold"], 0)
+        )
+    return None
+
+
+def _eval_statistical(rule_spec: dict, hist: list, v: float) -> str | None:
+    """StatisticalOutlierDetector.evaluate (:77-130): warm-up guard ≥2
+    (:92), population σ over the window EXCLUDING the current value
+    (:122-127,:149-156), σ=0 → fire on any difference (:96-99), then
+    append + trim (:124-127)."""
+    scale = rule_spec.get("decimal_scale")
+    window_size = rule_spec["window_size"]
+    factor = rule_spec["deviation_factor"]
+    details = None
+    if len(hist) >= MIN_HISTORY_SIZE:
+        if scale is None:
+            n = len(hist)
+            mean = sum(hist) / n
+            var = sum((x - mean) ** 2 for x in hist) / n
+            sd = math.sqrt(var)
+            mean_fmt, sd_fmt = mean, sd
+        else:
+            # exact fixed-point twin of operators/statistical.py
+            p = 10**scale
+            n = len(hist)  # hist holds scaled-integer cents
+            s = sum(hist)
+            ssq = sum(c * c for c in hist)
+            mean = (float(s) / float(p)) / n
+            var = (float(ssq) / float(p * p)) / n - mean * mean
+            sd = math.sqrt(max(var, 0.0))
+            mean_fmt = ((2 * s + n) // (2 * n)) / p
+            sd_fmt = math.floor(sd * p + 0.5) / p
+        bound = 0.0 if sd == 0.0 else factor * sd
+        if abs(v - mean) > bound:
+            details = (
+                STAT_FORMAT.replace("%s", "{}")
+                .replace("%.2f", "{}", 3)
+                .replace("%.1f", "{}")
+                .format(
+                    rule_spec["field"],
+                    _java_fmt(v, 2),
+                    _java_fmt(mean_fmt, 2),
+                    _java_fmt(sd_fmt, 2),
+                    _java_fmt(factor, 1),
+                )
+            )
+    hist.append(v if scale is None else _cents(v, scale))
+    del hist[:-window_size]
+    return details
+
+
+def _make_processor(
+    rule_specs: list[dict], value_cols: dict[int, str], order_cols: tuple[str, ...]
+):
+    """Build the per-key processor closure (pickled to executors)."""
+    import pandas as pd
+
+    def process(key, pdfs: Iterator, state) -> Iterator:
+        blob = state.get[0] if state.exists else None
+        st: dict = json.loads(blob) if blob else {}
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # arrival order within the micro-batch: event-time + tie-break
+        # (cross-batch order is arrival order, as in the reference)
+        pdf = pdf.sort_values([_TSUS, *order_cols], kind="stable").reset_index(
+            drop=True
+        )
+        out: dict[str, list] = {f.name: [] for f in ALERT_SCHEMA.fields}
+        # column arrays, not itertuples: pandas renames __-prefixed fields
+        ts_arr = pdf[_TSUS].to_list()
+        ev_arr = pdf[_EVMAP].to_list()
+        val_arr = {idx: pdf[col].to_list() for idx, col in value_cols.items()}
+        for i in range(len(pdf)):
+            ts_us = int(ts_arr[i])
+            ts_ms = ts_us // 1000  # reference time axis is epoch ms (:78-80)
+            for spec in rule_specs:
+                idx = spec["rule_index"]
+                hist = st.setdefault(f"r{idx}", [])
+                if spec["type"] == "rate":
+                    details = _eval_rate(spec, hist, ts_ms)
+                else:
+                    v = val_arr[idx][i]
+                    if v is None or (isinstance(v, float) and math.isnan(v)):
+                        continue  # skip: window untouched (:83-86)
+                    details = _eval_statistical(spec, hist, float(v))
+                if details is not None:
+                    out["rule_name"].append(spec["name"])
+                    out["key"].append(key[0])
+                    out["alert_ts_us"].append(ts_us)
+                    out["details"].append(details)
+                    out["original_event"].append(ev_arr[i])
+                    out["rule_index"].append(idx)
+        state.update((json.dumps(st),))
+        if out["rule_name"]:
+            yield pd.DataFrame(out)
+
+    return process
+
+
+def stateful_alerts(
+    events: DataFrame,
+    rules: Sequence[DetectionRule],
+    *,
+    key_field: str,
+    time_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    rule_indexes: Sequence[int] | None = None,
+    event_columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Compile the stateful rules (rate/statistical) of a rule set into
+    ONE keyed stateful branch over a streaming DataFrame.
+
+    ``rule_indexes`` preserves each rule's position in the full YAML list
+    so the union with stateless branches keeps reference emission order
+    (SURVEY §3.2)."""
+    idxs = list(rule_indexes) if rule_indexes is not None else list(range(len(rules)))
+    specs: list[dict] = []
+    value_cols: dict[int, str] = {}
+    cols = [
+        key_column(events, key_field).alias(_KEY),
+        F.unix_micros(F.col(time_col)).alias(_TSUS),
+        original_event_map(
+            event_columns if event_columns is not None else events.columns
+        ).alias(_EVMAP),
+        *(F.col(c) for c in order_cols),
+    ]
+    for rule, idx in zip(rules, idxs):
+        rule.validate()
+        spec = {
+            "rule_index": idx,
+            "name": rule.name,
+            "type": rule.type,
+            "field": rule.field,
+            "threshold": float(rule.threshold),
+            "window_seconds": int(rule.window_seconds or 0),
+            "window_size": int(rule.window_size),
+            "deviation_factor": float(rule.deviation_factor),
+            "decimal_scale": rule.decimal_scale,
+        }
+        if rule.type not in ("rate", "statistical"):
+            raise ValueError(f"stateful_alerts got stateless rule type: {rule.type}")
+        if rule.type == "statistical":
+            vcol = f"__ss_v{idx}"
+            value_cols[idx] = vcol
+            cols.append(numeric_field(events, rule.field).alias(vcol))
+        specs.append(spec)
+
+    keyed = events.select(*cols)
+    alerts = keyed.groupBy(_KEY).applyInPandasWithState(
+        _make_processor(specs, value_cols, tuple(order_cols)),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return alerts.select(
+        "rule_name",
+        "key",
+        F.timestamp_micros(F.col("alert_ts_us")).alias("alert_ts"),
+        "details",
+        "original_event",
+        "rule_index",
+    )

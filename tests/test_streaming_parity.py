@@ -1,0 +1,92 @@
+"""Batch ≡ streaming parity (SURVEY §5.4, §7.0).
+
+The same rule set, run (a) through the batch window-frame compiler and
+(b) through Structured Streaming with the `applyInPandasWithState`
+stateful branch over a file stream of the same rows, must produce the
+IDENTICAL alert set — rule_name, key, alert_ts, details, rule_index all
+bit-equal. This is the proof that the streaming processors implement the
+batch (oracle-checked) semantics, transitively tying streaming to the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_sentinel_spark.plans.corpus import DEFAULT_RULES
+from stream_sentinel_spark.plans.pipeline import compile_rules
+from stream_sentinel_spark.rules import DetectionRule
+from stream_sentinel_spark.sources.batch import load_table
+from stream_sentinel_spark.streaming import (
+    compile_rules_streaming,
+    read_file_stream,
+    run_available_now,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _alert_key(row):
+    return (row["rule_name"], row["key"], row["alert_ts"], row["details"], row["rule_index"])
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    """The sf0.001 events table, rewritten as µs-timestamp parquet so the
+    streaming reader sees the same rows the batch plan reads."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def _run_both(spark, events_src, rules, tag):
+    path, ev = events_src
+    batch = compile_rules(
+        ev, rules, key_field="user_id", time_col="ts", order_cols=("event_id",)
+    ).collect()
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    alerts = compile_rules_streaming(
+        stream, rules, key_field="user_id", time_col="ts", order_cols=("event_id",)
+    )
+    streamed = run_available_now(alerts, query_name=f"parity_{tag}")
+    return batch, streamed
+
+
+def test_full_pipeline_parity(spark, events_src):
+    batch, streamed = _run_both(spark, events_src, DEFAULT_RULES, "full")
+    assert len(batch) > 0, "fixture rules must fire on the test data"
+    fired_rules = {r["rule_name"] for r in batch}
+    assert len(fired_rules) == 3, f"all three rules should fire, got {fired_rules}"
+    assert sorted(map(_alert_key, batch)) == sorted(map(_alert_key, streamed))
+
+
+def test_original_event_round_trip(spark, events_src):
+    """The stateful branch carries the full original_event map through
+    Arrow and back (Alert.java:43,59-61 defensive-copy parity)."""
+    rules = [
+        DetectionRule(
+            name="rate_only", type="rate", key_field="user_id",
+            window_seconds=86_400, threshold=4,
+        )
+    ]
+    batch, streamed = _run_both(spark, events_src, rules, "evmap")
+    assert len(streamed) == len(batch) > 0
+    b = {_alert_key(r): r["original_event"] for r in batch}
+    s = {_alert_key(r): r["original_event"] for r in streamed}
+    assert set(b) == set(s)
+    # spot-check one map: same fields, same stringified values
+    k = next(iter(b))
+    assert b[k] == s[k]
+
+
+def test_stateless_branch_stays_native(spark, events_src):
+    """A threshold-only rule set must not contain a state operator in the
+    streaming plan (it compiles to a pure filter — the slow path is
+    reserved for genuinely stateful rules)."""
+    path, ev = events_src
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    rules = [DetectionRule(name="thr", type="threshold", field="value", threshold=250.0)]
+    alerts = compile_rules_streaming(stream, rules, key_field="user_id", time_col="ts")
+    plan = alerts._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" not in plan
