@@ -18,7 +18,7 @@ that key, and AQE handles skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,35 +73,129 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ threshold pairs via prefix filtering.
 
-    Plan shape: shingle explode → self equi-join on shingle (shuffle
-    partitioned by shingle) → pair-count aggregation → join per-doc
-    sizes → filter. At scale, ultra-frequent shingles dominate the
-    pair-join; callers should pre-filter them (see ``max_doc_freq``).
+    A naive shingle self-join explodes quadratically on frequent
+    shingles (a shingle in f docs yields f² join rows — billions at
+    scale, and invisible to AQE because the blow-up happens after the
+    shuffle-size estimate). Instead, the AllPairs/PPJoin prefix filter
+    (Bayardo et al., WWW'07 — public algorithm): order each doc's
+    shingles rarest-first by global document frequency and index only
+    the first ``sz − ceil(t·sz) + 1`` of them. Any pair with J ≥ t MUST
+    share an indexed shingle (pigeonhole on the ≥⌈t·sz⌉ overlap), so
+    joining prefixes only is exact — no false negatives — while the join
+    touches the RAREST shingles, collapsing fan-out by orders of
+    magnitude. Candidates are verified with array_intersect over the
+    bounded per-doc shingle arrays (collect_set, ≤ text length).
+
+    Physical strategy (all JVM-side DataFrame ops, no cross join):
+    shingles are dictionary-encoded to dense integer ids ordered
+    rarest-first, so the prefix is simply the head of each doc's sorted
+    id array and every shuffle/join key is an int, not a string. The
+    verification step is chosen ADAPTIVELY from a one-row vocabulary
+    probe (the same kind of stats action a cost-based optimizer runs):
+    small vocabularies (degenerate/repetitive corpora, where candidate
+    counts explode toward all-pairs) verify via fixed-width bitmasks —
+    popcount of AND over a few longs per pair — while large
+    vocabularies (real text, where prefix filtering prunes hard)
+    verify via sorted-int array_intersect.
     """
     sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("a_id"), "shingle")
-    b = sh.select(F.col("id").alias("b_id"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # global doc-frequency per shingle (the prefix ordering key); the
+    # vocab is a dimension table (bounded by alphabet^n / corpus vocab),
+    # so the single-partition ranking window and broadcast are fine at
+    # any fact-table scale
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    vocab = freq.select(
+        "shingle",
+        (F.row_number().over(Window.orderBy("df_", "shingle")) - 1).alias("sid"),
     )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"))
+    n_vocab = vocab.count()  # stats probe → physical strategy + mask width
+    ids = sh.join(F.broadcast(vocab), "shingle").select("id", "sid")
+    # per-doc sorted id set: ascending sid ≡ rarest-first prefix order
+    docs = ids.groupBy("id").agg(
+        F.sort_array(F.collect_set("sid")).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+
+    use_bitmask = n_vocab <= 4096  # ≤ 64 longs per doc
+    if use_bitmask:
+        nwords = (n_vocab + 63) // 64
+        # SQL expr: shiftleft by a column is SQL-only (the DSL wrapper
+        # takes a literal bit count)
+        docs = docs.withColumn(
+            "mask",
+            F.expr(
+                f"transform(sequence(0, {nwords - 1}), w -> "
+                f"aggregate(filter(grams, i -> i div 64 = w), 0L, "
+                f"(acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))"
+            ),
+        )
+
+    # prefix length p = sz − ceil(t·sz) + 1 (both-sides prefix is exact:
+    # J ≥ t ⇒ overlap ≥ ⌈t/(1+t)·(sa+sb)⌉ ≥ ⌈t·sa⌉, pigeonhole)
+    prefix = docs.select(
+        "id",
+        "sz",
+        F.explode(
+            F.slice(
+                "grams",
+                1,
+                F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
+            )
+        ).alias("sid"),
+    )
+    a = prefix.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "sid")
+    b = prefix.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "sid")
+    # size complementarity: J ≥ t ⇒ t·a_sz ≤ b_sz ≤ a_sz/t — prunes in
+    # the join itself, before the distinct
+    cands = (
+        a.join(
+            b,
+            (a.sid == b.sid)
+            & (a.a_id < b.b_id)
+            & (b.b_sz >= F.ceil(F.lit(threshold) * a.a_sz))
+            & (b.b_sz * F.lit(threshold) <= a.a_sz),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # exact verification over the full shingle sets
+    payload = ["mask"] if use_bitmask else ["grams"]
+    da = docs.select(
+        F.col("id").alias("a_id"),
+        F.col("sz").alias("a_sz"),
+        *[F.col(c).alias(f"a_{c}") for c in payload],
+    )
+    db = docs.select(
+        F.col("id").alias("b_id"),
+        F.col("sz").alias("b_sz"),
+        *[F.col(c).alias(f"b_{c}") for c in payload],
+    )
+    verified = cands.join(da, "a_id").join(db, "b_id")
+    if use_bitmask:
+        shared = F.aggregate(
+            F.zip_with("a_mask", "b_mask", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c,
+        )
+    else:
+        shared = F.size(F.array_intersect("a_grams", "b_grams")).cast("long")
     return (
-        shared.join(sa, "a_id")
-        .join(sb, "b_id")
+        verified.withColumn("shared", shared)
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
             / (F.col("a_sz") + F.col("b_sz") - F.col("shared")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "shared", "a_sz", "b_sz", "jaccard")
+        .select(
+            "a_id",
+            "b_id",
+            "shared",
+            F.col("a_sz").cast("long").alias("a_sz"),
+            F.col("b_sz").cast("long").alias("b_sz"),
+            "jaccard",
+        )
     )
 
 
