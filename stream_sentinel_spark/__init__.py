@@ -25,6 +25,8 @@ from stream_sentinel_spark.config import EngineConfig
 from stream_sentinel_spark.rules import DetectionRule, RulesConfig
 from stream_sentinel_spark.loader import load_rules, loads_rules
 from stream_sentinel_spark.plans.pipeline import compile_rule, compile_rules
+from stream_sentinel_spark.health import HealthServer
+from stream_sentinel_spark.metrics import SentinelMetricsListener
 
 __version__ = "0.1.0"
 
@@ -32,6 +34,8 @@ __all__ = [
     "EngineConfig",
     "DetectionRule",
     "RulesConfig",
+    "HealthServer",
+    "SentinelMetricsListener",
     "load_rules",
     "loads_rules",
     "compile_rule",

@@ -1,0 +1,133 @@
+"""Engine metrics — SentinelMetrics parity on Spark primitives.
+
+Reference surface (flink-job/.../SentinelMetrics.java:25-51):
+``events_processed_total`` / ``anomalies_detected_total`` counters and a
+``processing_latency_ms`` histogram over a 350-sample sliding reservoir
+with p50/p95/p99 (DescriptiveStatisticsHistogram(350), :35-38).
+
+Spark mapping (SURVEY §2.4 W4/W5):
+- batch: ``df.observe(...)`` — counters ride the job itself, computed
+  executor-side during the action, no second pass;
+- streaming: a ``StreamingQueryListener`` harvesting per-micro-batch
+  progress (row counts + durations) plus the same observed metrics;
+  the latency reservoir holds the last 350 micro-batch
+  ``triggerExecution`` durations (the per-event histogram has no
+  per-record analogue in a vectorized engine — documented delta).
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+#: SentinelMetrics.java:35 — reservoir size.
+RESERVOIR_SIZE = 350
+
+EVENTS_PROCESSED = "events_processed_total"
+ANOMALIES_DETECTED = "anomalies_detected_total"
+
+
+def observe_events(df: DataFrame, name: str = "sentinel_events"):
+    """Attach an events-processed counter to a frame (W5). Returns
+    ``(df, observation)``; read ``observation.get`` after an action."""
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias(EVENTS_PROCESSED)), obs
+
+
+def observe_alerts(alerts: DataFrame, name: str = "sentinel_alerts"):
+    """Attach an anomalies-detected counter to the alert frame (W5)."""
+    obs = Observation(name)
+    return (
+        alerts.observe(obs, F.count(F.lit(1)).alias(ANOMALIES_DETECTED)),
+        obs,
+    )
+
+
+def latency_percentiles(df: DataFrame, ms_col: str) -> DataFrame:
+    """W4 batch twin: p50/p95/p99 of a latency column via
+    ``percentile_approx`` (single-pass, mergeable sketch — scales)."""
+    return df.agg(
+        *[
+            F.percentile_approx(ms_col, p).alias(f"p{int(p * 100)}")
+            for p in (0.50, 0.95, 0.99)
+        ]
+    )
+
+
+class SentinelMetricsListener(StreamingQueryListener):
+    """Streaming metrics harvester.
+
+    Accumulates counters from each micro-batch's progress and keeps the
+    last ``RESERVOIR_SIZE`` trigger latencies, exposing p50/p95/p99 like
+    the reference histogram (SentinelMetrics.java:49-51).
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.events_processed = 0
+        self.anomalies_detected = 0
+        self.last_observed: dict = {}
+        self._latencies: deque[float] = deque(maxlen=RESERVOIR_SIZE)
+
+    # -- StreamingQueryListener hooks ------------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        with self._lock:
+            # events in = sum of source input rows; anomalies out = sink
+            # output rows (the alert stream's sink), exactly the two
+            # counters the reference increments per element
+            # (AnomalyProcessFunction.java:128,140)
+            self.events_processed += sum(s.numInputRows for s in p.sources)
+            if p.sink and p.sink.numOutputRows and p.sink.numOutputRows > 0:
+                self.anomalies_detected += p.sink.numOutputRows
+            duration = (p.durationMs or {}).get("triggerExecution")
+            if duration is not None:
+                self._latencies.append(float(duration))
+            self.last_observed = {
+                name: row.asDict() for name, row in (p.observedMetrics or {}).items()
+            }
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- histogram surface (SentinelMetrics.java:49-51) ------------------
+    def _percentile(self, q: float) -> float:
+        with self._lock:
+            data = sorted(self._latencies)
+        if not data:
+            return 0.0
+        idx = max(0, min(len(data) - 1, round(q * (len(data) - 1))))
+        return data[idx]
+
+    @property
+    def p50(self) -> float:
+        return self._percentile(0.50)
+
+    @property
+    def p95(self) -> float:
+        return self._percentile(0.95)
+
+    @property
+    def p99(self) -> float:
+        return self._percentile(0.99)
+
+    def snapshot(self) -> dict:
+        return {
+            EVENTS_PROCESSED: self.events_processed,
+            ANOMALIES_DETECTED: self.anomalies_detected,
+            "processing_latency_ms": {
+                "p50": self.p50,
+                "p95": self.p95,
+                "p99": self.p99,
+            },
+        }
