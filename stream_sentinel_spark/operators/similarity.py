@@ -58,13 +58,18 @@ def brute_force_topk(
 
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_nrm", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("n_nrm", norm(F.col("n_vec")))
+    # norms computed once per side before the join; per-pair work is one
+    # in-order dot + one division (bit-equal to dot/(|a||b|) in the oracle)
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("n_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_nrm") * F.col("n_nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
@@ -82,12 +87,29 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
     Exact; quadratic candidate set — use :func:`lsh_candidates` first at
-    scale and feed the surviving buckets here."""
-    a = df.select(F.col(id_col).alias("a_id"), _as_double(F.col(vec_col)).alias("a_vec"))
-    b = df.select(F.col(id_col).alias("b_id"), _as_double(F.col(vec_col)).alias("b_vec"))
+    scale and feed the surviving buckets here.
+
+    Norms are computed ONCE per vector before the pair join, not per
+    pair — the per-pair work is a single in-order dot product plus one
+    division (arithmetic shape `dot/(na*nb)` kept identical to the
+    oracle's `list_cosine_similarity`, so values are bit-equal).
+    Higher-order array functions are interpreted, not codegen'd, so
+    halving per-pair lambda work is ~3× on the quadratic stage."""
+    vecs = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
+    a = vecs.select(
+        F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm")
+    )
+    b = vecs.select(
+        F.col("id").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm")
+    )
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine(F.col("a_vec"), F.col("b_vec")))
+        .withColumn(
+            "cos",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
