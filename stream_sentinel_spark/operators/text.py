@@ -98,6 +98,52 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out
 
 
+#: BPE-ish pre-tokenizer regex — a lookahead-free simplification of the
+#: GPT-2 pattern (contractions | space+letters | space+digits |
+#: space+punct-run | whitespace-run), RE2-compatible so the DuckDB
+#: oracle can run the identical pattern.
+BPE_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+#: Rabin-Karp rolling-hash parameters (public textbook construction):
+#: polynomial base 31 mod the Mersenne prime 2^31−1 — products stay
+#: < 2^36, exact in 64-bit integer arithmetic on any engine.
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts two ways: whitespace tokens and BPE-ish subword
+    pre-tokens (the standard first pass of a GPT-style tokenizer). Pure
+    regexp column expressions — one scan, codegen'd, no UDF."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(c).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(c), F.lit(BPE_PATTERN), F.lit(0))
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def rolling_hash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rabin-Karp polynomial fingerprint of the printable-ASCII
+    projection of the text: h = Σ code·31^i mod (2^31−1), folded
+    left-to-right with ``aggregate`` over the char array (codegen'd
+    integer arithmetic, deterministic on every engine — the oracle runs
+    the same fold via list_reduce)."""
+    ascii_only = F.regexp_replace(F.col(text_col), r"[^\x20-\x7e]", "")
+    h = F.aggregate(
+        F.split(ascii_only, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLL_BASE + F.ascii(ch)) % ROLL_MOD,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(ascii_only) > 0, h).otherwise(F.lit(0)).alias("roll_hash"),
+        F.length(ascii_only).alias("ascii_len"),
+    )
+
+
 def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalization fingerprint: md5 of the lower-cased text with all
     non-alphanumerics stripped — catches whitespace/punctuation-only

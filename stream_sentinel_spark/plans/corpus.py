@@ -848,6 +848,141 @@ def x07(spark, sf):
     )
 
 
+@query(
+    "x11_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+           len(regexp_extract_all(lower(text),
+               '''(?:s|d|m|t|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def x11(spark, sf):
+    return text.token_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x12_rolling_hash",
+    r"""
+    WITH a AS (
+      SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN length(t) > 0 THEN
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            [CAST(unicode(c) AS BIGINT) FOR c IN string_split(t, '')]),
+               (acc, c) -> (acc * 31 + c) % 2147483647)
+           ELSE 0 END AS roll_hash,
+           length(t) AS ascii_len
+    FROM a
+    """,
+)
+def x12(spark, sf):
+    return text.rolling_hash(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x13_asof_join_orders",
+    """
+    SELECT e.event_id, e.user_id,
+           r.r_price AS r_o_totalprice,
+           epoch_ms(r.__t) AS r_orderdate_ms
+    FROM events e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate AS __t, MAX(o_totalprice) AS r_price
+      FROM orders GROUP BY o_custkey, o_orderdate) r
+    ON e.user_id = r.o_custkey AND r.__t <= e.ts
+    """,
+)
+def x13(spark, sf):
+    # right side pre-aggregated to one row per (key, ts) so the as-of
+    # match is deterministic in both engines
+    from stream_sentinel_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=("o_totalprice", "o_orderdate"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("r_o_totalprice"),
+        F.unix_millis("r_o_orderdate").alias("r_orderdate_ms"),
+    )
+
+
+@query(
+    "q22_tumbling_windows",
+    """
+    SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+           (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+           (epoch_ms(ts) // 21600000) * 21600000 + 21600000 AS window_end_ms,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q22(spark, sf):
+    # T5 extension: per-key tumbling 6h windows — window() is epoch-
+    # aligned, so starts equal the oracle's integer bucket arithmetic
+    from stream_sentinel_spark.operators.windows import tumbling_counts
+
+    ev = _t(spark, sf, "events")
+    return tumbling_counts(
+        ev, key_column(ev, "user_id"), "ts", "6 hours", value_col="value"
+    )
+
+
+@query(
+    "q23_session_windows",
+    """
+    WITH flagged AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+             epoch_ms(ts) AS t,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= 3600000
+                  OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY COALESCE(CAST(user_id AS VARCHAR), '__unknown__')
+                   ORDER BY epoch_ms(ts))),
+    numbered AS (
+      SELECT k, t, SUM(new_s) OVER (PARTITION BY k ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT k, MIN(t) AS session_start_ms, MAX(t) + 3600000 AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY k, sid
+    """,
+)
+def q23(spark, sf):
+    # T5 extension: session windows, 1h gap. session_window merges
+    # inside one aggregation — no gaps-and-islands self-pass like the
+    # oracle needs. The time axis is truncated to epoch ms on BOTH sides
+    # so the merge decision (sessions merge iff gap-to-previous is
+    # STRICTLY under 1h — intervals [t, t+gap) overlap) is bit-identical
+    # to the oracle's `>= 3600000 → new session` flag.
+    from stream_sentinel_spark.operators.windows import session_windows
+
+    ev = _t(spark, sf, "events").withColumn(
+        "ts_ms", F.timestamp_millis(F.unix_millis("ts"))
+    )
+    return session_windows(ev, key_column(ev, "user_id"), "ts_ms", "1 hour")
+
+
 @query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
 def x08(spark, sf):
     return dedup.minhash_lsh_candidates(

@@ -76,9 +76,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # integer `div`, NOT `/`: epoch nanos ≈ 1.7e18 exceeds double's
+        # 53-bit mantissa, so float division shifts timestamps by
+        # hundreds of microseconds before the floor
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
