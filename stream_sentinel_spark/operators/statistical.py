@@ -65,13 +65,19 @@ def compile_statistical(
         .rowsBetween(-window_size, -1)
     )
 
+    # ALL frame aggregates go in ONE select: each chained withColumn
+    # makes its own projection layer, and ExtractWindowExpressions then
+    # plans one Window node (with its own Exchange) per layer — measured
+    # as 5 back-to-back shuffles for this operator before the rewrite.
+    # A single projection → a single Window node → a single shuffle.
     if rule.decimal_scale is None:
         # Native float path: Welford-style built-ins, fastest, semantics
         # match the reference's double arithmetic to float precision.
-        stats = (
-            valid.withColumn(_MEAN, F.avg(_VAL).over(frame))
-            .withColumn(_SD, F.stddev_pop(_VAL).over(frame))
-            .withColumn(_CNT, F.count(_VAL).over(frame))
+        stats = valid.select(
+            "*",
+            F.avg(_VAL).over(frame).alias(_MEAN),
+            F.stddev_pop(_VAL).over(frame).alias(_SD),
+            F.count(_VAL).over(frame).alias(_CNT),
         )
         mean_fmt = F.col(_MEAN)
     else:
@@ -84,9 +90,13 @@ def compile_statistical(
             (F.col(_VAL).cast(f"decimal(18,{rule.decimal_scale})") * p)
             .cast("long")
         )
-        s_cents = F.sum(cents).over(frame)
-        sumsq_cents = F.sum(cents * cents).over(frame)
-        cnt = F.count(cents).over(frame)
+        raw = valid.select(
+            "*",
+            F.sum(cents).over(frame).alias("__ss_s"),
+            F.sum(cents * cents).over(frame).alias("__ss_ssq"),
+            F.count(cents).over(frame).alias(_CNT),
+        )
+        s_cents, sumsq_cents, cnt = F.col("__ss_s"), F.col("__ss_ssq"), F.col(_CNT)
         mean_true = (s_cents.cast("double") / float(p)) / cnt
         # round-half-up of (s_cents / cnt) via integer-exact floor;
         # denominators ≤ 2·windowSize keep the double division exact
@@ -96,16 +106,16 @@ def compile_statistical(
             mean_true * mean_true
         )
         sd = F.sqrt(F.greatest(variance, F.lit(0.0)))
-        stats = (
-            valid.withColumn(_MEAN, mean_true)
-            .withColumn(_SD, sd)
-            .withColumn(_CNT, cnt)
-            .withColumn("__ss_mean_fmt", mean_r.cast("double") / float(p))
+        stats = raw.select(
+            "*",
+            mean_true.alias(_MEAN),
+            sd.alias(_SD),
+            (mean_r.cast("double") / float(p)).alias("__ss_mean_fmt"),
             # pre-round σ for rendering: with 2-row windows σ is often an
             # exact half-cent (|a−b|/2), where Java's %.2f (shortest-repr
             # HALF_UP) and C's printf (exact-expansion half-even) disagree;
             # explicit floor(σ·p + 0.5) is engine-independent
-            .withColumn("__ss_sd_fmt", F.floor(sd * p + F.lit(0.5)).cast("double") / float(p))
+            (F.floor(sd * p + F.lit(0.5)).cast("double") / float(p)).alias("__ss_sd_fmt"),
         )
         mean_fmt = F.col("__ss_mean_fmt")
 

@@ -1,0 +1,101 @@
+"""Physical-plan shape assertions — the 100 TB guarantees.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 1000-executor scale-up: filters reach the
+parquet scan, projections prune the read schema, small dimensions
+broadcast instead of shuffling the fact table, top-k never global-sorts,
+and the detection pipeline keeps exactly one shuffle per stateful rule
+branch with no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stream_sentinel_spark.plans import corpus
+from stream_sentinel_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_scan(spark):
+    """q03 threshold predicate must reach the parquet reader."""
+    df = corpus.queries()["q03_threshold_rule"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,250.0)]" in plan, plan
+
+
+def test_column_pruning(spark):
+    """q01 projects 3 of 6 event columns; ReadSchema must not include
+    the others (props is the big one)."""
+    df = corpus.queries()["q01_scan_projection"](spark, SF_DIR)
+    plan = plan_of(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "event_type" not in read_schema, read_schema
+
+
+def test_broadcast_join_for_small_dim(spark):
+    """q11/q12: dimension tables broadcast — the fact table must never
+    shuffle for the join itself."""
+    for name in ("q11_join_orders_customer", "q12_tpch_q3_topk"):
+        plan = plan_of(corpus.queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected SMJ\n{plan}"
+
+
+def test_topk_avoids_global_sort(spark):
+    """q17 LIMIT+ORDER BY must plan as TakeOrderedAndProject (per-
+    partition top-k + merge), not a global Sort+Exchange."""
+    plan = plan_of(corpus.queries()["q17_topk_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_detection_pipeline_no_python(spark):
+    """The whole 3-rule batch pipeline stays JVM-side: no Python eval
+    nodes (UDFs) anywhere in the physical plan."""
+    plan = plan_of(corpus.queries()["detect_pipeline"](spark, SF_DIR))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, f"Python in hot path: {marker}\n{plan}"
+
+
+def test_detection_pipeline_shuffle_count(spark):
+    """Each stateful rule branch shuffles once on the key; the threshold
+    branch shuffles zero times. 3 rules (rate, threshold, statistical)
+    → exactly 2 key exchanges in the whole union plan."""
+    plan = plan_of(corpus.queries()["detect_pipeline"](spark, SF_DIR))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, f"expected 2 key shuffles, got {n_exchanges}\n{plan}"
+
+
+def test_whole_stage_codegen_on_detector_branches(spark):
+    """Detector filters/projections live inside WholeStageCodegen spans."""
+    plan = plan_of(corpus.queries()["q04_threshold_alert_details"](spark, SF_DIR))
+    # formatted mode marks codegen'd operators with [codegen id : N]
+    assert "[codegen id :" in plan, plan
+
+
+def test_statistical_uses_single_window_pass(spark):
+    """q08: one Window node computing all three frame aggregates — not
+    one shuffle per aggregate."""
+    df = corpus.queries()["q08_statistical_rule"](spark, SF_DIR)
+    plan = plan_of(df)
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_windows == 1, f"expected 1 Window node, got {n_windows}\n{plan}"
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan}"
+
+
+def test_partition_pruning_friendly_scan(spark):
+    """Scans carry no unexpected extra exchange: a plain projection is
+    scan → project with zero shuffles."""
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
