@@ -39,6 +39,7 @@ def compile_rules_streaming(
     key_field: str,
     time_col: str = "ts",
     order_cols: Sequence[str] = (),
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Compile a rule set against a STREAMING events frame.
 
@@ -77,6 +78,7 @@ def compile_rules_streaming(
                 time_col=time_col,
                 order_cols=order_cols,
                 rule_indexes=[i for i, _ in stateful],
+                state_ttl_ms=state_ttl_ms,
             )
         )
     return reduce(lambda a, b: a.unionByName(b), branches)

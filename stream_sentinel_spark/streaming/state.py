@@ -146,12 +146,20 @@ def _eval_statistical(rule_spec: dict, hist: list, v: float) -> str | None:
 
 
 def _make_processor(
-    rule_specs: list[dict], value_cols: dict[int, str], order_cols: tuple[str, ...]
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+    ttl_ms: int | None = None,
 ):
     """Build the per-key processor closure (pickled to executors)."""
     import pandas as pd
 
     def process(key, pdfs: Iterator, state) -> Iterator:
+        if state.hasTimedOut:
+            # idle-key eviction: the key saw no events for ttl_ms — drop
+            # its state entirely (unbounded key spaces stay bounded)
+            state.remove()
+            return
         blob = state.get[0] if state.exists else None
         st: dict = json.loads(blob) if blob else {}
         chunks = list(pdfs)
@@ -187,6 +195,8 @@ def _make_processor(
                     out["original_event"].append(ev_arr[i])
                     out["rule_index"].append(idx)
         state.update((json.dumps(st),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out["rule_name"]:
             yield pd.DataFrame(out)
 
@@ -202,13 +212,22 @@ def stateful_alerts(
     order_cols: Sequence[str] = (),
     rule_indexes: Sequence[int] | None = None,
     event_columns: Sequence[str] | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Compile the stateful rules (rate/statistical) of a rule set into
     ONE keyed stateful branch over a streaming DataFrame.
 
     ``rule_indexes`` preserves each rule's position in the full YAML list
     so the union with stateless branches keeps reference emission order
-    (SURVEY §3.2)."""
+    (SURVEY §3.2).
+
+    ``state_ttl_ms`` enables idle-key state eviction via processing-time
+    timeout: a key with no events for the TTL has its detector state
+    dropped (re-created fresh on its next event, exactly like a brand-new
+    key). The reference keeps per-key state forever
+    (AnomalyProcessFunction.java:86-90) — unbounded key cardinality at
+    100 TB needs the bound; pick TTL ≫ the largest rule window so
+    eviction never changes live-detection results."""
     idxs = list(rule_indexes) if rule_indexes is not None else list(range(len(rules)))
     specs: list[dict] = []
     value_cols: dict[int, str] = {}
@@ -243,11 +262,15 @@ def stateful_alerts(
 
     keyed = events.select(*cols)
     alerts = keyed.groupBy(_KEY).applyInPandasWithState(
-        _make_processor(specs, value_cols, tuple(order_cols)),
+        _make_processor(specs, value_cols, tuple(order_cols), state_ttl_ms),
         outputStructType=ALERT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     return alerts.select(
         "rule_name",

@@ -80,6 +80,41 @@ def test_original_event_round_trip(spark, events_src):
     assert b[k] == s[k]
 
 
+def test_state_ttl_mode_same_results(spark, events_src):
+    """Idle-key TTL eviction must not change any alert. A query with
+    ProcessingTimeTimeout never self-terminates under availableNow (the
+    registered timeouts keep it alive), so this polls the memory sink
+    for the full alert count and stops the query explicitly."""
+    import time
+
+    path, ev = events_src
+    batch = compile_rules(
+        ev, DEFAULT_RULES, key_field="user_id", time_col="ts", order_cols=("event_id",)
+    ).collect()
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    alerts = compile_rules_streaming(
+        stream, DEFAULT_RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",), state_ttl_ms=3_600_000,
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("parity_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("parity_ttl").count() >= len(batch):
+                break
+            time.sleep(0.5)
+        with_ttl = spark.table("parity_ttl").collect()
+    finally:
+        q.stop()
+    assert sorted(map(_alert_key, with_ttl)) == sorted(map(_alert_key, batch))
+
+
 def test_stateless_branch_stays_native(spark, events_src):
     """A threshold-only rule set must not contain a state operator in the
     streaming plan (it compiles to a pure filter — the slow path is
