@@ -29,15 +29,28 @@ INGEST_COL = "ingest_ts"
 
 def read_kafka_stream(spark: SparkSession, config: EngineConfig) -> DataFrame:
     """S1 — raw Kafka stream: value bytes from the input topic, earliest
-    offsets (StreamSentinelJob.java:108-113)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", config.kafka_bootstrap_servers)
-        .option("subscribe", config.kafka_input_topic)
-        .option("startingOffsets", "earliest")
-        .option("kafka.group.id", config.kafka_group_id)
-        .load()
-    )
+    offsets (StreamSentinelJob.java:108-113).
+
+    Requires the ``spark-sql-kafka-0-10`` connector on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>`` at
+    deploy time); raises a clear error when it is absent."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", config.kafka_bootstrap_servers)
+            .option("subscribe", config.kafka_input_topic)
+            .option("startingOffsets", "earliest")
+            .option("kafka.group.id", config.kafka_group_id)
+            .load()
+        )
+    except Exception as exc:  # AnalysisException: data source not found
+        if "kafka" in str(exc).lower():
+            raise RuntimeError(
+                "Kafka connector not on the classpath — submit with "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                f"{spark.version}"
+            ) from exc
+        raise
 
 
 def parse_events(
