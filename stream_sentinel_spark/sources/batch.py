@@ -87,6 +87,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Expose all driver tables as temp views so the engine's SQL surface
+    (`spark.sql`) works directly over the corpus — mirrors how the DuckDB
+    oracle pre-registers them."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
 def events_from_json(
     spark: SparkSession, path: str, schema: T.StructType = SAMPLE_EVENT_SCHEMA
 ) -> DataFrame:
