@@ -48,6 +48,62 @@ def materialize(df) -> int:
     return 0
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming leg of the BASELINE.md protocol: the 3-rule pipeline
+    over a file stream of the events table, split into multiple files so
+    several micro-batches execute; reports throughput + micro-batch
+    latency percentiles from the metrics listener."""
+    import glob
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.metrics import SentinelMetricsListener
+    from stream_sentinel_spark.plans.corpus import DEFAULT_RULES
+    from stream_sentinel_spark.sources.batch import load_table
+    from stream_sentinel_spark.streaming import compile_rules_streaming, read_file_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    tmp = tempfile.mkdtemp(prefix="ss_bench_stream_")
+    try:
+        src = f"{tmp}/ev"
+        ev.repartition(8).write.parquet(src)  # 8 files → 8 micro-batches
+        listener = SentinelMetricsListener()
+        spark.streams.addListener(listener)
+        stream = read_file_stream(
+            spark, src, ev.schema, time_col="ts", watermark=None,
+            max_files_per_trigger=1,
+        )
+        alerts = compile_rules_streaming(
+            stream, DEFAULT_RULES, key_field="user_id", time_col="ts",
+            order_cols=("event_id",),
+        )
+        t0 = time.perf_counter()
+        q = (
+            alerts.writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        # listener delivery is async
+        deadline = time.time() + 20
+        while time.time() < deadline and listener.events_processed < n_events:
+            time.sleep(0.25)
+        spark.streams.removeListener(listener)
+        snap = listener.snapshot()
+        return {
+            "wall_sec": round(wall, 3),
+            "events": n_events,
+            "events_per_sec": round(n_events / wall, 1),
+            "alerts": snap["anomalies_detected_total"],
+            "microbatch_ms": snap["processing_latency_ms"],
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -81,6 +137,12 @@ def main() -> None:
             total += best
         log(f"{name}: {timings[name]}s")
 
+    try:
+        streaming = bench_streaming(spark, sf_dir)
+    except Exception as exc:
+        log(f"STREAMING BENCH FAIL: {exc}")
+        streaming = {"error": str(exc)[:200]}
+
     print(
         json.dumps(
             {
@@ -92,6 +154,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "cpus": cpus,
                 "spark": spark.version,
+                "streaming": streaming,
             }
         ),
         flush=True,
