@@ -119,66 +119,94 @@ def ngram_jaccard_pairs(
 
     use_bitmask = n_vocab <= 4096  # ≤ 64 longs per doc
     if use_bitmask:
+        # DEGENERATE-VOCAB REGIME (repetitive corpora): every shingle is
+        # frequent, so prefix filtering prunes almost nothing and the
+        # prefix join + distinct just burns a shuffle producing a
+        # near-all-pairs candidate set anyway. Cheaper to go straight to
+        # all pairs under the size-complementarity bound with fixed-width
+        # bitmask verification: popcount-of-AND over a few longs per
+        # pair, one broadcast nested-loop join, no shuffle, no distinct.
         nwords = (n_vocab + 63) // 64
-        # SQL expr: shiftleft by a column is SQL-only (the DSL wrapper
-        # takes a literal bit count)
         docs = docs.withColumn(
             "mask",
+            # SQL expr: shiftleft by a column is SQL-only (the DSL
+            # wrapper takes a literal bit count)
             F.expr(
                 f"transform(sequence(0, {nwords - 1}), w -> "
                 f"aggregate(filter(grams, i -> i div 64 = w), 0L, "
                 f"(acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))"
             ),
         )
-
-    # prefix length p = sz − ceil(t·sz) + 1 (both-sides prefix is exact:
-    # J ≥ t ⇒ overlap ≥ ⌈t/(1+t)·(sa+sb)⌉ ≥ ⌈t·sa⌉, pigeonhole)
-    prefix = docs.select(
-        "id",
-        "sz",
-        F.explode(
-            F.slice(
-                "grams",
-                1,
-                F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
-            )
-        ).alias("sid"),
-    )
-    a = prefix.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "sid")
-    b = prefix.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "sid")
-    # size complementarity: J ≥ t ⇒ t·a_sz ≤ b_sz ≤ a_sz/t — prunes in
-    # the join itself, before the distinct
-    cands = (
-        a.join(
-            b,
-            (a.sid == b.sid)
-            & (a.a_id < b.b_id)
-            & (b.b_sz >= F.ceil(F.lit(threshold) * a.a_sz))
-            & (b.b_sz * F.lit(threshold) <= a.a_sz),
+        da = docs.select(
+            F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+            F.col("mask").alias("a_mask"),
         )
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    # exact verification over the full shingle sets
-    payload = ["mask"] if use_bitmask else ["grams"]
-    da = docs.select(
-        F.col("id").alias("a_id"),
-        F.col("sz").alias("a_sz"),
-        *[F.col(c).alias(f"a_{c}") for c in payload],
-    )
-    db = docs.select(
-        F.col("id").alias("b_id"),
-        F.col("sz").alias("b_sz"),
-        *[F.col(c).alias(f"b_{c}") for c in payload],
-    )
-    verified = cands.join(da, "a_id").join(db, "b_id")
-    if use_bitmask:
-        shared = F.aggregate(
-            F.zip_with("a_mask", "b_mask", lambda x, y: F.bit_count(x.bitwiseAND(y))),
-            F.lit(0).cast("long"),
-            lambda acc, c: acc + c,
+        db = docs.select(
+            F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
+            F.col("mask").alias("b_mask"),
+        )
+        verified = da.join(
+            db,
+            (da.a_id < db.b_id)
+            & (db.b_sz >= F.ceil(F.lit(threshold) * da.a_sz))
+            & (db.b_sz * F.lit(threshold) <= da.a_sz),
+        )
+        # unrolled popcount sum: nwords is small and statically known, so
+        # a flat expression stays in codegen (higher-order functions are
+        # interpreted per pair — measured 12% slower on 12.5M pairs)
+        shared = sum(
+            (
+                F.bit_count(
+                    F.element_at("a_mask", w + 1).bitwiseAND(
+                        F.element_at("b_mask", w + 1)
+                    )
+                ).cast("long")
+                for w in range(nwords)
+            ),
+            start=F.lit(0).cast("long"),
         )
     else:
+        # DIVERSE-VOCAB REGIME (real text): AllPairs prefix filtering.
+        # prefix length p = sz − ceil(t·sz) + 1 (both-sides prefix is
+        # exact: J ≥ t ⇒ overlap ≥ ⌈t/(1+t)·(sa+sb)⌉ ≥ ⌈t·sa⌉, pigeonhole)
+        prefix = docs.select(
+            "id",
+            "sz",
+            F.explode(
+                F.slice(
+                    "grams",
+                    1,
+                    F.col("sz")
+                    - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+                    + 1,
+                )
+            ).alias("sid"),
+        )
+        a = prefix.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz"), "sid")
+        b = prefix.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz"), "sid")
+        # size complementarity: J ≥ t ⇒ t·a_sz ≤ b_sz ≤ a_sz/t — prunes
+        # in the join itself, before the distinct
+        cands = (
+            a.join(
+                b,
+                (a.sid == b.sid)
+                & (a.a_id < b.b_id)
+                & (b.b_sz >= F.ceil(F.lit(threshold) * a.a_sz))
+                & (b.b_sz * F.lit(threshold) <= a.a_sz),
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        # exact verification over the full shingle sets
+        da = docs.select(
+            F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+            F.col("grams").alias("a_grams"),
+        )
+        db = docs.select(
+            F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
+            F.col("grams").alias("b_grams"),
+        )
+        verified = cands.join(da, "a_id").join(db, "b_id")
         shared = F.size(F.array_intersect("a_grams", "b_grams")).cast("long")
     return (
         verified.withColumn("shared", shared)
