@@ -48,6 +48,33 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    df: DataFrame,
+    key: Column,
+    time_col: str,
+    duration: str,
+    slide: str,
+) -> DataFrame:
+    """Per-key sliding-window count: each event lands in
+    ``duration/slide`` overlapping windows. Spark's ``window(d, s)``
+    assigns rows to every overlapping window inside one aggregation —
+    the explode is implicit and the plan is still a single hash
+    aggregation keyed by (key, window).
+
+    Output: key, window_start_ms, window_end_ms, n.
+    """
+    return (
+        df.groupBy(key.alias("k"), F.window(time_col, duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "k",
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("window_end_ms"),
+            "n",
+        )
+    )
+
+
 def session_windows(
     df: DataFrame,
     key: Column,

@@ -949,6 +949,32 @@ def q22(spark, sf):
 
 
 @query(
+    "q24_sliding_windows",
+    """
+    WITH offsets AS (SELECT unnest([0, 1]) AS off),
+    assigned AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+             ((epoch_ms(ts) - off * 10800000) // 21600000) * 21600000
+               + off * 10800000 AS window_start_ms
+      FROM events, offsets
+      WHERE (epoch_ms(ts) - off * 10800000) >= 0)
+    SELECT k, window_start_ms, window_start_ms + 21600000 AS window_end_ms,
+           COUNT(*) AS n
+    FROM assigned GROUP BY k, window_start_ms
+    """,
+)
+def q24(spark, sf):
+    # T5: sliding 6h windows every 3h — each event is in exactly 2
+    # windows (duration/slide = 2); the oracle assigns via bucket
+    # arithmetic per phase offset. Spark aligns sliding windows to the
+    # epoch, same as the integer arithmetic.
+    from stream_sentinel_spark.operators.windows import sliding_counts
+
+    ev = _t(spark, sf, "events")
+    return sliding_counts(ev, key_column(ev, "user_id"), "ts", "6 hours", "3 hours")
+
+
+@query(
     "q23_session_windows",
     """
     WITH flagged AS (
