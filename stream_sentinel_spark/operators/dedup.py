@@ -238,6 +238,86 @@ def filter_frequent_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) — connected components of the similarity graph,
+    component = min reachable id. THE step that turns near-dup pairs
+    into dedup decisions (keep one doc per component).
+
+    Iterative min-label propagation (the standard large-graph
+    formulation, e.g. Kiveris et al. "Connected Components in MapReduce",
+    SoCC'14): each round every node adopts the minimum label in its
+    neighborhood; converges in O(diameter) rounds — near-dup clusters
+    are small and dense, so a handful of rounds suffices. Each round is
+    one groupBy over the (undirected) edge list — all shuffles keyed,
+    results checkpointed via localCheckpoint to keep lineage flat.
+    Convergence is detected with a count of changed labels (a driver
+    scalar per round, not a collect of data).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    # every node also neighbors itself, so isolated direction handling
+    # and label retention come free in one aggregation
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id"))
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(max_iterations):
+        # propagate: new label = min(own, min over neighbors' labels)
+        neighbor_labels = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "component")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """(id, component, keep) — every document with its near-dup cluster
+    and the survivor flag (minimum id per component survives; docs in no
+    pair survive trivially)."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -1009,6 +1009,48 @@ def q23(spark, sf):
     return session_windows(ev, key_column(ev, "user_id"), "ts_ms", "1 hour")
 
 
+@query(
+    "x14_dedup_clusters",
+    """
+    WITH pairs AS (
+      SELECT md5(a.text) AS fp, MIN(a.doc_id) OVER (PARTITION BY md5(a.text)) AS a_id,
+             a.doc_id AS b_id
+      FROM documents a),
+    edges AS (SELECT a_id, b_id FROM pairs WHERE a_id < b_id),
+    undirected AS (
+      SELECT a_id AS src, b_id AS dst FROM edges
+      UNION SELECT b_id, a_id FROM edges),
+    reach AS (
+      -- transitive closure via recursive CTE (clusters are tiny)
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM undirected
+        UNION
+        SELECT r.src, u.dst FROM r JOIN undirected u ON r.dst = u.src
+        WHERE r.src != u.dst)
+      SELECT * FROM r)
+    SELECT d.doc_id AS id,
+           LEAST(d.doc_id, COALESCE(MIN(reach.dst), d.doc_id)) AS component,
+           LEAST(d.doc_id, COALESCE(MIN(reach.dst), d.doc_id)) = d.doc_id AS keep
+    FROM documents d LEFT JOIN reach ON reach.src = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def x14(spark, sf):
+    # cluster exact-duplicate docs (md5 edges to the group minimum) and
+    # pick survivors via iterative connected components — the Spark side
+    # is the general label-propagation operator, the oracle closes the
+    # same graph with a recursive CTE
+    docs = _t(spark, sf, "documents")
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    edges = (
+        docs.select(F.md5("text").alias("fp"), F.col("doc_id").alias("b_id"))
+        .join(groups.select("fp", "keep_id"), "fp")
+        .filter(F.col("keep_id") < F.col("b_id"))
+        .select(F.col("keep_id").alias("a_id"), "b_id")
+    )
+    return dedup.dedup_clusters(docs, edges, "doc_id")
+
+
 @query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
 def x08(spark, sf):
     return dedup.minhash_lsh_candidates(

@@ -23,6 +23,18 @@ def docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_connected_components_multi_hop(spark):
+    """Chains require propagation over multiple rounds: 1-2-3-4-5 plus a
+    separate 10-11 component."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], ["a_id", "b_id"]
+    )
+    got = {
+        r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
 def test_exact_dedup(spark, docs):
     groups = dedup.exact_dedup_groups(docs, "doc_id", "text").collect()
     by_keep = {g.keep_id: g.copies for g in groups}
