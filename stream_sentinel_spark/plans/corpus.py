@@ -1051,6 +1051,41 @@ def x14(spark, sf):
     return dedup.dedup_clusters(docs, edges, "doc_id")
 
 
+@query(
+    "x15_curation_pipeline",
+    f"""
+    WITH quality AS ({_QUALITY_ORACLE}),
+    qualified AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN quality q ON q.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.66),
+    grouped AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      FROM qualified GROUP BY 1)
+    SELECT g.keep_id AS doc_id, g.copies,
+           length(q2.text) AS n_chars
+    FROM grouped g JOIN qualified q2 ON q2.doc_id = g.keep_id
+    """,
+)
+def x15(spark, sf):
+    """The training-data curation flow, composed from the engine's own
+    operators: quality gate → exact dedup → survivors with copy counts.
+    One scan feeds the quality features; the dedup groupBy is the only
+    extra shuffle."""
+    docs = _t(spark, sf, "documents")
+    quality = text.quality_features(docs, "doc_id", "text")
+    qualified = docs.join(
+        quality.filter(F.col("quality_score") >= 0.66).select("doc_id"),
+        "doc_id",
+    )
+    groups = dedup.exact_dedup_groups(qualified, "doc_id", "text")
+    return (
+        groups.select(F.col("keep_id").alias("doc_id"), "copies")
+        .join(qualified, "doc_id")
+        .select("doc_id", "copies", F.length("text").alias("n_chars"))
+    )
+
+
 @query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
 def x08(spark, sf):
     return dedup.minhash_lsh_candidates(

@@ -115,6 +115,36 @@ def test_state_ttl_mode_same_results(spark, events_src):
     assert sorted(map(_alert_key, with_ttl)) == sorted(map(_alert_key, batch))
 
 
+def test_streaming_tumbling_windows_match_batch(spark, events_src):
+    """Grouped time windows (T5) run on streams too: complete-mode
+    tumbling counts over a file stream equal the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.functions.coercion import key_column
+    from stream_sentinel_spark.operators.windows import tumbling_counts
+
+    path, ev = events_src
+    batch = {
+        (r["k"], r["window_start_ms"]): r["n"]
+        for r in tumbling_counts(ev, key_column(ev, "user_id"), "ts", "6 hours").collect()
+    }
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    agg = tumbling_counts(stream, key_column(stream, "user_id"), "ts", "6 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["k"], r["window_start_ms"]): r["n"]
+        for r in spark.table("tumbling_stream").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_stateless_branch_stays_native(spark, events_src):
     """A threshold-only rule set must not contain a state operator in the
     streaming plan (it compiles to a pure filter — the slow path is
