@@ -1,0 +1,56 @@
+"""Deterministic sampling operators for dataset curation/mixing.
+
+Training-data pipelines need samples that are REPRODUCIBLE across runs,
+engines, and partitionings — `rand()` is none of those. Both operators
+here derive the decision from the row's own identity:
+
+- hash sampling: keep a row iff a hash of its id lands under the rate
+  cutoff. md5-based so the DuckDB oracle computes the identical bits;
+  stable under repartitioning, resumable, and mergeable across
+  incremental runs (the sample of a union is the union of samples).
+- quota sampling: keep at most N rows per group under a deterministic
+  total order (e.g. newest-first) — ROW_NUMBER over the group, one
+  shuffle, the standard cap-per-domain curation step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep ≈ ``rate`` of rows, decided by md5(salt ‖ id) — deterministic
+    and engine-portable (the first 8 hex chars as an integer against the
+    scaled cutoff). Different salts give independent samples."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    cutoff = int(rate * (1 << 32))
+    return df.filter(bucket < F.lit(cutoff))
+
+
+def quota_per_key(
+    df: DataFrame,
+    key: Column,
+    order_by: list[Column],
+    n: int,
+) -> DataFrame:
+    """At most ``n`` rows per key under the given total order (caller
+    must make it total — include a unique id as the last order column so
+    the kept set is deterministic)."""
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= n)
+        .drop("__qr")
+    )

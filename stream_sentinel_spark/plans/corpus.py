@@ -1086,6 +1086,49 @@ def x15(spark, sf):
     )
 
 
+@query(
+    "x16_hash_sample",
+    """
+    SELECT doc_id, length(text) AS n_chars FROM documents
+    WHERE CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CAST(0.25 * 4294967296 AS BIGINT)
+    """,
+)
+def x16(spark, sf):
+    # deterministic 25% sample keyed on md5 — identical row set on any
+    # engine, any partitioning, any run
+    from stream_sentinel_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf, "documents")
+    return hash_sample(docs, "doc_id", 0.25, salt="s1").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+
+
+@query(
+    "x17_quota_per_user",
+    """
+    SELECT event_id, user_id FROM (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id) AS rn
+      FROM events)
+    WHERE rn <= 5
+    """,
+)
+def x17(spark, sf):
+    # newest-5-per-user cap — the per-domain quota step of corpus mixing
+    from stream_sentinel_spark.operators.sampling import quota_per_key
+
+    ev = _t(spark, sf, "events")
+    return quota_per_key(
+        ev,
+        F.col("user_id"),
+        [F.unix_millis("ts").desc(), F.col("event_id").asc()],
+        5,
+    ).select("event_id", "user_id")
+
+
 @query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
 def x08(spark, sf):
     return dedup.minhash_lsh_candidates(
