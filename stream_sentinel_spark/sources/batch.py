@@ -101,7 +101,11 @@ def events_from_json(
     """Read a reference-style JSON event corpus with S2/S3 semantics:
     permissive parse, corrupt records dropped, event `timestamp` parsed
     as the deterministic time axis into ``ts`` (SURVEY §7.4.3)."""
-    with_corrupt = schema.add("_corrupt_record", T.StringType())
+    # copy, don't .add(): StructType.add mutates the receiver in place,
+    # which would silently pollute the caller's schema object
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     df = spark.read.schema(with_corrupt).option("mode", "PERMISSIVE").option(
         "multiLine", "true"
     ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)

@@ -71,14 +71,27 @@ def parse_events(
     event-time column, the watermark rides on it (deterministic mode,
     SURVEY §7.4.3), else on ingestion time.
     """
+    # from_json in Spark 3+ yields a row-of-nulls (not a NULL struct) for
+    # malformed input, so the drop decision needs an explicit corrupt-
+    # record column: non-null there ⇔ the bytes did not parse. A parsed
+    # object with unknown/missing fields leaves it NULL
+    # (FAIL_ON_UNKNOWN_PROPERTIES=false parity).
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
     parsed = raw.select(
-        F.from_json(F.col(value_col).cast("string"), schema).alias("e"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("e"),
         F.current_timestamp().alias(INGEST_COL),
     )
-    # from_json yields NULL only when input is NULL/unparseable; a parsed
-    # object with unknown/missing fields still has a non-null struct
-    # (FAIL_ON_UNKNOWN_PROPERTIES=false parity).
-    events = parsed.filter(F.col("e").isNotNull()).select("e.*", INGEST_COL)
+    events = (
+        parsed.filter(F.col("e").isNotNull() & F.col("e._corrupt_record").isNull())
+        .select("e.*", INGEST_COL)
+        .drop("_corrupt_record")
+    )
     wm_col = time_col if time_col else INGEST_COL
     if watermark:
         events = events.withWatermark(wm_col, watermark)
