@@ -9,6 +9,8 @@ from pyspark.sql import SparkSession
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    import tempfile
+
     session = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("stream-sentinel-spark-tests")
@@ -16,6 +18,7 @@ def spark() -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="ss_wh_"))
         .getOrCreate()
     )
     yield session
