@@ -11,9 +11,16 @@ construction (the reference isolates a throwing detector per event,
 ``rule_index`` makes the per-event YAML-order emission reconstructible:
 sort by ``(key, alert_ts, rule_index)`` for golden comparison.
 
-Catalyst sees one scan feeding N branches; with parquet input the scan
-is shared via exchange/scan reuse, and each stateful branch shuffles on
-the SAME key column, so AQE can reuse the exchange across branches.
+Plan shape: each branch scans the source independently (Catalyst does
+not merge them — their filters/orderings differ, so neither scan nor
+exchange reuse applies), but every scan is column-pruned to the few
+columns its rule needs, and the stateless branches add no shuffle at
+all; the whole 3-rule plan carries exactly one key shuffle per stateful
+rule (asserted in tests/test_plan_shapes.py). At 100 TB the N pruned
+scans are the right trade against caching the source or forcing the
+branches through one shared shuffle they can't all use. In streaming
+(streaming/job.py) the stateful branches DO collapse into one keyed
+processor — a single shuffle and state store for all stateful rules.
 """
 
 from __future__ import annotations
