@@ -387,6 +387,60 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full scale-path near-dup operator: MinHash-LSH candidate
+    generation followed by EXACT n-gram Jaccard verification of only the
+    candidates. At 100 TB this is the shape that works: the quadratic
+    explosion is capped by the banded buckets, and the exact check runs
+    on the (tiny) candidate set with per-doc shingle arrays.
+
+    Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
+    a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
+    with 16 bands × 4 rows) instead of exhaustive certainty."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sets_ = (
+        shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("grams"))
+        .withColumn("sz", F.size("grams"))
+    )
+    da = sets_.select(
+        F.col("id").alias("a_id"), F.col("grams").alias("a_grams"),
+        F.col("sz").alias("a_sz"),
+    )
+    db = sets_.select(
+        F.col("id").alias("b_id"), F.col("grams").alias("b_grams"),
+        F.col("sz").alias("b_sz"),
+    )
+    return (
+        cands.join(da, "a_id")
+        .join(db, "b_id")
+        .withColumn(
+            "shared", F.size(F.array_intersect("a_grams", "b_grams")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("a_sz") + F.col("b_sz") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "a_id", "b_id", "shared",
+            F.col("a_sz").cast("long").alias("a_sz"),
+            F.col("b_sz").cast("long").alias("b_sz"),
+            "jaccard",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -144,6 +144,40 @@ def rolling_hash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: PII redaction patterns (lookahead-free, RE2-compatible so the DuckDB
+#: oracle can run the identical regexes). Order matters: emails before
+#: bare domains, long digit runs after phones.
+REDACTION_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{13,19}\b", "<CARD>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Replace common PII shapes (emails, phones, IPs, card-like digit
+    runs, SSNs) with typed placeholder tokens — chained regexp_replace,
+    one scan, codegen'd. The rule list is ordered and RE2-safe so any
+    engine reproduces it byte-for-byte."""
+    out = F.col(text_col)
+    for pattern, token in REDACTION_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    n_redacted = sum(
+        (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+            for p, _ in REDACTION_RULES
+        ),
+        start=F.lit(0),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("redacted_text"),
+        n_redacted.alias("n_redactions"),
+    )
+
+
 def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalization fingerprint: md5 of the lower-cased text with all
     non-alphanumerics stripped — catches whitespace/punctuation-only

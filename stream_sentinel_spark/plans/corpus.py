@@ -1129,6 +1129,40 @@ def x17(spark, sf):
     ).select("event_id", "user_id")
 
 
+_REDACT_ORACLE = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\b[0-9]{13,19}\b', '<CARD>', 'g'),
+         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted_text,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+       + len(regexp_extract_all(text, '\b(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b'))
+       + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+       + len(regexp_extract_all(text, '\b[0-9]{13,19}\b'))
+       + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
+         AS n_redactions
+FROM documents
+"""
+
+
+@query("x18_pii_redaction", _REDACT_ORACLE)
+def x18(spark, sf):
+    return text.redact_pii(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query("x19_minhash_verified_neardups")  # rows-only: xxhash64 has no DuckDB twin
+def x19(spark, sf):
+    return dedup.minhash_verified_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
 @query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
 def x08(spark, sf):
     return dedup.minhash_lsh_candidates(

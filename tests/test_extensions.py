@@ -23,6 +23,40 @@ def docs(spark):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+def test_pii_redaction_planted(spark):
+    rows = [
+        (0, "contact john.doe+x@example.co.uk or call 555-123-4567 now"),
+        (1, "server at 192.168.0.1 leaked card 4111111111111111 and ssn 123-45-6789"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.redact_pii(df, "doc_id", "text").collect()}
+    assert "<EMAIL>" in got[0]["redacted_text"]
+    assert "<PHONE>" in got[0]["redacted_text"]
+    assert "<IP>" in got[1]["redacted_text"]
+    assert "<CARD>" in got[1]["redacted_text"]
+    assert "<SSN>" in got[1]["redacted_text"]
+    assert got[2]["redacted_text"] == "nothing sensitive here"
+    assert got[0]["n_redactions"] == 2 and got[2]["n_redactions"] == 0
+    for r in got.values():
+        assert "@" not in r["redacted_text"]
+
+
+def test_minhash_verified_pairs_match_exhaustive(spark, docs):
+    """LSH + exact verify finds the same high-jaccard pairs as the
+    exhaustive operator on the fixture (recall check)."""
+    exhaustive = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    verified = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert verified <= exhaustive  # exact verify ⇒ no false positives
+    assert verified == exhaustive  # and full recall on the fixture
+
+
 def test_connected_components_multi_hop(spark):
     """Chains require propagation over multiple rounds: 1-2-3-4-5 plus a
     separate 10-11 component."""
