@@ -197,17 +197,9 @@ def ngram_jaccard_pairs(
             .select("a_id", "b_id")
             .distinct()
         )
-        # exact verification over the full shingle sets
-        da = docs.select(
-            F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
-            F.col("grams").alias("a_grams"),
-        )
-        db = docs.select(
-            F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
-            F.col("grams").alias("b_grams"),
-        )
-        verified = cands.join(da, "a_id").join(db, "b_id")
-        shared = F.size(F.array_intersect("a_grams", "b_grams")).cast("long")
+        # exact verification over the full shingle sets (shared helper —
+        # same code path as minhash_verified_pairs)
+        return _exact_verify(cands, docs.select("id", "grams", "sz"), threshold)
     return (
         verified.withColumn("shared", shared)
         .withColumn(
@@ -321,6 +313,15 @@ def dedup_clusters(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"h{h}")
+        for h in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{h}" for h in range(num_hashes)]).alias("sig"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -338,32 +339,17 @@ def minhash_signatures(
     exploding the candidate set (measured 5× more candidates AND 2.5×
     slower end-to-end on the driver corpus) — so the k seeded hashes are
     the right cost."""
-    sh = shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"h{h}")
-        for h in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{h}" for h in range(num_hashes)]).alias("sig"))
+    return _minhash_signatures_from_shingles(
+        shingles(df, id_col, text_col, n), num_hashes
+    )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
-
-    rows/band = num_hashes/bands. Banding → explode → equi-join on
-    (band, band_hash): the only shuffle key is the bucket, so the plan
-    is a standard hash join at any scale — never a cross join.
-    """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = _minhash_signatures_from_shingles(sh, num_hashes)
     banded = sig.select(
         "id",
         F.explode(
@@ -387,31 +373,29 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_verified_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.8,
 ) -> DataFrame:
-    """The full scale-path near-dup operator: MinHash-LSH candidate
-    generation followed by EXACT n-gram Jaccard verification of only the
-    candidates. At 100 TB this is the shape that works: the quadratic
-    explosion is capped by the banded buckets, and the exact check runs
-    on the (tiny) candidate set with per-doc shingle arrays.
+    """Candidate near-dup pairs: docs agreeing on at least one LSH band.
 
-    Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
-    a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
-    with 16 bands × 4 rows) instead of exhaustive certainty."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sets_ = (
-        shingles(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("shingle")).alias("grams"))
-        .withColumn("sz", F.size("grams"))
+    rows/band = num_hashes/bands. Banding → explode → equi-join on
+    (band, band_hash): the only shuffle key is the bucket, so the plan
+    is a standard hash join at any scale — never a cross join.
+    """
+    return _lsh_candidates_from_shingles(
+        shingles(df, id_col, text_col, n), num_hashes, bands
     )
+
+
+def _exact_verify(cands: DataFrame, sets_: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard verification of candidate (a_id, b_id) pairs against
+    a per-doc shingle-set frame (id, grams, sz). Shared by the prefix-
+    filter and LSH operators so the verify semantics cannot diverge."""
     da = sets_.select(
         F.col("id").alias("a_id"), F.col("grams").alias("a_grams"),
         F.col("sz").alias("a_sz"),
@@ -439,6 +423,40 @@ def minhash_verified_pairs(
             "jaccard",
         )
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full scale-path near-dup operator: MinHash-LSH candidate
+    generation followed by EXACT n-gram Jaccard verification of only the
+    candidates. At 100 TB this is the shape that works: the quadratic
+    explosion is capped by the banded buckets, and the exact check runs
+    on the (tiny) candidate set with per-doc shingle arrays.
+
+    The per-doc set frame is aggregated once and the signature path
+    re-derives its (id, shingle) rows from it by explode — one shingle
+    construction per run, not two (collect_set is left unsorted;
+    array_intersect does not need order).
+
+    Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
+    a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
+    with 16 bands × 4 rows) instead of exhaustive certainty."""
+    sets_ = (
+        shingles(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("grams"))
+        .withColumn("sz", F.size("grams"))
+    )
+    sh = sets_.select("id", F.explode("grams").alias("shingle"))
+    cands = _lsh_candidates_from_shingles(sh, num_hashes, bands)
+    return _exact_verify(cands, sets_, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -145,11 +145,21 @@ def rolling_hash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 #: PII redaction patterns (lookahead-free, RE2-compatible so the DuckDB
-#: oracle can run the identical regexes). Order matters: emails before
-#: bare domains, long digit runs after phones.
+#: oracle can run the identical regexes). ORDERED — each rule sees the
+#: output of the previous one: emails first (their local/domain digits
+#: must not look like phones/SSNs afterwards), cards with separators
+#: before bare phones (a 4-4-4-4 group run must not half-match as a
+#: phone), IPs before contiguous digit runs, SSN last. International
+#: phones need a separate '+'-anchored rule because RE2 has no
+#: lookbehind and \b never matches before '+'.
 REDACTION_RULES: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    (r"\b[0-9]{4}[-. ][0-9]{4}[-. ][0-9]{4}[-. ][0-9]{4}\b", "<CARD>"),
+    # three phone shapes because RE2 has no lookbehind and \b cannot sit
+    # before the non-word chars '+' and '(':
+    (r"\+[0-9]{1,3}[-. ]?(?:\([0-9]{3}\)|[0-9]{3})[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b", "<PHONE>"),
+    (r"\([0-9]{3}\)[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b", "<PHONE>"),
+    (r"\b[0-9]{3}[-. ]?[0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
     (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     (r"\b[0-9]{13,19}\b", "<CARD>"),
     (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
@@ -157,20 +167,21 @@ REDACTION_RULES: tuple[tuple[str, str], ...] = (
 
 
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Replace common PII shapes (emails, phones, IPs, card-like digit
-    runs, SSNs) with typed placeholder tokens — chained regexp_replace,
-    one scan, codegen'd. The rule list is ordered and RE2-safe so any
-    engine reproduces it byte-for-byte."""
+    """Replace common PII shapes (emails, cards incl. 4-4-4-4 formatted,
+    domestic and '+'-prefixed phones, IPs, SSNs) with typed placeholder
+    tokens — chained regexp_replace, one scan, codegen'd. The rule list
+    is ordered and RE2-safe so any engine reproduces it byte-for-byte.
+
+    ``n_redactions`` counts each rule's matches on the PROGRESSIVELY
+    redacted text (the same text the replacement saw), so it equals the
+    number of replacements actually performed."""
     out = F.col(text_col)
+    n_redacted = F.lit(0)
     for pattern, token in REDACTION_RULES:
+        n_redacted = n_redacted + F.size(
+            F.regexp_extract_all(out, F.lit(pattern), F.lit(0))
+        )
         out = F.regexp_replace(out, pattern, token)
-    n_redacted = sum(
-        (
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
-            for p, _ in REDACTION_RULES
-        ),
-        start=F.lit(0),
-    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         out.alias("redacted_text"),

@@ -1129,26 +1129,27 @@ def x17(spark, sf):
     ).select("event_id", "user_id")
 
 
-_REDACT_ORACLE = r"""
-SELECT doc_id,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
-             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
-           '\b[0-9]{13,19}\b', '<CARD>', 'g'),
-         '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS redacted_text,
-       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-       + len(regexp_extract_all(text, '\b(?:\+?[0-9]{1,3}[-. ]?)?(?:\([0-9]{3}\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b'))
-       + len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))
-       + len(regexp_extract_all(text, '\b[0-9]{13,19}\b'))
-       + len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b'))
-         AS n_redactions
-FROM documents
-"""
+def _redact_oracle() -> str:
+    """Generated from text.REDACTION_RULES so the oracle's patterns,
+    order, and progressive counting can never drift from the operator."""
+    rules = text.REDACTION_RULES
+    ctes = ["r0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    for i, (pat, tok) in enumerate(rules, start=1):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"r{i} AS (SELECT * EXCLUDE (t{i-1}), "
+            f"regexp_replace(t{i-1}, '{p}', '{tok}', 'g') AS t{i}, "
+            f"len(regexp_extract_all(t{i-1}, '{p}')) AS c{i} FROM r{i-1})"
+        )
+    counts = " + ".join(f"c{i}" for i in range(1, len(rules) + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t{len(rules)} AS redacted_text, {counts} AS n_redactions"
+        + f" FROM r{len(rules)}"
+    )
+
+
+_REDACT_ORACLE = _redact_oracle()
 
 
 @query("x18_pii_redaction", _REDACT_ORACLE)

@@ -28,6 +28,8 @@ def test_pii_redaction_planted(spark):
         (0, "contact john.doe+x@example.co.uk or call 555-123-4567 now"),
         (1, "server at 192.168.0.1 leaked card 4111111111111111 and ssn 123-45-6789"),
         (2, "nothing sensitive here"),
+        (3, "formatted card 4111 1111 1111 1111 and intl +1 555-123-4567"),
+        (4, "paren phone (555)123-4567 also redacts"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r for r in text.redact_pii(df, "doc_id", "text").collect()}
@@ -37,9 +39,17 @@ def test_pii_redaction_planted(spark):
     assert "<CARD>" in got[1]["redacted_text"]
     assert "<SSN>" in got[1]["redacted_text"]
     assert got[2]["redacted_text"] == "nothing sensitive here"
+    # formatted card caught by the 4-4-4-4 rule; '+' phone fully consumed
+    assert "<CARD>" in got[3]["redacted_text"]
+    assert "+" not in got[3]["redacted_text"].split("intl ")[1]
+    assert "<PHONE>" in got[3]["redacted_text"]
+    assert "<PHONE>" in got[4]["redacted_text"]
+    # counts equal replacements actually performed
     assert got[0]["n_redactions"] == 2 and got[2]["n_redactions"] == 0
+    assert got[3]["n_redactions"] == 2
     for r in got.values():
         assert "@" not in r["redacted_text"]
+        assert "4111" not in r["redacted_text"]
 
 
 def test_minhash_verified_pairs_match_exhaustive(spark, docs):
