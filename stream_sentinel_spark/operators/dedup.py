@@ -66,6 +66,71 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+_BITMASK_VOCAB_MAX = 4096  # ≤ 64 longs per doc mask
+
+
+def _encode_shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> tuple[DataFrame, int]:
+    """Dictionary-encode each doc's shingle set to dense integer ids
+    ordered rarest-first by global document frequency. Returns the
+    per-doc frame (id, grams: sorted array<int>, sz) and the vocabulary
+    size (a one-row stats probe — the same kind of action a cost-based
+    optimizer runs to pick a physical strategy).
+
+    The vocab is a dimension table (bounded by alphabet^n / corpus
+    vocab), so the single-partition ranking window and broadcast are
+    fine at any fact-table scale. Integer sids make every downstream
+    shuffle/join/intersect key an int, not a string, and ascending sid
+    order ≡ rarest-first prefix order for AllPairs filtering."""
+    sh = shingles(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    vocab = freq.select(
+        "shingle",
+        (F.row_number().over(Window.orderBy("df_", "shingle")) - 1).alias("sid"),
+    )
+    n_vocab = vocab.count()
+    ids = sh.join(F.broadcast(vocab), "shingle").select("id", "sid")
+    docs = ids.groupBy("id").agg(
+        F.sort_array(F.collect_set("sid")).alias("grams")
+    ).withColumn("sz", F.size("grams"))
+    return docs, n_vocab
+
+
+def _add_shingle_masks(docs: DataFrame, n_vocab: int) -> tuple[DataFrame, int]:
+    """Add a fixed-width bitmask column (array<long>, one bit per sid) to
+    an encoded doc frame. Only sensible when n_vocab ≤ a few thousand."""
+    nwords = (n_vocab + 63) // 64
+    return docs.withColumn(
+        "mask",
+        # SQL expr: shiftleft by a column is SQL-only (the DSL
+        # wrapper takes a literal bit count)
+        F.expr(
+            f"transform(sequence(0, {nwords - 1}), w -> "
+            f"aggregate(filter(grams, i -> i div 64 = w), 0L, "
+            f"(acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))"
+        ),
+    ), nwords
+
+
+def _popcount_shared(nwords: int):
+    """|A ∩ B| as popcount of AND over the mask words. Unrolled sum:
+    nwords is small and statically known, so a flat expression stays in
+    codegen (higher-order functions are interpreted per pair — measured
+    12% slower on 12.5M pairs)."""
+    return sum(
+        (
+            F.bit_count(
+                F.element_at("a_mask", w + 1).bitwiseAND(
+                    F.element_at("b_mask", w + 1)
+                )
+            ).cast("long")
+            for w in range(nwords)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -100,24 +165,9 @@ def ngram_jaccard_pairs(
     vocabularies (real text, where prefix filtering prunes hard)
     verify via sorted-int array_intersect.
     """
-    sh = shingles(df, id_col, text_col, n)
-    # global doc-frequency per shingle (the prefix ordering key); the
-    # vocab is a dimension table (bounded by alphabet^n / corpus vocab),
-    # so the single-partition ranking window and broadcast are fine at
-    # any fact-table scale
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    vocab = freq.select(
-        "shingle",
-        (F.row_number().over(Window.orderBy("df_", "shingle")) - 1).alias("sid"),
-    )
-    n_vocab = vocab.count()  # stats probe → physical strategy + mask width
-    ids = sh.join(F.broadcast(vocab), "shingle").select("id", "sid")
-    # per-doc sorted id set: ascending sid ≡ rarest-first prefix order
-    docs = ids.groupBy("id").agg(
-        F.sort_array(F.collect_set("sid")).alias("grams")
-    ).withColumn("sz", F.size("grams"))
+    docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
 
-    use_bitmask = n_vocab <= 4096  # ≤ 64 longs per doc
+    use_bitmask = n_vocab <= _BITMASK_VOCAB_MAX
     if use_bitmask:
         # DEGENERATE-VOCAB REGIME (repetitive corpora): every shingle is
         # frequent, so prefix filtering prunes almost nothing and the
@@ -126,17 +176,7 @@ def ngram_jaccard_pairs(
         # all pairs under the size-complementarity bound with fixed-width
         # bitmask verification: popcount-of-AND over a few longs per
         # pair, one broadcast nested-loop join, no shuffle, no distinct.
-        nwords = (n_vocab + 63) // 64
-        docs = docs.withColumn(
-            "mask",
-            # SQL expr: shiftleft by a column is SQL-only (the DSL
-            # wrapper takes a literal bit count)
-            F.expr(
-                f"transform(sequence(0, {nwords - 1}), w -> "
-                f"aggregate(filter(grams, i -> i div 64 = w), 0L, "
-                f"(acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))"
-            ),
-        )
+        docs, nwords = _add_shingle_masks(docs, n_vocab)
         da = docs.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
@@ -151,20 +191,7 @@ def ngram_jaccard_pairs(
             & (db.b_sz >= F.ceil(F.lit(threshold) * da.a_sz))
             & (db.b_sz * F.lit(threshold) <= da.a_sz),
         )
-        # unrolled popcount sum: nwords is small and statically known, so
-        # a flat expression stays in codegen (higher-order functions are
-        # interpreted per pair — measured 12% slower on 12.5M pairs)
-        shared = sum(
-            (
-                F.bit_count(
-                    F.element_at("a_mask", w + 1).bitwiseAND(
-                        F.element_at("b_mask", w + 1)
-                    )
-                ).cast("long")
-                for w in range(nwords)
-            ),
-            start=F.lit(0).cast("long"),
-        )
+        shared = _popcount_shared(nwords)
     else:
         # DIVERSE-VOCAB REGIME (real text): AllPairs prefix filtering.
         # prefix length p = sz − ceil(t·sz) + 1 (both-sides prefix is
@@ -440,23 +467,55 @@ def minhash_verified_pairs(
     explosion is capped by the banded buckets, and the exact check runs
     on the (tiny) candidate set with per-doc shingle arrays.
 
-    The per-doc set frame is aggregated once and the signature path
-    re-derives its (id, shingle) rows from it by explode — one shingle
-    construction per run, not two (collect_set is left unsorted;
-    array_intersect does not need order).
+    The signature path recomputes shingles from the text rather than
+    deriving them from an aggregated set frame: substring shingling is
+    cheap codegen'd work, while routing the signatures through
+    collect_set→explode chains two wide shuffles in series — measured
+    ~25× slower end-to-end on the driver corpus. Recompute beats reuse
+    when the reused thing sits behind a shuffle.
+
+    Verification is ADAPTIVE on the same vocabulary probe as
+    :func:`ngram_jaccard_pairs`. On a degenerate vocabulary LSH buckets
+    collapse and the candidate set approaches all-pairs (measured 5.5M
+    candidates from 5 000 docs / 377 shingles on the driver corpus), so
+    per-pair string-array intersection is the whole runtime (~490 s);
+    fixed-width bitmask popcount verifies the same pairs in ~2 s. Real
+    text (large vocab) verifies via sorted-INT array_intersect — the
+    dictionary encoding keeps even that path off string comparisons.
 
     Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
     a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
     with 16 bands × 4 rows) instead of exhaustive certainty."""
-    sets_ = (
-        shingles(df, id_col, text_col, n)
-        .groupBy("id")
-        .agg(F.collect_set("shingle").alias("grams"))
-        .withColumn("sz", F.size("grams"))
-    )
-    sh = sets_.select("id", F.explode("grams").alias("shingle"))
-    cands = _lsh_candidates_from_shingles(sh, num_hashes, bands)
-    return _exact_verify(cands, sets_, threshold)
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
+    if n_vocab <= _BITMASK_VOCAB_MAX:
+        docs, nwords = _add_shingle_masks(docs, n_vocab)
+        da = docs.select(
+            F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+            F.col("mask").alias("a_mask"),
+        )
+        db = docs.select(
+            F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
+            F.col("mask").alias("b_mask"),
+        )
+        return (
+            cands.join(da, "a_id")
+            .join(db, "b_id")
+            .withColumn("shared", _popcount_shared(nwords))
+            .withColumn(
+                "jaccard",
+                F.col("shared").cast("double")
+                / (F.col("a_sz") + F.col("b_sz") - F.col("shared")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                "a_id", "b_id", "shared",
+                F.col("a_sz").cast("long").alias("a_sz"),
+                F.col("b_sz").cast("long").alias("b_sz"),
+                "jaccard",
+            )
+        )
+    return _exact_verify(cands, docs, threshold)
 
 
 # ---------------------------------------------------------------------------
