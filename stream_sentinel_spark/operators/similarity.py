@@ -241,3 +241,158 @@ def lsh_candidates(
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _unit(col):
+    """Vector scaled to unit norm (double) — cosine becomes plain dot."""
+    v = _as_double(col)
+    n = norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def _lit_vec(vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _cell_scores(vec_col, centroids: list[list[float]]):
+    """array<struct<score,cell>> of dot products against every centroid.
+
+    Centroids are LITERALS (model parameters, k×dim doubles), so the
+    assignment is a map-only projection — no join, no shuffle, and the
+    corpus never moves. This is the property that makes IVF the ANN
+    scale path: at 100 TB the only shuffle in the whole pipeline is the
+    final per-cell candidate join."""
+    return F.array(
+        *[
+            F.struct(
+                dot(vec_col, _lit_vec(c)).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer.
+
+    - init: the ``n_cells`` lowest-id vectors (no RNG — reproducible
+      across runs/partitionings; ids give an arbitrary-but-fixed spread)
+    - Lloyd step: assign each (unit-normalized) vector to its max-dot
+      centroid via the literal-centroid projection, then recompute cell
+      means with ``posexplode`` → groupBy(cell, pos) — one keyed shuffle
+      of (cell, pos, value) triples per iteration, fully parallel in the
+      number of cells × dimensions.
+    - Only the k×dim centroid matrix is ever collected to the driver
+      (model parameters, not data — a few KB).
+
+    Returns unit-normalized centroids as plain Python lists (feed to
+    :func:`ivf_assign` / :func:`ivf_topk`)."""
+    import math
+
+    unit = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
+    seed_rows = unit.orderBy("id").limit(n_cells).select("v").collect()
+    centroids = [list(r["v"]) for r in seed_rows]
+    for _ in range(iters):
+        assigned = unit.select(
+            "v",
+            F.array_max(_cell_scores(F.col("v"), centroids))["cell"].alias("cell"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] / r["n"]
+        new = []
+        for i, old in enumerate(centroids):
+            mean = by_cell.get(i)
+            if not mean:  # empty cell keeps its previous centroid
+                new.append(old)
+                continue
+            vec = [mean[p] for p in range(len(old))]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new.append([x / nrm for x in vec])
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v: unit vector, cell) — map-only cell assignment."""
+    return df.select(
+        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "cell", F.array_max(_cell_scores(F.col("v"), centroids))["cell"]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cell probing.
+
+    Each query probes its ``nprobe`` best cells; candidates are the
+    corpus vectors in those cells (equi-join on the cell id — a plain
+    hash shuffle, the pipeline's ONLY shuffle of corpus data), re-ranked
+    by exact cosine. Recall rises with nprobe (nprobe = n_cells ≡ exact
+    brute force); hot cells are ordinary join skew, handled by AQE.
+
+    Output schema matches :func:`brute_force_topk`: (q_id, n_id, rk,
+    cos) — on unit vectors the dot IS the cosine."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = ivf_train(corpus, id_col, vec_col, n_cells, iters)
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col("id").alias("n_id"), F.col("v").alias("n_vec"), "cell"
+    )
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_vec"))
+        .withColumn(
+            "probes",
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), centroids))),
+                1,
+                nprobe,
+            ),
+        )
+        .select("q_id", "q_vec", F.explode("probes.cell").alias("cell"))
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", dot(F.col("q_vec"), F.col("n_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "rk", "cos")
+    )

@@ -1180,3 +1180,15 @@ def x09(spark, sf):
 def x10(spark, sf):
     media = multimodal.synthesize_media(_t(spark, sf, "documents"), "doc_id", "text")
     return multimodal.extract_features(media)
+
+
+@query("x20_ivf_ann_topk")  # rows-only: iterative k-means has no SQL twin
+def x20(spark, sf):
+    # IVF coarse-quantizer ANN (the similarity-search scale path):
+    # deterministic spherical k-means -> map-only cell assignment ->
+    # nprobe cell-equi-join -> exact cosine re-rank. Recall vs the
+    # brute-force oracle is pinned in tests/test_similarity_ivf.py.
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=4
+    )

@@ -18,6 +18,13 @@ def spark() -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        # the full suite compiles hundreds of generated stages; the JVM's
+        # default 240 MB code cache overflows and JIT stalls make test
+        # times swing 3-5x (see bench.py build_spark)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="ss_wh_"))
         .getOrCreate()
     )
