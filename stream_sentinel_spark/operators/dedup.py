@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from stream_sentinel_spark.operators.partitioning import spread_small as _spread
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -48,6 +50,8 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # Character n-gram shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct character n-grams per document: (id, shingle).
 
@@ -56,12 +60,13 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     """
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(0))),
-            lambda i: F.col(text_col).substr(i, F.lit(n)),
+            F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(0))),
+            lambda i: F.col("_t").substr(i, F.lit(n)),
         )
     )
     return (
-        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", grams.alias("grams"))
         .select("id", F.explode("grams").alias("shingle"))
     )
 
@@ -111,6 +116,27 @@ def _add_shingle_masks(docs: DataFrame, n_vocab: int) -> tuple[DataFrame, int]:
             f"(acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))"
         ),
     ), nwords
+
+
+def _materialize_masks(docs: DataFrame) -> DataFrame:
+    """Materialize the mask frame before a pair join and spread it over
+    the cluster's cores.
+
+    BOTH steps matter, measured 16.7 s → 1.0 s together on 12.5M pairs:
+
+    - Without a materialization barrier Catalyst collapses the
+      mask-building projection (an interpreted higher-order `aggregate`
+      over the grams array) into the join condition/output, so the
+      per-DOC mask construction re-runs per PAIR — a quadratic blow-up
+      of work that the optimizer's projection collapsing hides.
+      `localCheckpoint` pins the computed masks (the frame is small: it
+      feeds a broadcast nested-loop join anyway).
+    - After the upstream groupBy, AQE coalesces the tiny frame to one
+      partition, which would serialize the nested-loop join on a single
+      core; the explicit repartition restores stream-side parallelism.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    return docs.drop("grams").repartition(par).localCheckpoint(eager=True)
 
 
 def _popcount_shared(nwords: int):
@@ -177,6 +203,7 @@ def ngram_jaccard_pairs(
         # bitmask verification: popcount-of-AND over a few longs per
         # pair, one broadcast nested-loop join, no shuffle, no distinct.
         docs, nwords = _add_shingle_masks(docs, n_vocab)
+        docs = _materialize_masks(docs)
         da = docs.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
@@ -185,11 +212,10 @@ def ngram_jaccard_pairs(
             F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
             F.col("mask").alias("b_mask"),
         )
-        verified = da.join(
-            db,
-            (da.a_id < db.b_id)
-            & (db.b_sz >= F.ceil(F.lit(threshold) * da.a_sz))
-            & (db.b_sz * F.lit(threshold) <= da.a_sz),
+        verified = da.crossJoin(db).filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("b_sz") >= F.ceil(F.lit(threshold) * F.col("a_sz")))
+            & (F.col("b_sz") * F.lit(threshold) <= F.col("a_sz"))
         )
         shared = _popcount_shared(nwords)
     else:
@@ -509,6 +535,7 @@ def minhash_verified_pairs(
             shingles(df, id_col, text_col, n), num_hashes, bands
         )
         docs, nwords = _add_shingle_masks(docs, n_vocab)
+        docs = _materialize_masks(docs)
         da = F.broadcast(docs.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
@@ -549,10 +576,10 @@ def simhash_fingerprints(
     """(id, simhash: long) — per-bit majority vote over whitespace-token
     xxhash64 values, built from explode + 64 conditional sums (all
     codegen'd; no UDF)."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
+    toks = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
+        "id",
         F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            F.array_distinct(F.split(F.trim(F.col("_t")), r"\s+"))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     hashed = toks.select("id", F.xxhash64("tok").alias("h"))

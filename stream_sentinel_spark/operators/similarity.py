@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stream_sentinel_spark.operators.partitioning import spread_small
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -41,7 +43,7 @@ def norm(a):
     return F.sqrt(dot(a, a))
 
 
-def _cos_seq_udf():
+def _cos_seq_udf(stop_filter_inlining: bool = True):
     """Arrow-batched cosine with FOLD-ORDER accumulation — bit-identical
     to ``dot(a,b)/(na*nb)`` but ~3× faster on quadratic pair stages.
 
@@ -92,7 +94,14 @@ def _cos_seq_udf():
             acc += A[:, i] * B[:, i]
         return pd.Series(acc / (a_nrm.values * b_nrm.values))
 
-    return cos_seq
+    # The function IS deterministic; the marker only stops the optimizer
+    # from inlining the UDF expression into pushed-down filters, which
+    # cloned the ArrowEvalPython node and shipped the full vector payload
+    # to Python TWICE (observed in the x07 plan: one eval for the
+    # threshold filter, one for the output projection). Callers whose
+    # downstream is a window/rank (no filter directly on the UDF column)
+    # keep the deterministic marking so the optimizer stays unrestricted.
+    return cos_seq.asNondeterministic() if stop_filter_inlining else cos_seq
 
 
 def cosine(a, b):
@@ -116,9 +125,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
     ).withColumn("q_nrm", norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("n_vec")
-    ).withColumn("n_nrm", norm(F.col("n_vec")))
+    c = spread_small(
+        corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_v"))
+    ).select("n_id", _as_double(F.col("_v")).alias("n_vec")).withColumn(
+        "n_nrm", norm(F.col("n_vec"))
+    )
     # norms computed once per side before the join; per-pair work is one
     # in-order dot + one division (bit-equal to dot/(|a||b|) in the oracle)
     scored = (
@@ -154,8 +165,8 @@ def cosine_pairs(
     quadratic stage is vectorized numpy instead of interpreted
     higher-order functions — measured 24 s → 7 s on 2M pairs."""
     cos_seq = _cos_seq_udf()
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    vecs = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     ).withColumn("nrm", norm(_as_double(F.col("vec"))))
     a = vecs.select(
         F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm")
@@ -255,27 +266,51 @@ def _unit(col):
     return F.transform(v, lambda x: x / n)
 
 
-def _lit_vec(vec: list[float]):
-    return F.array(*[F.lit(float(x)) for x in vec])
+def _assign_cells_udf(centroids: list[list[float]]):
+    """Arrow UDF: best cell (argmax dot) per vector against the centroid
+    matrix captured in the closure.
+
+    Centroids travel as closure state (model parameters, k×dim doubles
+    — a few KB serialized once per task), so the assignment is a
+    map-only projection — no join, no shuffle, and the corpus never
+    moves. This is the property that makes IVF the ANN scale path: at
+    100 TB the only shuffle in the whole pipeline is the final per-cell
+    candidate join. A literal-expression encoding was measured first
+    and rejected: 16×64 literals per projection forced Janino to
+    recompile a thousand-node expression for every Lloyd iteration
+    (fresh literals each time) — tens of seconds of pure compilation.
+    Ties break to the LOWEST cell id (np.argmax first-max) —
+    deterministic across runs and partitionings."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack(v.values).astype(np.float64)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype("int32"))
+
+    return assign
 
 
-def _cell_scores(vec_col, centroids: list[list[float]]):
-    """array<struct<score,cell>> of dot products against every centroid.
+def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow UDF: the ``nprobe`` best cells per query vector, best
+    first; ties break to the lower cell id (stable argsort)."""
+    from pyspark.sql.functions import pandas_udf
 
-    Centroids are LITERALS (model parameters, k×dim doubles), so the
-    assignment is a map-only projection — no join, no shuffle, and the
-    corpus never moves. This is the property that makes IVF the ANN
-    scale path: at 100 TB the only shuffle in the whole pipeline is the
-    final per-cell candidate join."""
-    return F.array(
-        *[
-            F.struct(
-                dot(vec_col, _lit_vec(c)).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack(v.values).astype(np.float64)
+        order = np.argsort(-(V @ C.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return probes
 
 
 def ivf_train(
@@ -301,13 +336,14 @@ def ivf_train(
     :func:`ivf_assign` / :func:`ivf_topk`)."""
     import math
 
-    unit = df.select(F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v"))
+    unit = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    ).select("id", _unit(F.col("_v")).alias("v"))
     seed_rows = unit.orderBy("id").limit(n_cells).select("v").collect()
     centroids = [list(r["v"]) for r in seed_rows]
     for _ in range(iters):
         assigned = unit.select(
-            "v",
-            F.array_max(_cell_scores(F.col("v"), centroids))["cell"].alias("cell"),
+            "v", _assign_cells_udf(centroids)(F.col("v")).alias("cell")
         )
         sums = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
@@ -337,11 +373,13 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, v: unit vector, cell) — map-only cell assignment."""
-    return df.select(
-        F.col(id_col).alias("id"), _unit(F.col(vec_col)).alias("v")
-    ).withColumn(
-        "cell", F.array_max(_cell_scores(F.col("v"), centroids))["cell"]
+    """(id, v: unit vector, cell) — map-only cell assignment (the
+    spread is a layout fix for dimension-sized inputs, not a shuffle of
+    at-scale data; see :func:`spread_small`)."""
+    return spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    ).select("id", _unit(F.col("_v")).alias("v")).withColumn(
+        "cell", _assign_cells_udf(centroids)(F.col("v"))
     )
 
 
@@ -375,20 +413,17 @@ def ivf_topk(
     )
     q = (
         queries.select(F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_vec"))
-        .withColumn(
-            "probes",
-            F.slice(
-                F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), centroids))),
-                1,
-                nprobe,
-            ),
-        )
-        .select("q_id", "q_vec", F.explode("probes.cell").alias("cell"))
+        .withColumn("probes", _probe_cells_udf(centroids, nprobe)(F.col("q_vec")))
+        .select("q_id", "q_vec", F.explode("probes").alias("cell"))
     )
+    # exact re-rank on unit vectors: dot IS the cosine, computed by the
+    # Arrow-vectorized fold-order kernel (norms are 1 by construction) —
+    # the candidate set is the quadratic-ish hot stage, same as x07
+    cos_seq = _cos_seq_udf(stop_filter_inlining=False)
     scored = (
         c.join(q, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", dot(F.col("q_vec"), F.col("n_vec")))
+        .withColumn("cos", cos_seq("q_vec", "n_vec", F.lit(1.0), F.lit(1.0)))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (

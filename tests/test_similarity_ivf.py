@@ -59,13 +59,20 @@ def test_ivf_full_probe_equals_brute_force(spark, emb):
 
 def test_ivf_assign_is_map_only(spark, emb):
     """Cell assignment must not shuffle or join: literal centroids keep
-    the 100 TB corpus in place."""
+    the 100 TB corpus in place. The input is pre-spread past core count
+    so spread_small (a small-input layout fix only) is a no-op, proving
+    the at-scale plan shape."""
     cents = similarity.ivf_train(emb, n_cells=4, iters=1)
+    at_scale_layout = emb.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     plan = (
-        similarity.ivf_assign(emb, cents)
+        similarity.ivf_assign(at_scale_layout, cents)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan
+    # the pre-spread repartition is the test fixture's own exchange;
+    # nothing below the assignment projection may add another
+    assert plan.count("Exchange") == 1
     assert "Join" not in plan
