@@ -45,7 +45,7 @@ def build_spark(cpus: int):
         # codegen-heavy workloads.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -336,9 +336,16 @@ def ivf_train(
     :func:`ivf_assign` / :func:`ivf_topk`)."""
     import math
 
-    unit = spread_small(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-    ).select("id", _unit(F.col("_v")).alias("v"))
+    # Materialize the (normalized) training set once: every Lloyd
+    # iteration is an action, and without the barrier each one would
+    # re-scan and re-normalize the input. At 100 TB pass a deterministic
+    # sample (e.g. sampling.hash_sample) as ``df`` — coarse-quantizer
+    # training needs thousands of vectors per cell, not the full corpus.
+    unit = (
+        spread_small(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")))
+        .select("id", _unit(F.col("_v")).alias("v"))
+        .localCheckpoint(eager=True)
+    )
     seed_rows = unit.orderBy("id").limit(n_cells).select("v").collect()
     centroids = [list(r["v"]) for r in seed_rows]
     for _ in range(iters):

@@ -23,7 +23,7 @@ def spark() -> SparkSession:
         # times swing 3-5x (see bench.py build_spark)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="ss_wh_"))
         .getOrCreate()
