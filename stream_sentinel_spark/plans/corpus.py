@@ -1351,3 +1351,98 @@ def q27(spark, sf):
     return li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
         (F.lit(100.0) * promo / total).alias("promo_share")
     )
+
+
+@query(
+    "q28_tpch_q17_small_qty",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+               AS qty_cut
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg USING (l_partkey)
+    WHERE p_brand = 'Brand#4' AND l_quantity < qty_cut
+    """,
+)
+def q28(spark, sf):
+    # TPC-H Q17 shape: correlated scalar-average subquery, decorrelated
+    # the way every engine executes it — a per-key aggregate joined back
+    # to the fact table. The cutoff arithmetic (0.2 * (decimal-sum /
+    # count), one IEEE multiply + divide) is written identically on both
+    # sides so the comparison boundary cannot diverge.
+    li = _t(spark, sf, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cut")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#4")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q29_tpch_q22_idle_balance",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS cut
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > cut
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q29(spark, sf):
+    # TPC-H Q22 shape: global scalar subquery as a filter bound plus a
+    # NOT EXISTS anti join (customers with no RECENT orders — the date
+    # bound keeps the anti join selective on this corpus), then a
+    # grouped aggregate. The scalar is a one-row frame cross-joined in
+    # (broadcast — no shuffle); the anti join hashes on o_custkey with
+    # the date filter pushed below it.
+    cu = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    cut = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cut")
+    )
+    return (
+        cu.crossJoin(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
