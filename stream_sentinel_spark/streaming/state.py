@@ -145,6 +145,54 @@ def _eval_statistical(rule_spec: dict, hist: list, v: float) -> str | None:
     return details
 
 
+def _run_rules_over_batch(
+    st: dict,
+    pdfs,
+    key,
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+):
+    """Shared per-key micro-batch evaluation: mutates ``st`` (the
+    deserialized detector state) and returns the alert columns dict.
+    Used by BOTH stateful APIs (applyInPandasWithState and
+    transformWithStateInPandas) so the detection semantics cannot
+    diverge between them."""
+    import pandas as pd
+
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    # arrival order within the micro-batch: event-time + tie-break
+    # (cross-batch order is arrival order, as in the reference)
+    pdf = pdf.sort_values([_TSUS, *order_cols], kind="stable").reset_index(drop=True)
+    out: dict[str, list] = {f.name: [] for f in ALERT_SCHEMA.fields}
+    # column arrays, not itertuples: pandas renames __-prefixed fields
+    ts_arr = pdf[_TSUS].to_list()
+    ev_arr = pdf[_EVMAP].to_list()
+    val_arr = {idx: pdf[col].to_list() for idx, col in value_cols.items()}
+    for i in range(len(pdf)):
+        ts_us = int(ts_arr[i])
+        ts_ms = ts_us // 1000  # reference time axis is epoch ms (:78-80)
+        for spec in rule_specs:
+            idx = spec["rule_index"]
+            hist = st.setdefault(f"r{idx}", [])
+            if spec["type"] == "rate":
+                details = _eval_rate(spec, hist, ts_ms)
+            else:
+                v = val_arr[idx][i]
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue  # skip: window untouched (:83-86)
+                details = _eval_statistical(spec, hist, float(v))
+            if details is not None:
+                out["rule_name"].append(spec["name"])
+                out["key"].append(key[0])
+                out["alert_ts_us"].append(ts_us)
+                out["details"].append(details)
+                out["original_event"].append(ev_arr[i])
+                out["rule_index"].append(idx)
+    return out
+
+
 def _make_processor(
     rule_specs: list[dict],
     value_cols: dict[int, str],
@@ -162,38 +210,7 @@ def _make_processor(
             return
         blob = state.get[0] if state.exists else None
         st: dict = json.loads(blob) if blob else {}
-        chunks = list(pdfs)
-        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        # arrival order within the micro-batch: event-time + tie-break
-        # (cross-batch order is arrival order, as in the reference)
-        pdf = pdf.sort_values([_TSUS, *order_cols], kind="stable").reset_index(
-            drop=True
-        )
-        out: dict[str, list] = {f.name: [] for f in ALERT_SCHEMA.fields}
-        # column arrays, not itertuples: pandas renames __-prefixed fields
-        ts_arr = pdf[_TSUS].to_list()
-        ev_arr = pdf[_EVMAP].to_list()
-        val_arr = {idx: pdf[col].to_list() for idx, col in value_cols.items()}
-        for i in range(len(pdf)):
-            ts_us = int(ts_arr[i])
-            ts_ms = ts_us // 1000  # reference time axis is epoch ms (:78-80)
-            for spec in rule_specs:
-                idx = spec["rule_index"]
-                hist = st.setdefault(f"r{idx}", [])
-                if spec["type"] == "rate":
-                    details = _eval_rate(spec, hist, ts_ms)
-                else:
-                    v = val_arr[idx][i]
-                    if v is None or (isinstance(v, float) and math.isnan(v)):
-                        continue  # skip: window untouched (:83-86)
-                    details = _eval_statistical(spec, hist, float(v))
-                if details is not None:
-                    out["rule_name"].append(spec["name"])
-                    out["key"].append(key[0])
-                    out["alert_ts_us"].append(ts_us)
-                    out["details"].append(details)
-                    out["original_event"].append(ev_arr[i])
-                    out["rule_index"].append(idx)
+        out = _run_rules_over_batch(st, pdfs, key, rule_specs, value_cols, order_cols)
         state.update((json.dumps(st),))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -203,31 +220,18 @@ def _make_processor(
     return process
 
 
-def stateful_alerts(
+def _prepare_keyed(
     events: DataFrame,
     rules: Sequence[DetectionRule],
-    *,
     key_field: str,
-    time_col: str = "ts",
-    order_cols: Sequence[str] = (),
-    rule_indexes: Sequence[int] | None = None,
-    event_columns: Sequence[str] | None = None,
-    state_ttl_ms: int | None = None,
-) -> DataFrame:
-    """Compile the stateful rules (rate/statistical) of a rule set into
-    ONE keyed stateful branch over a streaming DataFrame.
-
-    ``rule_indexes`` preserves each rule's position in the full YAML list
-    so the union with stateless branches keeps reference emission order
-    (SURVEY §3.2).
-
-    ``state_ttl_ms`` enables idle-key state eviction via processing-time
-    timeout: a key with no events for the TTL has its detector state
-    dropped (re-created fresh on its next event, exactly like a brand-new
-    key). The reference keeps per-key state forever
-    (AnomalyProcessFunction.java:86-90) — unbounded key cardinality at
-    100 TB needs the bound; pick TTL ≫ the largest rule window so
-    eviction never changes live-detection results."""
+    time_col: str,
+    order_cols: Sequence[str],
+    rule_indexes: Sequence[int] | None,
+    event_columns: Sequence[str] | None,
+):
+    """Shared input prep for both stateful APIs: the keyed projection
+    (key, epoch-us timestamp, original-event map, order + value columns)
+    and the pickled rule specs."""
     idxs = list(rule_indexes) if rule_indexes is not None else list(range(len(rules)))
     specs: list[dict] = []
     value_cols: dict[int, str] = {}
@@ -259,8 +263,37 @@ def stateful_alerts(
             value_cols[idx] = vcol
             cols.append(numeric_field(events, rule.field).alias(vcol))
         specs.append(spec)
+    return events.select(*cols), specs, value_cols
 
-    keyed = events.select(*cols)
+
+def stateful_alerts(
+    events: DataFrame,
+    rules: Sequence[DetectionRule],
+    *,
+    key_field: str,
+    time_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    rule_indexes: Sequence[int] | None = None,
+    event_columns: Sequence[str] | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Compile the stateful rules (rate/statistical) of a rule set into
+    ONE keyed stateful branch over a streaming DataFrame.
+
+    ``rule_indexes`` preserves each rule's position in the full YAML list
+    so the union with stateless branches keeps reference emission order
+    (SURVEY §3.2).
+
+    ``state_ttl_ms`` enables idle-key state eviction via processing-time
+    timeout: a key with no events for the TTL has its detector state
+    dropped (re-created fresh on its next event, exactly like a brand-new
+    key). The reference keeps per-key state forever
+    (AnomalyProcessFunction.java:86-90) — unbounded key cardinality at
+    100 TB needs the bound; pick TTL ≫ the largest rule window so
+    eviction never changes live-detection results."""
+    keyed, specs, value_cols = _prepare_keyed(
+        events, rules, key_field, time_col, order_cols, rule_indexes, event_columns
+    )
     alerts = keyed.groupBy(_KEY).applyInPandasWithState(
         _make_processor(specs, value_cols, tuple(order_cols), state_ttl_ms),
         outputStructType=ALERT_SCHEMA,
@@ -271,6 +304,117 @@ def stateful_alerts(
             if state_ttl_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+    return alerts.select(
+        "rule_name",
+        "key",
+        F.timestamp_micros(F.col("alert_ts_us")).alias("alert_ts"),
+        "details",
+        "original_event",
+        "rule_index",
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+def _make_tws_processor(
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+    ttl_ms: int | None = None,
+):
+    """StatefulProcessor twin of :func:`_make_processor`.
+
+    Same detector semantics (the per-batch evaluation is the SAME
+    function, :func:`_run_rules_over_batch`) on Spark 4's
+    `transformWithStateInPandas` API: typed state handles, built-in
+    per-key state TTL (replacing the hand-rolled processing-time timeout
+    dance), and the RocksDB state store — the scale-path store whose
+    changelog checkpointing and memory-bounded native state survive key
+    cardinalities the in-memory HDFS-backed store cannot. Parity with
+    the applyInPandasWithState path is locked by
+    tests/test_streaming_tws.py."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SentinelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "detectors", STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator:
+            blob = self._state.get()
+            st: dict = json.loads(blob[0]) if blob else {}
+            out = _run_rules_over_batch(
+                st, rows, key, rule_specs, value_cols, order_cols
+            )
+            self._state.update((json.dumps(st),))
+            if out["rule_name"]:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return SentinelProcessor()
+
+
+def stateful_alerts_tws(
+    events: DataFrame,
+    rules: Sequence[DetectionRule],
+    *,
+    key_field: str,
+    time_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    rule_indexes: Sequence[int] | None = None,
+    event_columns: Sequence[str] | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """:func:`stateful_alerts` on `transformWithStateInPandas`.
+
+    Drop-in alternative backend with identical output (same keyed
+    projection, same per-batch evaluation function, same output schema).
+    Requires the RocksDB state store provider::
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+    State TTL here is the API's built-in per-value TTL (state expires
+    ttl_ms after its last update) — operationally equivalent to the
+    processing-time-timeout eviction of the default backend: an idle
+    key's detector state disappears and the key restarts fresh.
+
+    Also requires the ``protobuf`` Python package (the
+    transformWithState state-server wire protocol) — probed here with
+    an actionable error, like the Kafka connector gate in
+    streaming/sources.py, because a missing dependency otherwise
+    surfaces as an opaque mid-query "driver worker crashed"."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "stateful_alerts_tws needs the 'protobuf' Python package "
+            "(pip install protobuf) — transformWithStateInPandas uses a "
+            "protobuf state-server protocol. Use stateful_alerts (the "
+            "applyInPandasWithState backend, no extra deps) instead."
+        ) from exc
+    keyed, specs, value_cols = _prepare_keyed(
+        events, rules, key_field, time_col, order_cols, rule_indexes, event_columns
+    )
+    alerts = keyed.groupBy(_KEY).transformWithStateInPandas(
+        statefulProcessor=_make_tws_processor(
+            specs, value_cols, tuple(order_cols), state_ttl_ms
+        ),
+        outputStructType=ALERT_SCHEMA,
+        outputMode="Append",
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
     )
     return alerts.select(
         "rule_name",
