@@ -1446,3 +1446,47 @@ def q29(spark, sf):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "x21_salted_hot_key_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def x21(spark, sf):
+    # Salted two-phase aggregation (operators/skew.py): event_type is a
+    # low-cardinality key — the 100 TB shape where one hot key saturates
+    # a single reducer. The oracle is the PLAIN aggregate: salting must
+    # be invisible in the result (partials merge exactly for
+    # decimal/long aggregates).
+    from stream_sentinel_spark.operators import skew
+
+    ev = _t(spark, sf, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,4)")
+    )
+    out = skew.salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "*"),
+            "total_value": ("sum", "value_dec"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_user",
+        "max_user",
+    ).orderBy("event_type")

@@ -1,0 +1,86 @@
+"""Salted aggregation / salted join: result equivalence with the
+unsalted plans, salt determinism, and the two-phase plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators import skew
+from stream_sentinel_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def test_salted_aggregate_equals_plain(spark, events):
+    ev = events.withColumn("value_dec", F.col("value").cast("decimal(18,4)"))
+    salted = skew.salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "*"),
+            "s": ("sum", "value_dec"),
+            "lo": ("min", "user_id"),
+            "hi": ("max", "user_id"),
+        },
+        salt=8,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_dec").alias("s"),
+        F.min("user_id").alias("lo"),
+        F.max("user_id").alias("hi"),
+    )
+    key = lambda r: r["event_type"]  # noqa: E731
+    assert sorted(map(tuple, salted.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, plain.collect()), key=lambda t: t[0]
+    )
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark, events):
+    with pytest.raises(ValueError, match="supports"):
+        skew.salted_aggregate(events, ["event_type"], {"a": ("avg", "value")})
+
+
+def test_salt_is_retry_deterministic(spark, events):
+    """Same content → same salt on every evaluation (a random salt
+    would corrupt results on task retry)."""
+    ev = events.limit(500)
+    s1 = skew.salted_aggregate(ev, ["event_type"], {"n": ("count", "*")}, salt=8)
+    s2 = skew.salted_aggregate(ev, ["event_type"], {"n": ("count", "*")}, salt=8)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+
+
+def test_salted_join_equals_plain_join(spark, events):
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        ["event_type", "weight"],
+    )
+    salted = skew.salted_join(events, dim, on=["event_type"], salt=4)
+    plain = events.join(dim, "event_type")
+    assert salted.count() == plain.count()
+    sj = salted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w")
+    )
+    pj = plain.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w")
+    )
+    assert sorted(map(tuple, sj.collect())) == sorted(map(tuple, pj.collect()))
+
+
+def test_two_phase_plan_shape(spark, events):
+    """The salted aggregate must actually aggregate twice (partial per
+    (key, salt), then merge) — i.e. the salt column reaches a hash
+    aggregate before the final one."""
+    plan = (
+        skew.salted_aggregate(events, ["event_type"], {"n": ("count", "*")}, salt=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__ss_salt" in plan
