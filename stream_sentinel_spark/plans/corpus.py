@@ -1490,3 +1490,47 @@ def x21(spark, sf):
         "min_user",
         "max_user",
     ).orderBy("event_type")
+
+
+@query(
+    "q30_outer_join_order_fill",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)
+                AS DOUBLE) AS spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_totalprice > 400000.0
+    GROUP BY c_custkey, c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def q30(spark, sf):
+    # Outer-join surface (SURVEY §2.6): customers keep their row with a
+    # zero fill when no HIGH-VALUE order matches (the price bound makes
+    # the outer semantics non-vacuous on this corpus: ~13% of customers
+    # have no qualifying order) — COUNT over the nullable join column
+    # counts matches only, and the decimal spend coalesces to an exact
+    # zero before the final double cast.
+    cu = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        cu.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_totalprice") > 400000.0),
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("spend"),
+        )
+        .orderBy("c_custkey")
+    )
