@@ -136,3 +136,42 @@ def test_partition_pruning_friendly_scan(spark):
     df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_region_filter(spark):
+    """q26 (TPC-H Q5): the region filter must reach its scan as a pushed
+    filter, nation/region must broadcast (never shuffle the fact side
+    for a dimension), and the date range must be pushed to the orders
+    scan."""
+    df = corpus._QUERIES["q26_tpch_q5_volume"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters:.*r_name.*ASIA", plan) or re.search(
+        r"PushedFilters:.*EqualTo\(r_name", plan
+    ), plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan), plan
+
+
+def test_tpch_q1_is_two_phase_agg_with_pruned_scan(spark):
+    """q25 (TPC-H Q1): partial→final hash aggregation (map-side combine
+    before the shuffle) and a read schema pruned to the referenced
+    columns only."""
+    df = corpus._QUERIES["q25_tpch_q1_pricing"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert "l_shipdate" in cols and "l_quantity" in cols, cols
+
+
+def test_salted_agg_two_hash_aggregates(spark):
+    """x21: the salted aggregate really is two-phase on the PHYSICAL
+    plan — (key, salt) aggregation, then the per-key merge — with the
+    salt never reaching the output."""
+    df = corpus._QUERIES["x21_salted_hot_key_agg"](spark, SF_DIR)
+    plan = plan_of(df)
+    # 2 logical phases x (partial+final) = 4 hash aggregate operators
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "__ss_salt" not in df.columns
