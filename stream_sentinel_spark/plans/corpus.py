@@ -1565,3 +1565,39 @@ def q31(spark, sf):
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q32_lag_lead_ntile",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           epoch_ms(o_orderdate) AS order_ms,
+           epoch_ms(LAG(o_orderdate) OVER w)  AS prev_ms,
+           epoch_ms(LEAD(o_orderdate) OVER w) AS next_ms,
+           NTILE(4) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q32(spark, sf):
+    # Analytic-function breadth: lag/lead navigation and ntile bucketing
+    # per key. Timestamps cross the oracle as epoch-ms longs (the corpus
+    # timestamp rule); every window has a total order via the orderkey
+    # tie-break so offsets and tiles are deterministic.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    ms = F.unix_millis  # integer ms — corpus timestamp rule, no float division
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        ms(F.col("o_orderdate")).alias("order_ms"),
+        ms(F.lag("o_orderdate").over(w)).alias("prev_ms"),
+        ms(F.lead("o_orderdate").over(w)).alias("next_ms"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+    )
