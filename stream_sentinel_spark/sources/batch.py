@@ -114,3 +114,61 @@ def events_from_json(
         .drop("_corrupt_record")
         .withColumn("ts", F.to_timestamp(F.col("timestamp")))
     )
+
+
+def load_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    drop_malformed: bool = True,
+) -> DataFrame:
+    """Line-delimited JSON with the engine's S2/S3 malformed-row
+    contract: permissive parse against an EXPLICIT schema (schema
+    inference is a second full scan and non-deterministic under schema
+    drift — never at 100 TB), and malformed lines dropped via the
+    corrupt-record column rather than failing the job. Set
+    ``drop_malformed=False`` to keep them (column ``_corrupt_record``)
+    for a quarantine sink."""
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if drop_malformed:
+        return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    drop_malformed: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with the same contract as :func:`load_jsonl`: explicit
+    schema, permissive mode, malformed rows (wrong arity, uncastable
+    cells) dropped via the corrupt-record column instead of NULL-ing
+    silently (DROPMALFORMED hides the loss) or failing (FAILFAST).
+    Extra datasource options pass through (sep, quote, timestampFormat,
+    ...)."""
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    reader = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("header", str(header).lower())
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    if drop_malformed:
+        return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df
