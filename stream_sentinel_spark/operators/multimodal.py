@@ -113,3 +113,114 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real image resize (PIL absent): the
+    output length is exactly width*height bytes, derived from the input
+    by tiling — same contract shape (bytes in → bytes out, size set by
+    target dims), reproducible across runs and partitionings."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """mapInPandas image resize: image rows resized to (width, height),
+    non-image rows passed through untouched with NULL dims.
+
+    STUB decode (real path needs PIL/opencv — NotImplementedError unless
+    ``fake=True``); the Spark plumbing is real: partition-preserving, no
+    shuffle, Arrow-batched, payload replaced in place so downstream size
+    is bounded by the target dims, not the source."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            out_payload = [
+                _fake_resize(p, width, height) if img else p
+                for p, img in zip(pdf["payload"], is_img)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": [width if i else None for i in is_img],
+                    "height": [height if i else None for i in is_img],
+                    "payload": out_payload,
+                    "resized_bytes": [len(p) for p in out_payload],
+                }
+            )
+
+    return media.mapInPandas(do_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = False
+) -> DataFrame:
+    """mapInPandas video frame sampling: each video row EXPANDS to up to
+    ``max_frames`` frame rows (one per ``every_ms`` of fake duration) —
+    the flatMap shape real frame extraction has. Non-video rows produce
+    no output.
+
+    STUB decode (real path needs ffmpeg); the fake derives a
+    deterministic duration from the payload length and slices the
+    payload per frame, so row counts and sizes are stable for tests.
+    Output rows stay in their input partition (no shuffle); downstream
+    repartition only if frame fan-out skews partition sizes."""
+    if not fake:
+        raise NotImplementedError(
+            "frame sampling requires a video library not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [], "payload": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or not len(payload):
+                    continue
+                duration_ms = len(payload) * 10  # fake: 10 ms per byte
+                n = min(max_frames, max(1, duration_ms // every_ms))
+                step = max(1, len(payload) // n)
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * every_ms)
+                    out["payload"].append(bytes(payload[i * step : i * step + step]))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(do_sample, FRAME_SCHEMA)

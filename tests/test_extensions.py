@@ -175,3 +175,46 @@ def test_multimodal_plumbing(spark, docs):
 def test_decode_media_stub_gated():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "image", fake=False)
+
+def test_resize_images_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    resized = multimodal.resize_images(media, width=8, height=4, fake=True)
+    rows = {r.media_id: r for r in resized.collect()}
+    assert len(rows) == media.count()  # row-preserving
+    src = {r.media_id: r for r in media.collect()}
+    for mid, r in rows.items():
+        if src[mid].kind == "image":
+            assert (r.width, r.height) == (8, 4)
+            assert r.resized_bytes == 8 * 4  # payload bounded by target dims
+        else:
+            assert r.width is None and r.height is None
+            assert bytes(r.payload) == bytes(src[mid].payload)  # pass-through
+    # stub gate: real decode path must refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, fake=False)
+
+
+def test_sample_frames_plumbing(spark, docs):
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4, fake=True)
+    rows = frames.collect()
+    vids = {r.media_id for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in rows} <= vids  # only videos expand
+    assert len(rows) > len(vids) // 2  # the flatMap actually fans out
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.media_id, []).append(r)
+    for mid, fr in by_vid.items():
+        idxs = sorted(f.frame_idx for f in fr)
+        assert idxs == list(range(len(idxs)))  # dense frame indexes
+        assert all(f.frame_ms == f.frame_idx * 1000 for f in fr)
+        assert len(fr) <= 4
+    # determinism across runs
+    again = multimodal.sample_frames(
+        media, every_ms=1000, max_frames=4, fake=True
+    ).collect()
+    assert sorted((r.media_id, r.frame_idx, bytes(r.payload)) for r in rows) == sorted(
+        (r.media_id, r.frame_idx, bytes(r.payload)) for r in again
+    )
