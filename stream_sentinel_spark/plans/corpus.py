@@ -1601,3 +1601,265 @@ def q32(spark, sf):
         ms(F.lead("o_orderdate").over(w)).alias("next_ms"),
         F.ntile(4).over(wp).alias("price_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q33-q38: remaining TPC-H shapes expressible on this schema
+# (Q6 / Q4 / Q10 / Q13 / Q18 / Q19 — adapted where the synthetic tables
+# lack a column: no l_commitdate/l_receiptdate, no l_shipmode, no
+# partsupp, no p_container; each adaptation keeps the SHAPE the original
+# query exercises, which is what locks the relational surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q33_tpch_q6_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q33(spark, sf):
+    # TPC-H Q6 shape: pure scan-filter-aggregate, no join, no group —
+    # the query that proves predicate pushdown end-to-end. All four
+    # predicates reach the parquet scan (PushedFilters); the aggregate
+    # is a two-phase partial with ONE output row, so the only exchange
+    # is a single-row gather.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q34_tpch_q4_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q34(spark, sf):
+    # TPC-H Q4 shape: EXISTS-correlated subquery -> left SEMI join on
+    # the order key with a non-equi residual (shipped >60 days after
+    # the order date — standing in for the reference schema's
+    # commitdate/receiptdate lateness test), then a grouped count. The
+    # semi join hashes on the equi key; the residual evaluates on the
+    # matched rows only.
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q35_tpch_q10_returns",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q35(spark, sf):
+    # TPC-H Q10 shape: returned-item revenue per customer over one
+    # quarter, top 20. Date filter pushed to the orders scan, returnflag
+    # to the lineitem scan; nation broadcasts; the LIMIT carries the
+    # custkey tie-break (corpus total-order rule) so top-k is stable.
+    cu = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        cu.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q36_tpch_q13_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON o_custkey = c_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q36(spark, sf):
+    # TPC-H Q13 shape: outer join + DOUBLE aggregation — orders per
+    # customer (zero-preserving via COUNT over the nullable join
+    # column), then the distribution of those counts. The second
+    # aggregate runs on one row per customer, so its exchange is tiny;
+    # the priority filter lives in the JOIN CONDITION (not a WHERE),
+    # which is what keeps customers with only urgent orders at count 0.
+    cu = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cu.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q37_tpch_q18_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+    SELECT c_custkey, c_name, o_orderkey,
+           epoch_ms(o_orderdate) AS order_ms,
+           o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q37(spark, sf):
+    # TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back to
+    # orders/customer. The heavy aggregate runs FIRST and its survivors
+    # (few) drive the joins — at scale the big-order set broadcasts, so
+    # neither orders nor customer reshuffles. Decimal HAVING bound
+    # evaluated on the exact sum (pre-cast), as in the SQL.
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    o = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.unix_millis(F.col("o_orderdate")).alias("order_ms"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q38_tpch_q19_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q38(spark, sf):
+    # TPC-H Q19 shape: disjunctive mixed-table predicate over a join
+    # (the OR spans both sides, so it evaluates as a join residual).
+    # Catalyst derives the implied single-table filters — brand IN
+    # (1,2,3) pushes to the part scan, quantity<=30 to lineitem — so
+    # the join probes a fraction of both tables; part broadcasts.
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.filter(clause).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
