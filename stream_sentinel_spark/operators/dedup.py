@@ -52,10 +52,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct character n-grams per document: (id, shingle).
+def gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct character n-grams per document as one array row:
+    (id, grams: array<string>). Docs too short for a single n-gram are
+    dropped (they can have no shingle-based similarity to anything).
 
-    Built with sequence+transform+explode — stays in whole-stage codegen;
+    Built with sequence+transform — stays in whole-stage codegen;
     array_distinct caps the blow-up at distinct-shingle count per doc.
     """
     grams = F.array_distinct(
@@ -67,7 +69,14 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     return (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
         .select("id", grams.alias("grams"))
-        .select("id", F.explode("grams").alias("shingle"))
+        .filter(F.size("grams") > 0)
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct character n-grams per document: (id, shingle)."""
+    return gram_arrays(df, id_col, text_col, n).select(
+        "id", F.explode("grams").alias("shingle")
     )
 
 
@@ -93,7 +102,11 @@ def _encode_shingle_docs(
     vocab = freq.select(
         "shingle",
         (F.row_number().over(Window.orderBy("df_", "shingle")) - 1).alias("sid"),
-    )
+    ).localCheckpoint(eager=True)
+    # vocab is pinned, so this count reads the materialized dim table —
+    # without the barrier the count action re-ran the full shingle +
+    # frequency scan a second time (measured ~2.5 s of the encode cost
+    # at sf0.1), and the broadcast below would have run it a third.
     n_vocab = vocab.count()
     ids = sh.join(F.broadcast(vocab), "shingle").select("id", "sid")
     docs = ids.groupBy("id").agg(
@@ -118,7 +131,7 @@ def _add_shingle_masks(docs: DataFrame, n_vocab: int) -> tuple[DataFrame, int]:
     ), nwords
 
 
-def _materialize_masks(docs: DataFrame) -> DataFrame:
+def _materialize_masks(docs: DataFrame, keep_grams: bool = False) -> DataFrame:
     """Materialize the mask frame before a pair join and spread it over
     the cluster's cores.
 
@@ -136,7 +149,8 @@ def _materialize_masks(docs: DataFrame) -> DataFrame:
       core; the explicit repartition restores stream-side parallelism.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    return docs.drop("grams").repartition(par).localCheckpoint(eager=True)
+    kept = docs if keep_grams else docs.drop("grams")
+    return kept.repartition(par).localCheckpoint(eager=True)
 
 
 def _popcount_shared(nwords: int):
@@ -366,13 +380,25 @@ def dedup_clusters(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(h))).alias(f"h{h}")
-        for h in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{h}" for h in range(num_hashes)]).alias("sig"))
+def _minhash_signatures_from_grams(base: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from a per-doc grams-array frame — MAP-ONLY: the k mins
+    compute per row with no explode and no aggregation shuffle, which is
+    the shape that scales (signatures of N docs are N independent rows;
+    the old explode→groupBy formulation shuffled every (doc, shingle)
+    pair — 140× the rows on this corpus — just to re-group them).
+
+    The localCheckpoint barrier is load-bearing, same reason as
+    :func:`_materialize_masks`: the signature is an interpreted nested
+    higher-order expression, and without a barrier Catalyst collapses it
+    into every downstream consumer — each of the 16 band buckets and
+    BOTH sides of the bucket join re-derive all k mins per emitted row
+    (measured: the x08 plan stops completing at sf0.1; with the barrier
+    the signature stage is 0.4 s vs 3.9 s for explode→groupBy)."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, h))),
+    )
+    return base.select("id", sig.alias("sig")).localCheckpoint(eager=True)
 
 
 def minhash_signatures(
@@ -392,23 +418,22 @@ def minhash_signatures(
     exploding the candidate set (measured 5× more candidates AND 2.5×
     slower end-to-end on the driver corpus) — so the k seeded hashes are
     the right cost."""
-    return _minhash_signatures_from_shingles(
-        shingles(df, id_col, text_col, n), num_hashes
+    return _minhash_signatures_from_grams(
+        gram_arrays(df, id_col, text_col, n), num_hashes
     )
 
 
-def _lsh_raw_pairs_from_shingles(
-    sh: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """Band-bucket collision pairs WITHOUT the final dedup: a pair
-    agreeing on k bands appears k times. Callers either `.distinct()`
-    (the candidate contract) or verify first and dedupe the survivors —
-    verification via broadcast-joined masks is pure codegen, so running
-    it on the duplicated stream is cheaper than a wide distinct shuffle
-    of the raw pairs."""
+def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Band-bucket collision pairs from a (id, sig) frame WITHOUT the
+    final dedup: a pair agreeing on k bands appears k times. Callers
+    either `.distinct()` (the candidate contract) or verify first and
+    dedupe the survivors — verification via broadcast-joined masks is
+    pure codegen, so running it on the duplicated stream is cheaper
+    than a wide distinct shuffle of the raw pairs. ``sig`` should be
+    materialized (see :func:`_minhash_signatures_from_grams`) — both
+    join sides re-derive it otherwise."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = _minhash_signatures_from_shingles(sh, num_hashes)
     banded = sig.select(
         "id",
         F.explode(
@@ -431,10 +456,11 @@ def _lsh_raw_pairs_from_shingles(
     )
 
 
-def _lsh_candidates_from_shingles(
-    sh: DataFrame, num_hashes: int, bands: int
+def _lsh_candidates_from_grams(
+    base: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    return _lsh_raw_pairs_from_shingles(sh, num_hashes, bands).distinct()
+    sig = _minhash_signatures_from_grams(base, num_hashes)
+    return _band_raw_pairs(sig, num_hashes, bands).distinct()
 
 
 def minhash_lsh_candidates(
@@ -451,8 +477,8 @@ def minhash_lsh_candidates(
     (band, band_hash): the only shuffle key is the bucket, so the plan
     is a standard hash join at any scale — never a cross join.
     """
-    return _lsh_candidates_from_shingles(
-        shingles(df, id_col, text_col, n), num_hashes, bands
+    return _lsh_candidates_from_grams(
+        gram_arrays(df, id_col, text_col, n), num_hashes, bands
     )
 
 
@@ -504,12 +530,13 @@ def minhash_verified_pairs(
     explosion is capped by the banded buckets, and the exact check runs
     on the (tiny) candidate set with per-doc shingle arrays.
 
-    The signature path recomputes shingles from the text rather than
-    deriving them from an aggregated set frame: substring shingling is
-    cheap codegen'd work, while routing the signatures through
-    collect_set→explode chains two wide shuffles in series — measured
-    ~25× slower end-to-end on the driver corpus. Recompute beats reuse
-    when the reused thing sits behind a shuffle.
+    In the bitmask regime the signatures derive from the SAME encoded
+    doc frame that feeds verification (min over k seeded hashes of the
+    integer shingle ids — a dictionary-encoded shingle is 1:1 with the
+    string, so hashing sids IS a MinHash over the shingle vocabulary):
+    the frame is already pinned for the mask broadcast, so the second
+    text-shingling pass and the per-(shingle, seed) string hashing
+    disappear for free.
 
     Verification is ADAPTIVE on the same vocabulary probe as
     :func:`ngram_jaccard_pairs`. On a degenerate vocabulary LSH buckets
@@ -531,11 +558,13 @@ def minhash_verified_pairs(
         # distinct then runs on the (tiny) surviving set instead of the
         # full candidate volume. Measured: dedup-then-verify shuffles
         # 9.3M pair rows; verify-then-dedup shuffles only the survivors.
-        raw = _lsh_raw_pairs_from_shingles(
-            shingles(df, id_col, text_col, n), num_hashes, bands
-        )
         docs, nwords = _add_shingle_masks(docs, n_vocab)
-        docs = _materialize_masks(docs)
+        full = _materialize_masks(docs, keep_grams=True)
+        sig = _minhash_signatures_from_grams(
+            full.select("id", "grams"), num_hashes
+        )
+        raw = _band_raw_pairs(sig, num_hashes, bands)
+        docs = full.drop("grams")
         da = F.broadcast(docs.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
