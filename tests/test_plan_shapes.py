@@ -175,3 +175,52 @@ def test_salted_agg_two_hash_aggregates(spark):
     # 2 logical phases x (partial+final) = 4 hash aggregate operators
     assert plan.count("HashAggregate") >= 4, plan
     assert "__ss_salt" not in df.columns
+
+
+def test_tpch_q6_full_pushdown_single_row_agg(spark):
+    """q33 (TPC-H Q6): all four predicates reach the parquet scan and
+    the aggregate is two-phase (map-side partial before the single-row
+    gather)."""
+    plan = plan_of(corpus._QUERIES["q33_tpch_q6_forecast"](spark, SF_DIR))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tpch_q4_plans_semi_join(spark):
+    """q34 (TPC-H Q4): the EXISTS compiles to a LeftSemi hash join — the
+    probe side never duplicates order rows no matter how many lineitems
+    match."""
+    plan = plan_of(corpus._QUERIES["q34_tpch_q4_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q10_broadcasts_nation_and_pushes_filters(spark):
+    """q35 (TPC-H Q10): nation broadcasts; the returnflag and date-range
+    filters reach their scans; the top-20 never global-sorts."""
+    plan = plan_of(corpus._QUERIES["q35_tpch_q10_returns"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters:.*l_returnflag", plan), plan
+    assert re.search(r"PushedFilters:.*o_orderdate", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q18_broadcasts_having_survivors(spark):
+    """q37 (TPC-H Q18): the HAVING-filtered big-order set drives the
+    joins as the broadcast side, so orders/customer never reshuffle."""
+    plan = plan_of(corpus._QUERIES["q37_tpch_q18_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q19_derives_single_table_filters(spark):
+    """q38 (TPC-H Q19): Catalyst infers single-table conjuncts from the
+    cross-table OR — the lineitem scan carries the pushed OR-of-quantity
+    ranges and the part scan the brand/size disjunction, so the join
+    probes a fraction of both tables."""
+    plan = plan_of(corpus._QUERIES["q38_tpch_q19_disjunctive"](spark, SF_DIR))
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_quantity", plan), plan
+    assert re.search(r"PushedFilters:.*EqualTo\(p_brand", plan), plan
