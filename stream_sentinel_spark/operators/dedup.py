@@ -226,7 +226,14 @@ def ngram_jaccard_pairs(
             F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
             F.col("mask").alias("b_mask"),
         )
-        verified = da.crossJoin(db).filter(
+        # the broadcast hint is REQUIRED, not a nicety: the checkpointed
+        # frame is an ExistingRDD with no size statistics, so the
+        # planner sometimes falls back to CartesianProduct — n_a × n_b
+        # partitions (64² = 4096 near-empty tasks here), which turns a
+        # 6 s query into 35 s of task-scheduling overhead. Pinning the
+        # build side keeps the plan BroadcastNestedLoopJoin at every
+        # stats estimate.
+        verified = da.crossJoin(F.broadcast(db)).filter(
             (F.col("a_id") < F.col("b_id"))
             & (F.col("b_sz") >= F.ceil(F.lit(threshold) * F.col("a_sz")))
             & (F.col("b_sz") * F.lit(threshold) <= F.col("a_sz"))

@@ -1863,3 +1863,168 @@ def q38(spark, sf):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q39-q41: order statistics, pivot, and second-moment scalars
+# (the remaining relational breadth: exact cross-engine medians via
+# row_number selection, CASE-pivot aggregation, and correlation/variance
+# derived from exact decimal power sums — engine-native MEDIAN/CORR/
+# STDDEV aggregate in float in engine-specific order and cannot
+# hash-match across engines; these formulations are bit-identical).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q39_median_order_value",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey)
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS median_price,
+           MAX(n) AS n_orders
+    FROM ranked
+    WHERE rn IN (FLOOR((n + 1) / 2), FLOOR((n + 2) / 2))
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q39(spark, sf):
+    # Exact distributed median: rank within each segment with a total
+    # order (price, orderkey tie-break), keep the middle row (odd n) or
+    # middle two (even n — integer-division bounds select both), and
+    # average them with the corpus decimal-sum/count division. One
+    # window shuffle per segment, no driver collect — the shape that
+    # holds when a segment has a billion orders.
+    o = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = (
+        o.join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_mktsegment", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    # FLOOR of the float quotient on BOTH sides: `/` is float division
+    # in Spark AND DuckDB, so a bare (n+1)/2 would yield 3.5 for even n
+    # and silently select only the upper-middle row
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return (
+        mid.groupBy("c_mktsegment")
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("median_price"),
+            F.max("n").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q40_pivot_priority_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                              THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+             AS urgent_value
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q40(spark, sf):
+    # Pivot surface: wide per-category aggregates from a tall table.
+    # Expressed as conditional aggregation (what .pivot() compiles to
+    # once the value list is known) — explicit values keep the plan a
+    # single two-phase aggregate with NO extra pass to discover
+    # categories, which is the 100 TB form: never let pivot() scan the
+    # data to infer its columns.
+    cu = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return (
+        cu.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.when(urgent, 1)).alias("urgent"),
+            F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("high"),
+            F.count(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1)).alias("medium"),
+            F.sum(F.when(urgent, F.col("o_totalprice")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("urgent_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q41_price_quantity_moments",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((sxx / n) - (sx / n) * (sx / n), 6) AS var_qty,
+           ROUND((sxy / n - (sx / n) * (sy / n)) /
+             (SQRT(sxx / n - (sx / n) * (sx / n)) *
+              SQRT(syy / n - (sy / n) * (sy / n))), 6) AS corr_qty_price
+    FROM sums
+    ORDER BY l_returnflag
+    """,
+)
+def q41(spark, sf):
+    # Second moments (variance / correlation) from exact decimal power
+    # sums: sums accumulate order-insensitively in decimal, then ONE
+    # arithmetic expression per statistic written identically on both
+    # sides. Engine-native VAR_POP/CORR stream doubles in partition
+    # order and differ in the last bits across engines (and across
+    # partitionings of the SAME engine — not even self-stable at scale).
+    # The final ROUND(…, 6) is load-bearing too: the decimal→double cast
+    # of a 28-digit power sum can land one ULP apart across engines, and
+    # the corr division chain amplifies that into the visible digits;
+    # both engines produce the nearest double to <int>/1e6, so rounding
+    # restores the bit-match.
+    li = _t(spark, sf, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    sy = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    sxx = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(22,4)")).cast("double")
+    syy = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")
+    ).cast("double")
+    sxy = F.sum(
+        (F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(24,4)")
+    ).cast("double")
+    sums = li.groupBy("l_returnflag").agg(
+        n.alias("n"), sx.alias("sx"), sy.alias("sy"),
+        sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+    )
+    vx = F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    vy = F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    return sums.select(
+        "l_returnflag", "n",
+        F.round(vx, 6).alias("var_qty"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
