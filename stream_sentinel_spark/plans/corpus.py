@@ -2028,3 +2028,78 @@ def q41(spark, sf):
         F.round(vx, 6).alias("var_qty"),
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q42 / x22: percentiles — exact nearest-rank (oracle-checked) and the
+# sketch path (approx_count_distinct + percentile_approx, SURVEY W4's
+# latency-histogram mapping; rows-only because HLL++/KLL sketch outputs
+# are engine-specific by design — accuracy is pinned in
+# tests/test_sql_surface.py against the exact values instead).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q42_p95_nearest_rank",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders)
+    SELECT o_orderpriority, o_totalprice AS p95_price, n AS n_orders
+    FROM ranked
+    WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
+    ORDER BY o_orderpriority
+    """,
+)
+def q42(spark, sf):
+    # Exact distributed p95 via nearest-rank selection: the result is an
+    # actual data value (no interpolation arithmetic), so it is bit-exact
+    # across engines. Same scale shape as q39 — one window shuffle per
+    # group, no driver collect; at 100 TB this is the form to prefer over
+    # engine-native PERCENTILE (which sorts per group anyway) because the
+    # tie-broken total order makes reruns and engine swaps reproducible.
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("p95_price"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_orders"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.lit(0.95) * F.col("n_orders")))
+        .select("o_orderpriority", "p95_price", "n_orders")
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("x22_sketch_metrics")
+def x22(spark, sf):
+    # The scale path for W4/W5-style operational metrics: one pass, fixed
+    # memory. approx_count_distinct is a mergeable HLL++ sketch (map-side
+    # partial merges, no shuffle of raw values — COUNT(DISTINCT) at 100 TB
+    # expands rows per distinct key; the sketch is O(kilobytes) per
+    # partition), and percentile_approx is a mergeable KLL-style quantile
+    # summary — the same fixed-size-reservoir idea as the reference's
+    # 350-sample DescriptiveStatisticsHistogram (SentinelMetrics.java:35-38)
+    # but with error bounds. Rows-only check: sketch bits are
+    # engine-specific; accuracy vs exact is asserted in tests.
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
+        )
+        .select(
+            "event_type", "n_events", "approx_users",
+            F.col("value_pcts")[0].alias("p50_value"),
+            F.col("value_pcts")[1].alias("p95_value"),
+            F.col("value_pcts")[2].alias("p99_value"),
+        )
+        .orderBy("event_type")
+    )

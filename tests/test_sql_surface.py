@@ -34,3 +34,38 @@ def test_sql_matches_dataframe_plan(spark):
     assert sorted(r["event_id"] for r in sql_rows) == sorted(
         r["event_id"] for r in df_rows
     )
+
+
+def test_sketch_metrics_accuracy(spark):
+    """x22's sketches are rows-only at the oracle gate; pin their
+    accuracy here against exact values on the same data."""
+    from stream_sentinel_spark.plans import corpus
+
+    got = {
+        r["event_type"]: r
+        for r in corpus.queries()["x22_sketch_metrics"](spark, SF_DIR).collect()
+    }
+    rows = spark.sql(
+        "SELECT event_type, user_id, value FROM events"
+    ).collect()
+    by_type: dict[str, list] = {}
+    users: dict[str, set] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert set(got) == set(by_type) and got
+    for et, vals in by_type.items():
+        g = got[et]
+        # HLL++ at rsd=0.01 — allow 5% on tiny sf0.001 groups
+        n_users = len(users[et])
+        assert abs(g["approx_users"] - n_users) <= max(2, 0.05 * n_users)
+        # percentile_approx returns actual data values; with
+        # accuracy=10000 and these group sizes the rank is exact —
+        # assert each reported value sits within 1 rank of its target
+        vals.sort()
+        n = len(vals)
+        assert g["p50_value"] <= g["p95_value"] <= g["p99_value"]
+        for p, v in ((0.5, g["p50_value"]), (0.95, g["p95_value"]), (0.99, g["p99_value"])):
+            target = min(n - 1, max(0, round(p * (n - 1))))
+            window = vals[max(0, target - 1): min(n, target + 2)]
+            assert window[0] <= v <= window[-1], (et, p, v, window)
