@@ -18,6 +18,8 @@ that key, and AQE handles skew.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,25 +389,118 @@ def dedup_clusters(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_signatures_from_grams(base: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, sig) from a per-doc grams-array frame — MAP-ONLY: the k mins
-    compute per row with no explode and no aggregation shuffle, which is
-    the shape that scales (signatures of N docs are N independent rows;
-    the old explode→groupBy formulation shuffled every (doc, shingle)
-    pair — 140× the rows on this corpus — just to re-group them).
+# MinHash signature computation — Arrow-vectorized numpy kernel.
+#
+# The hash family is k independent multiply-shift permutations of Z_2^64:
+# h_i(x) = a_i * x + b_i (mod 2^64) with fixed-seed random odd a_i —
+# the family MLlib's MinHashLSH and datasketch use (mod a prime there;
+# mod 2^64 wraparound is free in uint64 and equally min-wise mixed for
+# random odd multipliers). The members must still be INDEPENDENT draws:
+# deriving them affinely from two base hashes (Kirsch–Mitzenmacher)
+# makes the same shingle minimize most members, collapsing LSH band
+# diversity (measured 5× more candidates AND 2.5× slower end-to-end on
+# the driver corpus). The previous formulation — k per-member seeded
+# xxhash64 passes as nested higher-order expressions — was interpreted
+# (higher-order functions never enter codegen) and cost ~19k string
+# hashes per doc; the numpy kernel hashes each shingle code once per
+# member with two vector ops (measured: the signature stage of x08 at
+# sf0.1 drops 8.3 s → <1 s).
+
+_MINHASH_FAMILY_SEED = 0x5EED_C0DE
+
+
+def _affine_family(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_MINHASH_FAMILY_SEED)
+    a = rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_min_matrix(
+    code_arrays: list[np.ndarray], num_hashes: int
+) -> list[list[int] | None]:
+    """Per-doc k-element MinHash signature rows from per-doc shingle-code
+    arrays. Docs with no codes yield None (caller filters — mirrors
+    gram_arrays dropping too-short docs). One concatenation + per-member
+    affine map + segmented min (reduceat); memory stays O(total codes)."""
+    lens = np.fromiter((len(c) for c in code_arrays), dtype=np.int64,
+                       count=len(code_arrays))
+    nonempty = lens > 0
+    if not nonempty.any():
+        return [None] * len(code_arrays)
+    codes = np.concatenate([c for c in code_arrays if len(c)])
+    seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=seg[1:])
+    a, b = _affine_family(num_hashes)
+    mins = np.empty((num_hashes, seg.size), dtype=np.uint64)
+    for h in range(num_hashes):
+        mins[h] = np.minimum.reduceat(a[h] * codes + b[h], seg)
+    # reinterpret the uint64 bits as Spark's long
+    sig = mins.view(np.int64).T
+    out: list[list[int] | None] = [None] * len(code_arrays)
+    for row, idx in zip(sig, np.flatnonzero(nonempty)):
+        out[idx] = row.tolist()
+    return out
+
+
+def _text_sig_udf(n: int, num_hashes: int):
+    """pandas_udf text -> array<long> signature. Shingle codes are the
+    n raw bytes of each UTF-8 n-gram packed into one uint64 (n ≤ 8) —
+    the byte content IS the code, no string hashing at all; np.unique
+    gives the distinct-shingle set."""
+    assert n <= 8
+
+    def fn(texts: pd.Series) -> pd.Series:
+        arrays: list[np.ndarray] = []
+        empty = np.empty(0, dtype=np.uint64)
+        for t in texts:
+            if t is None:
+                arrays.append(empty)
+                continue
+            bs = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if bs.size < n:
+                arrays.append(empty)
+                continue
+            c = np.zeros(bs.size - n + 1, dtype=np.uint64)
+            for j in range(n):
+                c = (c << np.uint64(8)) | bs[j: bs.size - n + 1 + j]
+            arrays.append(np.unique(c))
+        return pd.Series(_minhash_min_matrix(arrays, num_hashes))
+
+    return F.pandas_udf(fn, "array<long>")
+
+
+def _sid_sig_udf(num_hashes: int):
+    """pandas_udf grams(array<int sid>) -> array<long> signature — the
+    bitmask-regime path where docs are already dictionary-encoded; a
+    permutation of sid space is a MinHash over the shingle vocabulary."""
+
+    def fn(grams: pd.Series) -> pd.Series:
+        arrays = [
+            np.asarray(g, dtype=np.uint64) if g is not None else
+            np.empty(0, dtype=np.uint64)
+            for g in grams
+        ]
+        return pd.Series(_minhash_min_matrix(arrays, num_hashes))
+
+    return F.pandas_udf(fn, "array<long>")
+
+
+def _minhash_signatures_from_sids(docs: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig) from an encoded (id, grams: array<int>) frame — MAP-ONLY:
+    no explode, no aggregation shuffle; signatures of N docs are N
+    independent rows.
 
     The localCheckpoint barrier is load-bearing, same reason as
-    :func:`_materialize_masks`: the signature is an interpreted nested
-    higher-order expression, and without a barrier Catalyst collapses it
-    into every downstream consumer — each of the 16 band buckets and
-    BOTH sides of the bucket join re-derive all k mins per emitted row
-    (measured: the x08 plan stops completing at sf0.1; with the barrier
-    the signature stage is 0.4 s vs 3.9 s for explode→groupBy)."""
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda h: F.array_min(F.transform(F.col("grams"), lambda g: F.xxhash64(g, h))),
+    :func:`_materialize_masks`: without a barrier the ArrowEvalPython
+    stage re-runs on every downstream consumer — both sides of the
+    band-bucket self-join would recompute every signature."""
+    sig = _sid_sig_udf(num_hashes)(F.col("grams"))
+    return (
+        docs.select("id", sig.alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
     )
-    return base.select("id", sig.alias("sig")).localCheckpoint(eager=True)
 
 
 def minhash_signatures(
@@ -415,18 +510,18 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """(id, sig: array<long>) — element h is min over shingles of the
-    h-seeded xxhash64. One aggregation over the exploded shingle frame;
-    deterministic across runs and partitionings.
-
-    The hashes must be INDEPENDENT per family member: deriving them
-    affinely from two base hashes (Kirsch–Mitzenmacher) makes the same
-    shingle minimize most members, collapsing LSH band diversity and
-    exploding the candidate set (measured 5× more candidates AND 2.5×
-    slower end-to-end on the driver corpus) — so the k seeded hashes are
-    the right cost."""
-    return _minhash_signatures_from_grams(
-        gram_arrays(df, id_col, text_col, n), num_hashes
+    """(id, sig: array<long>) — element h is min over the doc's distinct
+    byte n-gram shingle codes of the h-th multiply-shift hash.
+    Deterministic across runs and partitionings (fixed-seed family,
+    order-insensitive min). Docs too short for one shingle are dropped,
+    matching :func:`gram_arrays`. Checkpointed for the same
+    re-computation reason as :func:`_minhash_signatures_from_sids`."""
+    sig = _text_sig_udf(n, num_hashes)(F.col("_t"))
+    return (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", sig.alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
     )
 
 
@@ -437,7 +532,7 @@ def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     dedupe the survivors — verification via broadcast-joined masks is
     pure codegen, so running it on the duplicated stream is cheaper
     than a wide distinct shuffle of the raw pairs. ``sig`` should be
-    materialized (see :func:`_minhash_signatures_from_grams`) — both
+    materialized (see :func:`_minhash_signatures_from_sids`) — both
     join sides re-derive it otherwise."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -463,13 +558,6 @@ def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
-def _lsh_candidates_from_grams(
-    base: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    sig = _minhash_signatures_from_grams(base, num_hashes)
-    return _band_raw_pairs(sig, num_hashes, bands).distinct()
-
-
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -480,13 +568,13 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on at least one LSH band.
 
-    rows/band = num_hashes/bands. Banding → explode → equi-join on
-    (band, band_hash): the only shuffle key is the bucket, so the plan
-    is a standard hash join at any scale — never a cross join.
+    rows/band = num_hashes/bands. Signature (map-only Arrow kernel) →
+    banding → explode → equi-join on (band, band_hash): the only shuffle
+    key is the bucket, so the plan is a standard hash join at any scale
+    — never a cross join.
     """
-    return _lsh_candidates_from_grams(
-        gram_arrays(df, id_col, text_col, n), num_hashes, bands
-    )
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return _band_raw_pairs(sig, num_hashes, bands).distinct()
 
 
 def _exact_verify(cands: DataFrame, sets_: DataFrame, threshold: float) -> DataFrame:
@@ -567,7 +655,7 @@ def minhash_verified_pairs(
         # 9.3M pair rows; verify-then-dedup shuffles only the survivors.
         docs, nwords = _add_shingle_masks(docs, n_vocab)
         full = _materialize_masks(docs, keep_grams=True)
-        sig = _minhash_signatures_from_grams(
+        sig = _minhash_signatures_from_sids(
             full.select("id", "grams"), num_hashes
         )
         raw = _band_raw_pairs(sig, num_hashes, bands)
