@@ -697,31 +697,57 @@ def minhash_verified_pairs(
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
-    """(id, simhash: long) — per-bit majority vote over whitespace-token
-    xxhash64 values, built from explode + 64 conditional sums (all
-    codegen'd; no UDF)."""
-    toks = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
-        "id",
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col("_t")), r"\s+"))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
-    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = hashed.groupBy("id").agg(*votes)
-    fingerprint = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    """(id, simhash: long) — per-bit majority vote over the hashes of the
+    doc's distinct whitespace tokens. MAP-ONLY Arrow kernel: each doc's
+    fingerprint is independent of every other row, so there is no reason
+    to shuffle — the previous formulation (explode tokens → groupBy id
+    with 64 conditional sums) paid a full shuffle of every (doc, token)
+    pair plus 64 aggregate expressions per row just to re-group rows
+    that started co-located. Token hash = 8-byte blake2b (deterministic
+    across runs/workers); per-bit majorities via one segmented sum per
+    bit over the batch's concatenated token hashes. Docs with no tokens
+    are dropped, as the old groupBy did."""
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        cache: dict[str, int] = {}
+
+        def tok_hash(tok: str) -> int:
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+                cache[tok] = h
+            return h
+
+        per_doc: list[list[int]] = [
+            [tok_hash(t) for t in set(txt.split())] if txt else [] for txt in texts
+        ]
+        lens = np.fromiter(map(len, per_doc), dtype=np.int64, count=len(per_doc))
+        nonempty = lens > 0
+        out = pd.Series([None] * len(per_doc), dtype=object)
+        if not nonempty.any():
+            return out
+        hs = np.fromiter(
+            (h for doc in per_doc for h in doc), dtype=np.uint64, count=int(lens.sum())
         )
-        term = F.shiftleft(bit, i)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
-    return agg.select("id", fingerprint.alias("simhash"))
+        seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=seg[1:])
+        ntoks = lens[nonempty]
+        fp = np.zeros(seg.size, dtype=np.uint64)
+        for i in range(bits):
+            ones = np.add.reduceat((hs >> np.uint64(i)) & np.uint64(1), seg)
+            fp |= (ones * 2 > ntoks).astype(np.uint64) << np.uint64(i)
+        for v, idx in zip(fp.view(np.int64), np.flatnonzero(nonempty)):
+            out.iloc[idx] = int(v)
+        return out
+
+    sim = F.pandas_udf(fn, "long")(F.col("_t"))
+    return (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", sim.alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )
 
 
 def simhash_candidates(
@@ -731,7 +757,11 @@ def simhash_candidates(
     by pigeonhole, a superset of all pairs with hamming distance <
     ``chunks``. Equi-join on (chunk index, chunk value); includes the
     exact hamming distance for downstream filtering."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    # fp feeds BOTH sides of the self-join; the barrier keeps the
+    # (map-only, Arrow) fingerprint computation from running twice —
+    # the old groupBy formulation had an implicitly reusable shuffle
+    # exchange, a map-only plan has no such reuse point.
+    fp = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     width = 64 // chunks
     mask = (1 << width) - 1
     chunk_structs = F.array(
