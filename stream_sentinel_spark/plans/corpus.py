@@ -2302,3 +2302,56 @@ def q45(spark, sf):
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x23: banded range join (time-proximity event correlation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x23_range_join_neighbors",
+    """
+    SELECT a.event_id,
+           COUNT(*) AS n_neighbors,
+           CAST(MIN(ABS(epoch_ms(a.ts) - epoch_ms(b.ts))) AS BIGINT) AS nearest_ms
+    FROM events a
+    JOIN events b
+      ON epoch_ms(b.ts) >= epoch_ms(a.ts) - 1000
+     AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 1000
+     AND a.user_id <> b.user_id
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+    """,
+)
+def x23(spark, sf):
+    # Banded range join: per event, how many OTHER users' events landed
+    # within +/-1 s, and how close the nearest one was. The oracle's
+    # non-equi join is written as two inequalities so DuckDB plans an
+    # IEJoin; the Spark side never plans a nested loop at all — the
+    # operator quantizes time into tolerance-width buckets, replicates
+    # one side 3x, and hash-joins on the bucket id (plan-shape test pins
+    # the absence of BroadcastNestedLoopJoin/CartesianProduct).
+    from stream_sentinel_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf, "events")
+    a = ev.select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+    )
+    pairs = range_join(
+        a, b, "a_ts", "b_ts", 1000,
+        extra_on=F.col("a_user") != F.col("b_user"),
+    )
+    return (
+        pairs.groupBy(F.col("a_id").alias("event_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min(
+                F.abs(F.unix_millis("a_ts") - F.unix_millis("b_ts"))
+            ).alias("nearest_ms"),
+        )
+        .orderBy("event_id")
+    )

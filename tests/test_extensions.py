@@ -218,3 +218,32 @@ def test_sample_frames_plumbing(spark, docs):
     assert sorted((r.media_id, r.frame_idx, bytes(r.payload)) for r in rows) == sorted(
         (r.media_id, r.frame_idx, bytes(r.payload)) for r in again
     )
+
+
+def test_range_join_matches_naive(spark):
+    """Banded range join ≡ the naive non-equi join, including the
+    inclusive |dt| == tolerance boundary and cross-bucket pairs."""
+    from stream_sentinel_spark.operators.rangejoin import range_join
+
+    rows = [(i, t) for i, t in enumerate([0, 999, 1000, 1001, 2500, 2500, 10_000])]
+    left = spark.createDataFrame(rows, "a_id int, a_ms long").select(
+        "a_id", F.timestamp_millis(F.col("a_ms")).alias("a_ts")
+    )
+    right = spark.createDataFrame(rows, "b_id int, b_ms long").select(
+        "b_id", F.timestamp_millis(F.col("b_ms")).alias("b_ts")
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in range_join(left, right, "a_ts", "b_ts", 1000).collect()
+    }
+    naive = {
+        (r.a_id, r.b_id)
+        for r in left.crossJoin(right)
+        .filter(
+            F.abs(F.unix_millis("a_ts") - F.unix_millis("b_ts")) <= 1000
+        )
+        .collect()
+    }
+    assert got == naive
+    assert (0, 1) in got and (0, 2) in got  # boundary kept (inclusive)
+    assert (0, 3) not in got  # 1001 ms apart — out

@@ -224,3 +224,14 @@ def test_tpch_q19_derives_single_table_filters(spark):
     plan = plan_of(corpus._QUERIES["q38_tpch_q19_disjunctive"](spark, SF_DIR))
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_quantity", plan), plan
     assert re.search(r"PushedFilters:.*EqualTo\(p_brand", plan), plan
+
+
+def test_range_join_never_nested_loop(spark):
+    """x23: the banded range join must plan as a hash-partitioned
+    equi-join on the bucket id — a non-equi formulation would fall to
+    BroadcastNestedLoopJoin / CartesianProduct, which is O(|L| x |R|)
+    and dies at scale."""
+    plan = plan_of(corpus.queries()["x23_range_join_neighbors"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
