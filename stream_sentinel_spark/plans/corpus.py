@@ -445,20 +445,34 @@ def q14(spark, sf):
     """,
 )
 def q15(spark, sf):
+    # Two-level aggregation: the naive rollup+countDistinct expands the
+    # FACT table (Expand x grouping-sets, then the distinct rewrite
+    # doubles it — 3x|lineitem| rows shuffled with l_partkey in the
+    # key). Pre-aggregating by (flag, status, partkey) first takes one
+    # map-side-combined shuffle over the raw rows; the rollup's Expand
+    # and the distinct then run on the |parts| x 6-combo frame —
+    # 100x smaller at any SF, and the ratio IMPROVES as the fact table
+    # grows. All partial sums are decimals (associative + exact), so the
+    # re-aggregated totals are bit-identical to the single-level form;
+    # partkey is unique per (flag, status) group after the pre-agg, so
+    # countDistinct over it is unchanged.
     li = _t(spark, sf, "lineitem")
-    sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        sum_qty.alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_base_price"),
+    pre = li.groupBy("l_returnflag", "l_linestatus", "l_partkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sp"),
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-        )
-        .cast("double")
-        .alias("sum_disc_price"),
-        (sum_qty / F.count("l_quantity")).alias("avg_qty"),
+        ).alias("_sd"),
+        F.count("l_quantity").alias("_nq"),
+    )
+    sum_qty = F.sum("_sq").cast("double")
+    return pre.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n_rows"),
+        sum_qty.alias("sum_qty"),
+        F.sum("_sp").cast("double").alias("sum_base_price"),
+        F.sum("_sd").cast("double").alias("sum_disc_price"),
+        (sum_qty / F.sum("_nq")).alias("avg_qty"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
     )
 
@@ -1549,16 +1563,22 @@ def q30(spark, sf):
 )
 def q31(spark, sf):
     # CUBE completes the grouping-sets surface next to q15's ROLLUP
-    # (SURVEY §2.6): all four grouping combinations in one Expand-based
-    # aggregation, decimal-exact sums.
+    # (SURVEY §2.6). Two-level shape, same reasoning as q15: a bare
+    # cube Expands the FACT table 4x before aggregating; pre-aggregating
+    # by the two grouping columns first is one ordinary map-side-combined
+    # shuffle (600k rows -> 6 groups at sf0.1), and the cube's Expand
+    # then runs on those 6 rows. Decimal partials are associative +
+    # exact, so totals are bit-identical.
     li = _t(spark, sf, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_qty"),
+            F.sum("_n").alias("n_rows"),
+            F.sum("_sq").cast("double").alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
