@@ -525,7 +525,9 @@ def minhash_signatures(
     )
 
 
-def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_raw_pairs(
+    sig: DataFrame, num_hashes: int, bands: int, salt: int = 8
+) -> DataFrame:
     """Band-bucket collision pairs from a (id, sig) frame WITHOUT the
     final dedup: a pair agreeing on k bands appears k times. Callers
     either `.distinct()` (the candidate contract) or verify first and
@@ -533,7 +535,19 @@ def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     pure codegen, so running it on the duplicated stream is cheaper
     than a wide distinct shuffle of the raw pairs. ``sig`` should be
     materialized (see :func:`_minhash_signatures_from_sids`) — both
-    join sides re-derive it otherwise."""
+    join sides re-derive it otherwise.
+
+    ``salt`` splits hot buckets: near-dup corpora concentrate docs in a
+    few (band, bucket) keys, and a bucket of n docs emits C(n,2) pairs
+    from ONE task (measured: the hottest bucket of the driver corpus
+    yields ~1M of 8.8M pairs — a 3.6x straggler at 32 partitions; AQE
+    skew-split doesn't fire because its byte thresholds see only the
+    tiny pre-join rows, not the join's output explosion). The left
+    row's chunk is fixed by its id hash, the right side replicates to
+    every chunk, so each pair still meets on exactly one key
+    (band, bucket, chunk) — no dedup introduced, hot buckets spread
+    over ``salt`` tasks at a fixed ``salt``x fan-out of the (tiny)
+    banded frame."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     banded = sig.select(
@@ -549,10 +563,16 @@ def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("id").alias("a_id"), "band", "bucket")
-    b = banded.select(F.col("id").alias("b_id"), "band", "bucket")
+    a = banded.select(
+        F.col("id").alias("a_id"), "band", "bucket",
+        F.pmod(F.xxhash64("id"), F.lit(salt)).alias("chunk"),
+    )
+    b = banded.select(
+        F.col("id").alias("b_id"), "band", "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")).alias("chunk"),
+    )
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["band", "bucket", "chunk"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
     )
