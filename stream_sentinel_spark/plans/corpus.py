@@ -2375,3 +2375,72 @@ def x23(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q46: value window functions (first/last/nth over explicit frames)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q46_value_window_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w1 AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w2 AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w2 AS second_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW
+      w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q46(spark, sf):
+    # Value window functions complete the analytic surface next to q16's
+    # ranking trio and q32's lag/lead/ntile. LAST_VALUE and NTH_VALUE
+    # carry the explicit full frame — the default frame ends at CURRENT
+    # ROW, which silently turns LAST_VALUE into "current value" in both
+    # engines; the orderkey tie-break makes every value deterministic.
+    # Values are raw column data (no arithmetic), so they hash bit-exact.
+    o = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w1 = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w2 = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_totalprice").over(w1).alias("first_price"),
+        F.last("o_totalprice").over(w2).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# x24: fuzzy matching (symmetric-delete blocking + exact levenshtein)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x24_fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY a_id, b_id
+    """,
+)
+def x24(spark, sf):
+    # Entity matching without the cross join: customer names within one
+    # edit. The oracle IS the quadratic levenshtein join (fine for DuckDB
+    # at oracle scale); the engine side blocks on symmetric deletes —
+    # an equi-join on the exploded variant key with a fixed (len+1)-fold
+    # fan-out — and verifies only the candidates, which is the shape
+    # that survives a row count where n^2 does not. Exact same result
+    # set (recall guarantee proven in operators/fuzzy.py).
+    from stream_sentinel_spark.operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf, "customer"), "c_custkey", "c_name", max_distance=1
+    ).orderBy("a_id", "b_id")

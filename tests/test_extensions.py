@@ -247,3 +247,32 @@ def test_range_join_matches_naive(spark):
     assert got == naive
     assert (0, 1) in got and (0, 2) in got  # boundary kept (inclusive)
     assert (0, 3) not in got  # 1001 ms apart — out
+
+
+def test_fuzzy_pairs_matches_naive(spark):
+    """Symmetric-delete blocking ≡ the naive quadratic levenshtein join
+    on a fixture exercising substitution, insertion, deletion, equality,
+    and distance-2 rejection."""
+    from stream_sentinel_spark.operators.fuzzy import fuzzy_pairs
+
+    words = ["spark", "spork", "spark", "sparks", "park", "spur", "flink"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id int, w string"
+    )
+    got = {(r.a_id, r.b_id, r.dist) for r in fuzzy_pairs(df, "id", "w").collect()}
+    naive = {
+        (r.a_id, r.b_id, r.dist)
+        for r in df.alias("a")
+        .crossJoin(df.selectExpr("id as b_id", "w as b_w"))
+        .filter(F.col("id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein("w", "b_w"))
+        .filter(F.col("dist") <= 1)
+        .selectExpr("id as a_id", "b_id", "dist")
+        .collect()
+    }
+    assert got == naive
+    assert (0, 1, 1) in got   # substitution
+    assert (0, 2, 0) in got   # exact duplicate
+    assert (0, 3, 1) in got   # insertion
+    assert (0, 4, 1) in got   # deletion
+    assert not any(a == 0 and b == 5 for a, b, _ in got)  # distance 2 — out
