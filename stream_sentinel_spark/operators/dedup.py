@@ -1,19 +1,24 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, all pure DataFrame ops (JVM-side, no Python UDFs), all
-designed for the 100 TB shape: no driver collects, no cross joins —
-candidate generation is always an equi-join on a derived key (shingle /
-band hash / bit-chunk) so Catalyst plans a hash shuffle partitioned by
-that key, and AQE handles skew.
+Four families, all designed for the 100 TB shape: no driver collects,
+no cross joins — candidate generation is always an equi-join on a
+derived key (shingle / band hash / bit-chunk) so Catalyst plans a hash
+shuffle partitioned by that key, with explicit salting where the
+derived keys concentrate. Set algebra and joins stay JVM-side
+(codegen); the per-doc fingerprint/signature kernels are Arrow-batched
+numpy (map-only, row-independent — the one place vectorized Python
+beats interpreted higher-order expressions).
 
 - exact:      content fingerprint (md5) → groupBy fingerprint
 - n-gram Jaccard: character shingles → explode → pair-join on shared
               shingle → |∩| / |∪| (exact similarity, O(pairs sharing a
               shingle) not O(n²))
-- MinHash+LSH: k seeded xxhash64 min-hashes → banded signatures →
-              bucket equi-join → candidates (+ optional exact verify)
-- SimHash:    token hashes → per-bit majority → 64-bit fingerprint →
-              banded chunks for hamming-≤k candidate pairs (pigeonhole)
+- MinHash+LSH: k multiply-shift min-hashes (Arrow kernel) → banded
+              signatures → salted bucket equi-join → candidates
+              (+ optional exact verify)
+- SimHash:    token hashes → per-bit majority (Arrow kernel) → 64-bit
+              fingerprint → banded chunks for hamming-≤k candidate
+              pairs (pigeonhole)
 """
 
 from __future__ import annotations

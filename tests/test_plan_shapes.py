@@ -94,40 +94,7 @@ def test_statistical_uses_single_window_pass(spark):
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan}"
 
 
-def test_bucketed_join_has_no_shuffle(spark, tmp_path):
-    """Two tables bucketed on the join key by the same bucket count join
-    with ZERO exchanges — the co-location is paid at write time. This is
-    the layout contract for repeatedly-joined 100 TB fact tables."""
-    from stream_sentinel_spark.sources.bucketing import (
-        bucketed_join_ready,
-        write_bucketed,
-    )
-
-    bucketed_join_ready(spark)
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        ev = load_table(spark, SF_DIR, "events")
-        write_bucketed(
-            ev.select("event_id", "user_id", "value"),
-            "ev_bucketed", ["user_id"], 8, sort_cols=["user_id"],
-        )
-        write_bucketed(
-            ev.select(F.col("user_id").alias("uid")).distinct(),
-            "users_bucketed", ["uid"], 8, sort_cols=["uid"],
-        )
-        a = spark.table("ev_bucketed")
-        b = spark.table("users_bucketed")
-        joined = a.join(b, a.user_id == b.uid)
-        plan = plan_of(joined)
-        assert "SortMergeJoin" in plan, plan
-        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
-        # and the join still returns the right rows
-        assert joined.count() == ev.count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
-        spark.sql("DROP TABLE IF EXISTS users_bucketed")
+# Bucketed-join plan shape lives in tests/test_bucketing.py.
 
 
 def test_partition_pruning_friendly_scan(spark):
