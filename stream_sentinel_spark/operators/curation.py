@@ -1,0 +1,278 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The operators a 100 TB pre-training pipeline runs between "raw crawl"
+and "training shards", beyond the dedup/similarity family
+(:mod:`stream_sentinel_spark.operators.dedup`, ``similarity``):
+
+- **decontamination** — n-gram containment of evaluation/test documents
+  against the training corpus (the standard train/test-overlap check);
+- **repetition scoring** — within-document duplicate n-gram fractions
+  (the Gopher-style repetition quality filters);
+- **keyword extraction** — per-document top-k salient terms by a
+  TF-IDF-style score;
+- **weighted sampling** — deterministic weighted sampling without
+  replacement (Efraimidis–Spirakis A-ES with a hash-derived uniform);
+- **chunking** — overlapping fixed-size token windows (context-window
+  packing prep).
+
+Reference parity note: the reference engine has no text-curation surface
+(SURVEY.md §2.6 — its only text handling is field stringification,
+``Event.java:122-125``); these extend the engine's training-data family
+(BASELINE.json north star).
+
+Scale notes are per-operator. Everything is pure column expressions or
+standard shuffles on high-cardinality keys; the only driver-side value
+anywhere is a lazily-computed broadcast scalar (corpus size) — never a
+``collect`` of data rows.
+
+Cross-engine determinism: no transcendental appears in any COMPARED
+value (scores are rational: counts, one division). ``weighted_sample``
+needs ``ln`` for correct A-ES semantics, so its contract is that the
+*selected row set* (not the priority) is the output — see the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Single-space tokenization (matches the oracle's string_split)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """array<string> of space-joined word n-grams; fewer than ``n``
+    tokens yields an empty array. Pure codegen'd expression — building
+    grams costs one map-side pass at any scale."""
+    toks = word_tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt > 0,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per test-document n-gram containment against the training corpus:
+    ``(doc_id, n_grams, hits, containment)`` where ``hits`` counts the
+    test doc's distinct n-grams that appear anywhere in ``train`` and
+    ``containment = hits / n_grams``. Docs shorter than ``n`` tokens
+    produce no row (no grams to check — callers treat them as clean).
+
+    The standard eval-set decontamination shape (see e.g. GPT-3 appendix
+    C / the Pile): flag test docs whose containment exceeds a threshold
+    before reporting benchmark numbers, or invert train/test to scrub
+    the training set.
+
+    Scale: both sides explode to (gram) / (doc, gram) rows and meet in
+    an equi-join on the gram string — a plain hash join keyed on a
+    high-cardinality key, so it partitions cleanly at any corpus size.
+    The train side is deduplicated before the join (shrinks the build
+    side by the corpus duplication factor); the test side deduplicates
+    per-doc so containment counts each gram once. No broadcast is
+    forced: at real scale BOTH sides are large, and AQE picks broadcast
+    on its own when the test set is small.
+    """
+    t_grams = (
+        test.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams(text_col, n)).alias("gram"),
+        )
+        .distinct()
+    )
+    corpus = (
+        train.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        t_grams.join(corpus, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("hits"),
+        )
+        .withColumn(
+            "containment", F.col("hits").cast("double") / F.col("n_grams")
+        )
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, one row per doc:
+    ``dup_2gram_frac`` / ``dup_3gram_frac`` (fraction of n-gram
+    instances that are repeats of an earlier instance, i.e.
+    ``1 - distinct/total``) and ``top_token_frac`` (share of the most
+    frequent token). High values mark boilerplate/spam for the quality
+    gate (cf. Rae et al. 2021, Gopher §A.1.1 repetition filters).
+
+    Map-only: every signal is an array expression over the doc's own
+    tokens (``size`` / ``array_distinct`` / ``aggregate``), so the
+    operator adds zero shuffles — it fuses into whatever scan feeds it.
+    """
+    toks = word_tokens(text_col)
+
+    def dup_frac(n: int) -> Column:
+        grams = word_ngrams(text_col, n)
+        total = F.size(grams)
+        return F.when(total > 0,
+            (total - F.size(F.array_distinct(grams))).cast("double") / total
+        ).otherwise(F.lit(0.0))
+
+    # most-frequent-token share without exploding: count occurrences of
+    # each distinct token via a filter over the token array
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        (top_cnt.cast("double") / F.size(toks)).alias("top_token_frac"),
+    )
+
+
+def top_keywords(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` salient terms per document by a TF-IDF-style score:
+    ``score = tf * (N / df)`` — term frequency times the *inverse
+    document-frequency ratio*. Deliberately **no logarithm**: per-doc
+    ranking is what matters and ``N/df`` is monotone in ``1/df`` exactly
+    like ``ln(N/df)``, while staying a rational number both engines
+    compute bit-identically (an ``ln`` in the score would make the hash
+    comparison depend on libm rounding). Ties broken by term asc;
+    output ``(doc_id, rank, term, score)``.
+
+    Scale: one explode + two hash aggregations (doc-term counts, then
+    document frequencies keyed by term) + one ``row_number`` window
+    partitioned by doc — all shuffles on high-cardinality keys. The
+    corpus size ``N`` is a lazily-computed one-row aggregate joined via
+    broadcast, not a driver-side ``count()``.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n_docs").cast("double") / F.col("df")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis–Spirakis A-ES scheme with a hash-derived uniform. Each
+    row gets priority ``ln(u) / w`` where ``u ∈ (0,1)`` comes from
+    ``md5(salt ‖ id)`` (60 bits) and ``w`` is its weight; the ``k``
+    largest priorities win — exactly the distribution of weighted
+    sampling without replacement, yet reproducible across runs, engines,
+    and partitionings (same id + salt → same decision; cf.
+    :func:`stream_sentinel_spark.operators.sampling.hash_sample`).
+
+    Contract: the output is the SELECTED ROWS (plus ``__priority`` for
+    the total order), not the priority values — ``ln`` may differ by an
+    ulp across libms, which can never flip a comparison between two
+    hash-random priorities but would fail a bit-exact hash on the
+    priority column itself.
+
+    Scale: priorities are map-side expressions; selection is a global
+    top-k (``orderBy + limit``), which Spark executes as per-partition
+    top-k + a k-row driver merge — no full sort, no shuffle of the
+    losers. For k large enough that a driver merge hurts, take the
+    approximate quantile of the priority instead; not needed here.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    pri = F.ln(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("__priority", pri)
+        .orderBy(F.col("__priority").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the packing
+    prep that turns variable-length documents into model-context-sized
+    pieces. Chunk ``i`` covers tokens ``[i*stride, i*stride +
+    chunk_tokens)``; chunks start while any token remains, so every
+    token lands in at least one chunk and the final chunk may be short.
+    Output ``(doc_id, chunk_idx, chunk_text, chunk_len)``.
+
+    Map-only (sequence + slice + posexplode): a pure per-row expansion
+    with no shuffle — the natural shape for a 100 TB corpus rewrite,
+    where chunking fuses with the scan and the sink controls
+    partitioning.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = word_tokens(text_col)
+    n_chunks_minus_1 = F.floor((F.size(toks) - 1) / F.lit(float(stride)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_minus_1.cast("int")),
+        lambda s: F.array_join(
+            F.slice(toks, s * stride + 1, chunk_tokens), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).withColumn("chunk_len", F.size(word_tokens("chunk_text")))

@@ -2444,3 +2444,194 @@ def x24(spark, sf):
     return fuzzy_pairs(
         _t(spark, sf, "customer"), "c_custkey", "c_name", max_distance=1
     ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# x25-x29: corpus-curation operators (operators/curation.py) — the
+# train/test decontamination, repetition-quality, keyword, weighted-
+# sampling, and chunking shapes of an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+@query(
+    "x25_decontamination",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(w) - 4),
+                    i -> array_to_string(w[i:i+4], ' '))) AS gram
+      FROM toks WHERE len(w) >= 5),
+    test_grams AS (SELECT DISTINCT doc_id, gram FROM grams
+                   WHERE source = 'src0'),
+    train_grams AS (SELECT DISTINCT gram FROM grams WHERE source <> 'src0')
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(t.gram) AS hits,
+           CAST(COUNT(t.gram) AS DOUBLE) / COUNT(*) AS containment
+    FROM test_grams g LEFT JOIN train_grams t ON g.gram = t.gram
+    GROUP BY g.doc_id
+    """,
+)
+def x25(spark, sf):
+    # Eval-set decontamination: 5-gram containment of the src0 slice
+    # against the rest of the corpus. Counts are integers and
+    # containment is one int/int division — bit-identical cross-engine.
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    return curation.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", n=5,
+    )
+
+
+@query(
+    "x26_repetition_quality",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> array_to_string(w[i:i+1], ' ')) AS g2,
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' ')) AS g3
+      FROM t WHERE len(w) >= 3)
+    SELECT doc_id, len(w) AS n_tokens,
+           COALESCE(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                    / len(g2), 0.0) AS dup_2gram_frac,
+           COALESCE(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                    / len(g3), 0.0) AS dup_3gram_frac,
+           CAST(list_aggregate(
+                  list_transform(list_distinct(w),
+                                 tk -> len(list_filter(w, x -> x = tk))),
+                  'max') AS DOUBLE) / len(w) AS top_token_frac
+    FROM g
+    """,
+)
+def x26(spark, sf):
+    # Gopher-style repetition filters; all-docs guard len(w)>=3 matches
+    # the fixture floor (min 10 tokens) so the oracle stays simple.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.repetition_features(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "x27_tfidf_keywords",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / dfreq.df)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS "rank"
+      FROM scored)
+    SELECT doc_id, "rank", term, score FROM ranked WHERE "rank" <= 3
+    """,
+)
+def x27(spark, sf):
+    # Rational TF-IDF (tf * N/df, no logarithm) — see top_keywords for
+    # why the log stays out of the compared value.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.top_keywords(_t(spark, sf, "documents"), "doc_id", "text", k=3)
+
+
+@query(
+    "x28_weighted_sample",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY ln((CAST(('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 1.0) / 1152921504606846976.0)
+             / n_chars DESC,
+             doc_id
+    LIMIT 100
+    """,
+)
+def x28(spark, sf):
+    # Efraimidis-Spirakis weighted sample, weight = n_chars: long docs
+    # win proportionally more often. The COMPARED columns are the
+    # selected ids/weights, never the ln-derived priority (libm-proof).
+    from stream_sentinel_spark.operators import curation
+
+    return curation.weighted_sample(
+        _t(spark, sf, "documents").select("doc_id", "n_chars", "text"),
+        "doc_id", "n_chars", k=100, salt="w1",
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "x29_document_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id, w,
+             unnest(generate_series(
+               0, CAST(floor((len(w) - 1) / 24.0) AS BIGINT))) AS chunk_idx
+      FROM t)
+    SELECT doc_id, chunk_idx,
+           array_to_string(w[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+             AS chunk_text,
+           len(w[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS chunk_len
+    FROM c
+    """,
+)
+def x29(spark, sf):
+    # Context-window packing prep: 32-token chunks, stride 24 (8-token
+    # overlap); map-only expansion, no shuffle anywhere in the plan.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.chunk_documents(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        chunk_tokens=32, stride=24,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47: TPC-H Q16 shape (distinct-supplier counts per part attribute) —
+# partsupp does not exist in the fixture set, so lineitem serves as the
+# part-supplier relationship, which preserves the query's whole point:
+# COUNT(DISTINCT) under a grouped multi-predicate filter.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q47_tpch_q16_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+      AND NOT p_type LIKE 'PROMO%'
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q47(spark, sf):
+    # TPC-H Q16 without partsupp: the filtered part side is small after
+    # the three predicates, so it broadcasts; COUNT(DISTINCT ...) is
+    # Catalyst's two-phase expand+agg - no distinct-collect anywhere.
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 7, 14, 21, 28, 35, 42, 49)
+        & ~F.col("p_type").like("PROMO%")
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

@@ -1,0 +1,173 @@
+"""Semantic unit tests for operators/curation.py (the corpus entries
+x25-x29 lock cross-engine parity; these lock the operator contracts on
+crafted inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b c d e")])
+    out = df.select(
+        "doc_id", curation.word_ngrams("text", 5).alias("g")
+    ).collect()
+    by_id = {r.doc_id: r.g for r in out}
+    assert by_id[1] == []
+    assert by_id[2] == ["a b c d e"]
+
+
+def test_decontaminate_planted_copy(spark):
+    train = _docs(
+        spark,
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "one two three four five six seven")],
+    )
+    test = _docs(
+        spark,
+        [
+            # verbatim span of train doc 100 → fully contained
+            (1, "alpha beta gamma delta epsilon"),
+            # clean doc: no 5-gram overlap
+            (2, "red green blue cyan magenta yellow"),
+            # half contaminated: grams crossing the seam don't match
+            (3, "one two three four five fresh words here now"),
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in curation.decontaminate(train, test, "doc_id", "text").collect()
+    }
+    assert got[1].n_grams == 1 and got[1].hits == 1
+    assert got[1].containment == 1.0
+    assert got[2].hits == 0 and got[2].containment == 0.0
+    # doc 3: 5 grams, exactly "one two three four five" matches
+    assert got[3].n_grams == 5 and got[3].hits == 1
+    assert got[3].containment == pytest.approx(0.2)
+
+
+def test_decontaminate_counts_doc_grams_once(spark):
+    train = _docs(spark, [(100, "p q r s t")])
+    test = _docs(spark, [(1, "p q r s t p q r s t")])  # gram repeats in doc
+    row = curation.decontaminate(train, test, "doc_id", "text").collect()[0]
+    # 6 gram positions, but position 6 repeats position 1 → 5 distinct
+    # grams; only "p q r s t" matches train, counted once
+    assert row.n_grams == 5
+    assert row.hits == 1
+
+
+def test_repetition_features_crafted(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "w x y z")])
+    got = {
+        r.doc_id: r
+        for r in curation.repetition_features(df, "doc_id", "text").collect()
+    }
+    # doc 1: 2-grams = [a a, a a, a b] → 3 total, 2 distinct → 1/3 dup
+    assert got[1].n_tokens == 4
+    assert got[1].dup_2gram_frac == pytest.approx(1 / 3)
+    # 3-grams = [a a a, a a b] → all distinct
+    assert got[1].dup_3gram_frac == 0.0
+    assert got[1].top_token_frac == pytest.approx(3 / 4)
+    assert got[2].dup_2gram_frac == 0.0
+    assert got[2].top_token_frac == pytest.approx(1 / 4)
+
+
+def test_top_keywords_rare_term_wins(spark):
+    # "zebra" appears twice in doc 1 and nowhere else; "the" is in every
+    # doc. tf*N/df must put zebra first for doc 1.
+    df = _docs(
+        spark,
+        [(1, "the zebra zebra runs"),
+         (2, "the cat sits"),
+         (3, "the dog barks")],
+    )
+    top = {
+        (r.doc_id, r.rank): r.term
+        for r in curation.top_keywords(df, "doc_id", "text", k=2).collect()
+    }
+    assert top[(1, 1)] == "zebra"
+    # every doc got exactly k=2 rows
+    assert len(top) == 6
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = _docs(
+        spark, [(i, f"doc {i}") for i in range(200)]
+    ).withColumn("w", (F.col("doc_id") % 7 + 1).cast("double"))
+    a = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(df, "doc_id", "w", k=20).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(
+            df.repartition(13), "doc_id", "w", k=20
+        ).collect()
+    )
+    assert len(a) == 20
+    assert a == b  # partitioning-independent
+    c = sorted(
+        r.doc_id
+        for r in curation.weighted_sample(
+            df, "doc_id", "w", k=20, salt="other"
+        ).collect()
+    )
+    assert a != c  # salts give independent samples
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # weight 1000:1 — the heavy half must dominate the sample
+    df = _docs(spark, [(i, "x") for i in range(400)]).withColumn(
+        "w", F.when(F.col("doc_id") < 200, 1000.0).otherwise(1.0)
+    )
+    picked = [
+        r.doc_id
+        for r in curation.weighted_sample(df, "doc_id", "w", k=50).collect()
+    ]
+    heavy = sum(1 for i in picked if i < 200)
+    assert heavy >= 45
+
+
+def test_chunk_documents_covers_every_token(spark):
+    text = " ".join(f"t{i}" for i in range(75))
+    df = _docs(spark, [(1, text)])
+    rows = sorted(
+        curation.chunk_documents(
+            df, "doc_id", "text", chunk_tokens=32, stride=24
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts at 0,24,48,72 → 4 chunks; last has 3 tokens
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    assert [r.chunk_len for r in rows] == [32, 32, 27, 3]
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split(" ")
+        assert toks == [f"t{i}" for i in range(r.chunk_idx * 24,
+                                               min(r.chunk_idx * 24 + 32, 75))]
+        covered.update(toks)
+    assert len(covered) == 75
+
+
+def test_chunk_documents_single_chunk(spark):
+    df = _docs(spark, [(1, "a b c")])
+    rows = curation.chunk_documents(
+        df, "doc_id", "text", chunk_tokens=32, stride=24
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_text == "a b c" and rows[0].chunk_len == 3
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, "doc_id", "text", stride=0)
