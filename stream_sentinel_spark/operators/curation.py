@@ -123,6 +123,12 @@ def repetition_features(
     Map-only: every signal is an array expression over the doc's own
     tokens (``size`` / ``array_distinct`` / ``aggregate``), so the
     operator adds zero shuffles — it fuses into whatever scan feeds it.
+    Every signal is LINEAR (well, O(n log n) for the sort) in the
+    document's token count: the most-frequent-token count is the longest
+    equal run of the SORTED token array, folded in one ``aggregate``
+    pass — the earlier filter-per-distinct-token formulation was
+    O(distinct·n) per document, which turned one long repetitive doc
+    into a straggler task.
     """
     toks = word_tokens(text_col)
 
@@ -133,13 +139,24 @@ def repetition_features(
             (total - F.size(F.array_distinct(grams))).cast("double") / total
         ).otherwise(F.lit(0.0))
 
-    # most-frequent-token share without exploding: count occurrences of
-    # each distinct token via a filter over the token array
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # most-frequent-token count = longest equal run in the sorted token
+    # array: one sort + one linear fold, no explode, no quadratic filter
+    top_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(t == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -219,12 +236,20 @@ def weighted_sample(
     hash-random priorities but would fail a bit-exact hash on the
     priority column itself.
 
+    Rows with non-positive weights are EXCLUDED (filtered, not an
+    error): the A-ES priority ``ln(u)/w`` is undefined at w = 0 (NULL in
+    Spark, which silently sorts last) and sign-flipped for w < 0 (those
+    rows would silently win first) — both silent inversions of the
+    sampling semantics, so the operator pins the standard A-ES
+    precondition w > 0 explicitly.
+
     Scale: priorities are map-side expressions; selection is a global
     top-k (``orderBy + limit``), which Spark executes as per-partition
     top-k + a k-row driver merge — no full sort, no shuffle of the
     losers. For k large enough that a driver merge hurts, take the
     approximate quantile of the priority instead; not needed here.
     """
+    df = df.filter(F.col(weight_col).cast("double") > 0)
     u = (
         F.conv(
             F.substring(
@@ -264,6 +289,12 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            "stride must be <= chunk_tokens: a larger stride silently "
+            "drops the tokens between consecutive windows, violating the "
+            "every-token-lands-in-a-chunk guarantee"
+        )
     toks = word_tokens(text_col)
     n_chunks_minus_1 = F.floor((F.size(toks) - 1) / F.lit(float(stride)))
     chunks = F.transform(

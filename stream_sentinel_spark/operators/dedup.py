@@ -88,6 +88,23 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 
 
 _BITMASK_VOCAB_MAX = 4096  # ≤ 64 longs per doc mask
+# The all-pairs / broadcast-mask regimes are quadratic in document count
+# no matter how small the vocabulary is: a 100 TB repetitive corpus has a
+# tiny shingle vocab and a HUGE doc count, and an unbounded vocab-only
+# switch would plan a BroadcastNestedLoopJoin over trillions of pairs.
+# Above this many docs the operators fall through to the prefix-filter /
+# LSH paths (keyed shuffles, never all-pairs) regardless of vocab size.
+_ALLPAIRS_MAX_DOCS = 100_000
+
+
+def _fits_allpairs(df: DataFrame, n_vocab: int) -> bool:
+    """Planner probe for the degenerate-vocab regime: bitmask verification
+    and all-pairs candidate generation are only admissible when BOTH the
+    vocabulary is small (bounded mask width) and the document count is
+    bounded (quadratic pair volume, broadcast build side). The doc count
+    is only computed when the vocab test already passed — one cheap
+    metadata-backed count action, same cost class as the vocab probe."""
+    return n_vocab <= _BITMASK_VOCAB_MAX and df.count() <= _ALLPAIRS_MAX_DOCS
 
 
 def _encode_shingle_docs(
@@ -214,7 +231,7 @@ def ngram_jaccard_pairs(
     """
     docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
 
-    use_bitmask = n_vocab <= _BITMASK_VOCAB_MAX
+    use_bitmask = _fits_allpairs(df, n_vocab)
     if use_bitmask:
         # DEGENERATE-VOCAB REGIME (repetitive corpora): every shingle is
         # frequent, so prefix filtering prunes almost nothing and the
@@ -475,39 +492,6 @@ def _text_sig_udf(n: int, num_hashes: int):
     return F.pandas_udf(fn, "array<long>")
 
 
-def _sid_sig_udf(num_hashes: int):
-    """pandas_udf grams(array<int sid>) -> array<long> signature — the
-    bitmask-regime path where docs are already dictionary-encoded; a
-    permutation of sid space is a MinHash over the shingle vocabulary."""
-
-    def fn(grams: pd.Series) -> pd.Series:
-        arrays = [
-            np.asarray(g, dtype=np.uint64) if g is not None else
-            np.empty(0, dtype=np.uint64)
-            for g in grams
-        ]
-        return pd.Series(_minhash_min_matrix(arrays, num_hashes))
-
-    return F.pandas_udf(fn, "array<long>")
-
-
-def _minhash_signatures_from_sids(docs: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, sig) from an encoded (id, grams: array<int>) frame — MAP-ONLY:
-    no explode, no aggregation shuffle; signatures of N docs are N
-    independent rows.
-
-    The localCheckpoint barrier is load-bearing, same reason as
-    :func:`_materialize_masks`: without a barrier the ArrowEvalPython
-    stage re-runs on every downstream consumer — both sides of the
-    band-bucket self-join would recompute every signature."""
-    sig = _sid_sig_udf(num_hashes)(F.col("grams"))
-    return (
-        docs.select("id", sig.alias("sig"))
-        .filter(F.col("sig").isNotNull())
-        .localCheckpoint(eager=True)
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -519,8 +503,11 @@ def minhash_signatures(
     byte n-gram shingle codes of the h-th multiply-shift hash.
     Deterministic across runs and partitionings (fixed-seed family,
     order-insensitive min). Docs too short for one shingle are dropped,
-    matching :func:`gram_arrays`. Checkpointed for the same
-    re-computation reason as :func:`_minhash_signatures_from_sids`."""
+    matching :func:`gram_arrays`. The localCheckpoint barrier is
+    load-bearing, same reason as :func:`_materialize_masks`: without it
+    the ArrowEvalPython stage re-runs on every downstream consumer —
+    both sides of the band-bucket self-join would recompute every
+    signature."""
     sig = _text_sig_udf(n, num_hashes)(F.col("_t"))
     return (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
@@ -535,12 +522,9 @@ def _band_raw_pairs(
 ) -> DataFrame:
     """Band-bucket collision pairs from a (id, sig) frame WITHOUT the
     final dedup: a pair agreeing on k bands appears k times. Callers
-    either `.distinct()` (the candidate contract) or verify first and
-    dedupe the survivors — verification via broadcast-joined masks is
-    pure codegen, so running it on the duplicated stream is cheaper
-    than a wide distinct shuffle of the raw pairs. ``sig`` should be
-    materialized (see :func:`_minhash_signatures_from_sids`) — both
-    join sides re-derive it otherwise.
+    `.distinct()` to get the candidate contract. ``sig`` should be
+    materialized (see :func:`minhash_signatures`) — both join sides
+    re-derive it otherwise.
 
     ``salt`` splits hot buckets: near-dup corpora concentrate docs in a
     few (band, bucket) keys, and a bucket of n docs emits C(n,2) pairs
@@ -650,41 +634,32 @@ def minhash_verified_pairs(
     explosion is capped by the banded buckets, and the exact check runs
     on the (tiny) candidate set with per-doc shingle arrays.
 
-    In the bitmask regime the signatures derive from the SAME encoded
-    doc frame that feeds verification (min over k seeded hashes of the
-    integer shingle ids — a dictionary-encoded shingle is 1:1 with the
-    string, so hashing sids IS a MinHash over the shingle vocabulary):
-    the frame is already pinned for the mask broadcast, so the second
-    text-shingling pass and the per-(shingle, seed) string hashing
-    disappear for free.
-
-    Verification is ADAPTIVE on the same vocabulary probe as
-    :func:`ngram_jaccard_pairs`. On a degenerate vocabulary LSH buckets
-    collapse and the candidate set approaches all-pairs (measured 5.5M
-    candidates from 5 000 docs / 377 shingles on the driver corpus), so
-    per-pair string-array intersection is the whole runtime (~490 s);
-    fixed-width bitmask popcount verifies the same pairs in ~2 s. Real
-    text (large vocab) verifies via sorted-INT array_intersect — the
-    dictionary encoding keeps even that path off string comparisons.
+    Candidate generation is ALWAYS the text-byte-shingle MinHash
+    (:func:`minhash_signatures`) — one signature definition for every
+    regime, so the candidate set is reproducible by an external oracle
+    running the same multiply-shift family over the same byte trigrams.
+    Only VERIFICATION is adaptive, on the same vocabulary/doc-count
+    probe as :func:`ngram_jaccard_pairs`: on a degenerate vocabulary LSH
+    buckets collapse and the candidate set approaches all-pairs
+    (measured 5.5M candidates from 5 000 docs / 377 shingles on the
+    driver corpus), where per-pair string-array intersection is the
+    whole runtime (~490 s) but fixed-width bitmask popcount verifies the
+    same pairs in ~2 s. Real text (large vocab) verifies via sorted-INT
+    array_intersect — the dictionary encoding keeps even that path off
+    string comparisons. Verification runs on the DEDUPLICATED candidate
+    set (distinct before the mask joins): the distinct shuffles only
+    (a_id, b_id) int pairs, and the measured collision stream repeats
+    each hot-bucket pair up to ``bands`` times — verifying the raw
+    stream multiplied the popcount work several-fold for nothing.
 
     Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
     a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
     with 16 bands × 4 rows) instead of exhaustive certainty."""
     docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
-    if n_vocab <= _BITMASK_VOCAB_MAX:
-        # Verify BEFORE dedup: the raw collision stream (a pair appears
-        # once per agreeing band) flows through two broadcast hash joins
-        # and a codegen'd popcount filter without ever shuffling; the
-        # distinct then runs on the (tiny) surviving set instead of the
-        # full candidate volume. Measured: dedup-then-verify shuffles
-        # 9.3M pair rows; verify-then-dedup shuffles only the survivors.
+    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
+    if _fits_allpairs(df, n_vocab):
         docs, nwords = _add_shingle_masks(docs, n_vocab)
-        full = _materialize_masks(docs, keep_grams=True)
-        sig = _minhash_signatures_from_sids(
-            full.select("id", "grams"), num_hashes
-        )
-        raw = _band_raw_pairs(sig, num_hashes, bands)
-        docs = full.drop("grams")
+        docs = _materialize_masks(docs)
         da = F.broadcast(docs.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
@@ -694,7 +669,7 @@ def minhash_verified_pairs(
             F.col("mask").alias("b_mask"),
         ))
         return (
-            raw.join(da, "a_id")
+            cands.join(da, "a_id")
             .join(db, "b_id")
             .withColumn("shared", _popcount_shared(nwords))
             .withColumn(
@@ -709,9 +684,7 @@ def minhash_verified_pairs(
                 F.col("b_sz").cast("long").alias("b_sz"),
                 "jaccard",
             )
-            .distinct()
         )
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
     return _exact_verify(cands, docs, threshold)
 
 
@@ -728,20 +701,23 @@ def simhash_fingerprints(
     to shuffle — the previous formulation (explode tokens → groupBy id
     with 64 conditional sums) paid a full shuffle of every (doc, token)
     pair plus 64 aggregate expressions per row just to re-group rows
-    that started co-located. Token hash = 8-byte blake2b (deterministic
-    across runs/workers); per-bit majorities via one segmented sum per
-    bit over the batch's concatenated token hashes. Docs with no tokens
-    are dropped, as the old groupBy did."""
+    that started co-located. Token hash = first 8 bytes of md5
+    (deterministic across runs/workers, and reproducible in ANSI-SQL
+    engines: ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` — the
+    property the DuckDB correctness oracle relies on); per-bit
+    majorities via one segmented sum per bit over the batch's
+    concatenated token hashes. Docs with no tokens are dropped, as the
+    old groupBy did."""
 
     def fn(texts: pd.Series) -> pd.Series:
-        from hashlib import blake2b
+        from hashlib import md5
 
         cache: dict[str, int] = {}
 
         def tok_hash(tok: str) -> int:
             h = cache.get(tok)
             if h is None:
-                h = int.from_bytes(blake2b(tok.encode(), digest_size=8).digest(), "big")
+                h = int.from_bytes(md5(tok.encode()).digest()[:8], "big")
                 cache[tok] = h
             return h
 

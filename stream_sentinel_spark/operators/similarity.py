@@ -182,6 +182,52 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs at scale: sign-LSH candidate generation followed by
+    exact cosine verification of only the candidates. This is the 100 TB
+    shape for :func:`cosine_pairs` — the quadratic all-pairs product is
+    replaced by bucket-local equi-joins on (band, signature chunk), and
+    the exact cosine runs on the (small) candidate set.
+
+    Output matches :func:`cosine_pairs` (a_id, b_id, cos) but with LSH
+    recall: a pair appears iff it collides on ≥1 band AND its exact
+    cosine ≥ threshold. Collision probability per band is
+    (1 − θ/π)^(bits/bands), so recall rises with the threshold — the
+    right regime for near-dup detection. The signature is deterministic
+    (seeded hyperplanes), so an external oracle can reproduce the exact
+    pair set by mirroring the plane matrix.
+
+    Cosines are computed with the same fold-order kernel as
+    :func:`cosine_pairs` (bit-equal to ``list_cosine_similarity``)."""
+    cos_seq = _cos_seq_udf()
+    cands = lsh_candidates(df, id_col, vec_col, bits, bands, dim, seed)
+    vecs = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    ).withColumn("nrm", norm(_as_double(F.col("vec")))).localCheckpoint(eager=True)
+    a = vecs.select(
+        F.col("id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm")
+    )
+    b = vecs.select(
+        F.col("id").alias("b_id"), F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm")
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos", cos_seq("a_vec", "b_vec", "a_nrm", "b_nrm"))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
 def _planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic ±1 hyperplanes derived from sha256(seed, bit, dim
     index) — reproducible across sessions with no RNG state."""
@@ -410,27 +456,36 @@ def ivf_topk(
     brute force); hot cells are ordinary join skew, handled by AQE.
 
     Output schema matches :func:`brute_force_topk`: (q_id, n_id, rk,
-    cos) — on unit vectors the dot IS the cosine."""
+    cos). The re-rank carries the ORIGINAL vectors and their norms (cell
+    assignment is scale-invariant, so it needs no unit normalization of
+    the carried vector) and computes ``dot/(na·nb)`` with the fold-order
+    kernel — bit-identical to :func:`brute_force_topk` and to a SQL
+    ``list_cosine_similarity`` oracle, which makes the nprobe = n_cells
+    configuration an exactly-checkable query, not just a recall bound."""
     from pyspark.sql import Window
 
     if centroids is None:
         centroids = ivf_train(corpus, id_col, vec_col, n_cells, iters)
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col("id").alias("n_id"), F.col("v").alias("n_vec"), "cell"
+    assign = _assign_cells_udf(centroids)
+    c = (
+        spread_small(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_v")))
+        .select("n_id", _as_double(F.col("_v")).alias("n_vec"))
+        .withColumn("n_nrm", norm(F.col("n_vec")))
+        .withColumn("cell", assign(F.col("n_vec")))
     )
     q = (
-        queries.select(F.col(id_col).alias("q_id"), _unit(F.col(vec_col)).alias("q_vec"))
+        queries.select(F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec"))
+        .withColumn("q_nrm", norm(F.col("q_vec")))
         .withColumn("probes", _probe_cells_udf(centroids, nprobe)(F.col("q_vec")))
-        .select("q_id", "q_vec", F.explode("probes").alias("cell"))
+        .select("q_id", "q_vec", "q_nrm", F.explode("probes").alias("cell"))
     )
-    # exact re-rank on unit vectors: dot IS the cosine, computed by the
-    # Arrow-vectorized fold-order kernel (norms are 1 by construction) —
+    # exact re-rank: same arithmetic as brute_force_topk, Arrow-batched —
     # the candidate set is the quadratic-ish hot stage, same as x07
     cos_seq = _cos_seq_udf(stop_filter_inlining=False)
     scored = (
         c.join(q, "cell")
         .filter(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", cos_seq("q_vec", "n_vec", F.lit(1.0), F.lit(1.0)))
+        .withColumn("cos", cos_seq("q_vec", "n_vec", "q_nrm", "n_nrm"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (

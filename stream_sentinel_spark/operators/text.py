@@ -166,26 +166,36 @@ REDACTION_RULES: tuple[tuple[str, str], ...] = (
 )
 
 
+#: One alternation matching every placeholder the rules can emit —
+#: counting its occurrences in the FINAL text replaces 8 per-rule
+#: count scans with a single pass.
+_REDACTION_TOKEN_PATTERN = (
+    "<(?:" + "|".join(sorted({tok[1:-1] for _, tok in REDACTION_RULES})) + ")>"
+)
+
+
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Replace common PII shapes (emails, cards incl. 4-4-4-4 formatted,
     domestic and '+'-prefixed phones, IPs, SSNs) with typed placeholder
     tokens — chained regexp_replace, one scan, codegen'd. The rule list
     is ordered and RE2-safe so any engine reproduces it byte-for-byte.
 
-    ``n_redactions`` counts each rule's matches on the PROGRESSIVELY
-    redacted text (the same text the replacement saw), so it equals the
-    number of replacements actually performed."""
+    ``n_redactions`` counts the placeholder tokens in the FINAL text —
+    one regex pass instead of one count scan per rule (the replacement
+    chain is 8 regex passes either way; the per-rule counting doubled
+    it to 16). Equal to the number of replacements performed whenever
+    the source text contains no literal placeholder token (none of the
+    digit/email patterns can match inside an emitted placeholder, so
+    replacements are never re-counted or destroyed by later rules)."""
     out = F.col(text_col)
-    n_redacted = F.lit(0)
     for pattern, token in REDACTION_RULES:
-        n_redacted = n_redacted + F.size(
-            F.regexp_extract_all(out, F.lit(pattern), F.lit(0))
-        )
         out = F.regexp_replace(out, pattern, token)
     return df.select(
         F.col(id_col).alias("doc_id"),
         out.alias("redacted_text"),
-        n_redacted.alias("n_redactions"),
+        F.size(
+            F.regexp_extract_all(out, F.lit(_REDACTION_TOKEN_PATTERN), F.lit(0))
+        ).alias("n_redactions"),
     )
 
 

@@ -845,19 +845,52 @@ def x06(spark, sf):
     )
 
 
-@query(
-    "x07_embedding_cosine_pairs",
+def _lsh_cosine_pairs_oracle(
+    threshold: float, bits: int = 16, bands: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Mirrors similarity.cosine_pairs_lsh: the sign-LSH signature is
+    generated from the SAME seeded hyperplanes the Spark operator uses
+    (inlined as ±1 literals), candidates join on (band, 4-bit chunk),
+    and survivors are verified with the exact cosine."""
+    planes = similarity._planes(dim, bits, seed)
+    sig_terms = "\n        + ".join(
+        "(CASE WHEN list_dot_product(vec, [{p}]) >= 0 THEN {w} ELSE 0 END)".format(
+            p=", ".join(str(x) for x in plane), w=1 << b
+        )
+        for b, plane in enumerate(planes)
+    )
+    width = bits // bands
+    chunk_vals = ", ".join(f"({c}, {1 << (c * width)})" for c in range(bands))
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    sigs AS (
+      SELECT id,
+        {sig_terms}
+        AS sig
+      FROM v),
+    chunked AS (
+      SELECT id, c.band, (sig // c.p) % {1 << width} AS val
+      FROM sigs, (VALUES {chunk_vals}) c(band, p)),
+    cands AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      FROM chunked a
+      JOIN chunked b ON a.band = b.band AND a.val = b.val AND a.id < b.id)
+    SELECT c.a_id, c.b_id, list_cosine_similarity(va.vec, vb.vec) AS cos
+    FROM cands c
+    JOIN v va ON va.id = c.a_id
+    JOIN v vb ON vb.id = c.b_id
+    WHERE list_cosine_similarity(va.vec, vb.vec) >= {threshold}
     """
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                  CAST(b.embedding AS DOUBLE[])) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.40
-    """,
-)
+
+
+@query("x07_embedding_cosine_pairs", _lsh_cosine_pairs_oracle(0.40))
 def x07(spark, sf):
-    return similarity.cosine_pairs(
+    # The SCALE path is the measured one: sign-LSH banded candidates →
+    # exact cosine verify (never the quadratic all-pairs product — that
+    # formulation, similarity.cosine_pairs, stays as the exhaustive
+    # oracle-equivalence baseline in tests/test_extensions.py).
+    return similarity.cosine_pairs_lsh(
         _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.40
     )
 
@@ -1145,21 +1178,23 @@ def x17(spark, sf):
 
 def _redact_oracle() -> str:
     """Generated from text.REDACTION_RULES so the oracle's patterns,
-    order, and progressive counting can never drift from the operator."""
+    order, and final-text token counting can never drift from the
+    operator."""
     rules = text.REDACTION_RULES
     ctes = ["r0 AS (SELECT doc_id, text AS t0 FROM documents)"]
     for i, (pat, tok) in enumerate(rules, start=1):
         p = pat.replace("'", "''")
         ctes.append(
-            f"r{i} AS (SELECT * EXCLUDE (t{i-1}), "
-            f"regexp_replace(t{i-1}, '{p}', '{tok}', 'g') AS t{i}, "
-            f"len(regexp_extract_all(t{i-1}, '{p}')) AS c{i} FROM r{i-1})"
+            f"r{i} AS (SELECT doc_id, "
+            f"regexp_replace(t{i-1}, '{p}', '{tok}', 'g') AS t{i} FROM r{i-1})"
         )
-    counts = " + ".join(f"c{i}" for i in range(1, len(rules) + 1))
+    last = len(rules)
+    tok_pat = text._REDACTION_TOKEN_PATTERN.replace("'", "''")
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, t{len(rules)} AS redacted_text, {counts} AS n_redactions"
-        + f" FROM r{len(rules)}"
+        + f"\nSELECT doc_id, t{last} AS redacted_text, "
+        + f"len(regexp_extract_all(t{last}, '{tok_pat}')) AS n_redactions"
+        + f" FROM r{last}"
     )
 
 
@@ -1171,40 +1206,223 @@ def x18(spark, sf):
     return text.redact_pii(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-@query("x19_minhash_verified_neardups")  # rows-only: xxhash64 has no DuckDB twin
+# --- generated oracles for the hash-family operators -----------------------
+#
+# The MinHash / SimHash / sign-LSH operators are deterministic functions
+# of public hash constants, so their DuckDB twins are GENERATED from the
+# very same constants the Spark kernels use (dedup._affine_family,
+# similarity._planes, md5): the oracle can never drift from the
+# operator. All integer arithmetic is done mod 2^64 in HUGEINT (verified
+# bit-equal to the kernels' uint64 wraparound); the fixture documents
+# are ASCII, so DuckDB's per-character unicode() equals the kernels'
+# per-byte codes.
+
+_U64 = 18446744073709551616  # 2^64
+
+
+def _minhash_cte_sql(n: int = 3, num_hashes: int = 64, bands: int = 16) -> str:
+    """Shared CTE chain: byte-trigram codes → 64 multiply-shift min-hash
+    aggregates → banded keys → distinct band-collision pairs. Mirrors
+    dedup.minhash_signatures + dedup._band_raw_pairs().distinct() (the
+    xxhash64 band bucket is an injective stand-in: pairs collide iff
+    their band slices are equal, which the oracle joins on directly)."""
+    assert n == 3, "oracle is generated for byte trigrams"
+    a, b = dedup._affine_family(num_hashes)
+    rows_per_band = num_hashes // bands
+    hs = ",\n      ".join(
+        f"MIN((CAST({int(a[h])} AS HUGEINT) * code + {int(b[h])}) % {_U64}) AS h{h}"
+        for h in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bkey FROM mh_sigs".format(
+            b=bb,
+            key=" || ',' || ".join(
+                f"CAST(h{bb * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for bb in range(bands)
+    )
+    return f"""
+    mh_docs AS (SELECT doc_id, text AS t FROM documents WHERE strlen(text) >= 3),
+    mh_codes AS (
+      SELECT doc_id, unnest(list_distinct([
+        CAST(unicode(substr(t, i, 1)) AS HUGEINT) * 65536
+          + unicode(substr(t, i + 1, 1)) * 256
+          + unicode(substr(t, i + 2, 1))
+        FOR i IN range(1, length(t) - 1)])) AS code
+      FROM mh_docs),
+    mh_sigs AS (
+      SELECT doc_id,
+      {hs}
+      FROM mh_codes GROUP BY doc_id),
+    mh_banded AS (
+      {band_rows}),
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM mh_banded a
+      JOIN mh_banded b ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.doc_id < b.doc_id)
+    """
+
+
+def _minhash_candidates_oracle() -> str:
+    return "WITH " + _minhash_cte_sql() + "\nSELECT a_id, b_id FROM mh_pairs"
+
+
+def _minhash_verified_oracle(threshold: float = 0.8) -> str:
+    return (
+        "WITH "
+        + _minhash_cte_sql()
+        + f""",
+    mh_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM mh_codes GROUP BY doc_id),
+    mh_shared AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS shared
+      FROM mh_pairs p
+      JOIN mh_codes ca ON ca.doc_id = p.a_id
+      JOIN mh_codes cb ON cb.doc_id = p.b_id AND cb.code = ca.code
+      GROUP BY 1, 2)
+    SELECT s.a_id, s.b_id, s.shared, sa.sz AS a_sz, sb.sz AS b_sz,
+           CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jaccard
+    FROM mh_shared s
+    JOIN mh_sizes sa ON sa.doc_id = s.a_id
+    JOIN mh_sizes sb ON sb.doc_id = s.b_id
+    WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= {threshold}
+    """
+    )
+
+
+def _simhash_oracle(chunks: int = 4) -> str:
+    """Mirrors dedup.simhash_fingerprints (md5-based token hash, per-bit
+    majority) + simhash_candidates (16-bit chunk pigeonhole join)."""
+    bit_terms = "\n        + ".join(
+        f"CASE WHEN 2 * SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE 0 END)"
+        f" > COUNT(*) THEN CAST({1 << i} AS HUGEINT) ELSE 0 END"
+        for i in range(64)
+    )
+    width = 64 // chunks
+    chunk_vals = ", ".join(
+        f"({c}, CAST({1 << (c * width)} AS HUGEINT))" for c in range(chunks)
+    )
+    return rf"""
+    WITH sh_toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+        string_split_regex(text, '\s+'), x -> x <> ''))) AS tok
+      FROM documents),
+    sh_hash AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS HUGEINT) AS h
+      FROM sh_toks),
+    sh_fp AS (
+      SELECT doc_id,
+        {bit_terms}
+        AS fpu
+      FROM sh_hash GROUP BY doc_id),
+    sh_fps AS (
+      SELECT doc_id, fpu,
+             CAST(CASE WHEN fpu >= {1 << 63} THEN fpu - {_U64} ELSE fpu END
+                  AS BIGINT) AS fp
+      FROM sh_fp),
+    sh_chunks AS (
+      SELECT doc_id, fp, c.chunk, (fpu // c.p) % {1 << width} AS val
+      FROM sh_fps, (VALUES {chunk_vals}) c(chunk, p)),
+    sh_pairs AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+             a.fp AS a_fp, b.fp AS b_fp
+      FROM sh_chunks a
+      JOIN sh_chunks b ON a.chunk = b.chunk AND a.val = b.val
+                      AND a.doc_id < b.doc_id)
+    SELECT a_id, b_id, CAST(bit_count(xor(a_fp, b_fp)) AS INTEGER) AS hamming
+    FROM sh_pairs
+    """
+
+
+@query("x19_minhash_verified_neardups", _minhash_verified_oracle())
 def x19(spark, sf):
     return dedup.minhash_verified_pairs(
         _t(spark, sf, "documents"), "doc_id", "text", threshold=0.8
     )
 
 
-@query("x08_minhash_lsh_candidates")  # rows-only: xxhash64 has no DuckDB twin
+@query("x08_minhash_lsh_candidates", _minhash_candidates_oracle())
 def x08(spark, sf):
     return dedup.minhash_lsh_candidates(
         _t(spark, sf, "documents"), "doc_id", "text", n=3, num_hashes=64, bands=16
     )
 
 
-@query("x09_simhash_candidates")  # rows-only: xxhash64 has no DuckDB twin
+@query("x09_simhash_candidates", _simhash_oracle())
 def x09(spark, sf):
     return dedup.simhash_candidates(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-@query("x10_multimodal_features")  # rows-only: mapInPandas feature extraction
+@query(
+    "x10_multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             text AS t
+      FROM documents),
+    feat AS (
+      SELECT media_id, kind,
+             CAST(strlen(t) AS BIGINT) AS n_bytes,
+             lower(hex(encode(substr(t, 1, 8)))) AS head_hex,
+             CAST(COALESCE(list_aggregate(
+               [unicode(substr(t, i, 1)) FOR i IN range(1, strlen(t) + 1)],
+               'sum'), 0) % 1000003 AS BIGINT) AS checksum,
+             [CAST(strlen(t) AS DOUBLE),
+              CAST(COALESCE(list_aggregate(
+                [unicode(substr(t, i, 1)) FOR i IN range(1, least(strlen(t), 64) + 1)],
+                'sum'), 0) % 997 AS DOUBLE),
+              CAST(CASE WHEN strlen(t) > 0 THEN unicode(substr(t, 1, 1)) ELSE 0 END AS DOUBLE),
+              CAST(CASE WHEN strlen(t) > 0 THEN unicode(substr(t, strlen(t), 1)) ELSE 0 END AS DOUBLE)
+             ] AS features
+      FROM m)
+    SELECT media_id, kind, n_bytes, head_hex, checksum,
+           r.i AS feat_idx, features[r.i + 1] AS feat_val
+    FROM feat, (VALUES (0), (1), (2), (3)) r(i)
+    """,
+)
 def x10(spark, sf):
+    # The mapInPandas feature extraction, with the array column
+    # posexploded to scalars so the result is canonicalizable by the
+    # driver (and fully oracle-checkable: the fake decoder is pure byte
+    # arithmetic DuckDB reproduces over the ASCII payload).
     media = multimodal.synthesize_media(_t(spark, sf, "documents"), "doc_id", "text")
-    return multimodal.extract_features(media)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "head_hex", "checksum",
+        F.posexplode("features").alias("feat_idx", "feat_val"),
+    )
 
 
-@query("x20_ivf_ann_topk")  # rows-only: iterative k-means has no SQL twin
+@query(
+    "x20_ivf_ann_topk",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20),
+    ranked AS (
+      SELECT q_id, n_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+      FROM scored)
+    SELECT q_id, n_id, rk, cos FROM ranked WHERE rk <= 5
+    """,
+)
 def x20(spark, sf):
     # IVF coarse-quantizer ANN (the similarity-search scale path):
     # deterministic spherical k-means -> map-only cell assignment ->
-    # nprobe cell-equi-join -> exact cosine re-rank. Recall vs the
-    # brute-force oracle is pinned in tests/test_similarity_ivf.py.
+    # nprobe cell-equi-join -> exact cosine re-rank. At nprobe = n_cells
+    # every cell is probed, so the result is EXACTLY the brute-force
+    # top-k (same fold-order cosine arithmetic) — which makes the full
+    # IVF plan oracle-checkable, not just recall-bounded. Partial-probe
+    # recall (nprobe < n_cells) is pinned in tests/test_similarity_ivf.py.
     emb = _t(spark, sf, "embeddings")
     return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=4
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_cells=16, nprobe=16
     )
 
 
@@ -2096,30 +2314,53 @@ def q42(spark, sf):
     )
 
 
-@query("x22_sketch_metrics")
+@query(
+    "x22_sketch_metrics",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE AS approx_users_ok,
+           quantile_disc(value, 0.5) AS p50_value,
+           quantile_disc(value, 0.95) AS p95_value,
+           quantile_disc(value, 0.99) AS p99_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def x22(spark, sf):
     # The scale path for W4/W5-style operational metrics: one pass, fixed
     # memory. approx_count_distinct is a mergeable HLL++ sketch (map-side
     # partial merges, no shuffle of raw values — COUNT(DISTINCT) at 100 TB
     # expands rows per distinct key; the sketch is O(kilobytes) per
-    # partition), and percentile_approx is a mergeable KLL-style quantile
-    # summary — the same fixed-size-reservoir idea as the reference's
-    # 350-sample DescriptiveStatisticsHistogram (SentinelMetrics.java:35-38)
-    # but with error bounds. Rows-only check: sketch bits are
-    # engine-specific; accuracy vs exact is asserted in tests.
+    # partition), and percentile_approx is a mergeable GK quantile summary
+    # — the same fixed-size-reservoir idea as the reference's 350-sample
+    # DescriptiveStatisticsHistogram (SentinelMetrics.java:35-38) but with
+    # error bounds. The compared columns are DETERMINISTIC: at accuracy
+    # 50 000 the GK summary retains every sample below ~50k rows/group, so
+    # the percentile IS the exact nearest-rank value (ceil(p·n) — DuckDB's
+    # quantile_disc, verified rank rule); the HLL estimate is compared as
+    # its 3·rsd accuracy bound against the exact distinct count (sketch
+    # bits are engine-specific; the BOUND is the cross-engine contract,
+    # and its exact-count twin here is correctness-gate-only work).
     ev = _t(spark, sf, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_pcts"),
+            F.approx_count_distinct("user_id", 0.01).alias("_hll"),
+            F.countDistinct("user_id").alias("_exact"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 50_000).alias("_pcts"),
         )
         .select(
-            "event_type", "n_events", "approx_users",
-            F.col("value_pcts")[0].alias("p50_value"),
-            F.col("value_pcts")[1].alias("p95_value"),
-            F.col("value_pcts")[2].alias("p99_value"),
+            "event_type", "n_events",
+            (
+                F.abs(F.col("_hll") - F.col("_exact"))
+                <= 3 * 0.01 * F.col("_exact")
+            ).alias("approx_users_ok"),
+            F.col("_pcts")[0].alias("p50_value"),
+            F.col("_pcts")[1].alias("p95_value"),
+            F.col("_pcts")[2].alias("p99_value"),
         )
         .orderBy("event_type")
     )
@@ -2493,16 +2734,18 @@ def x25(spark, sf):
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     g AS (
       SELECT doc_id, w,
-             list_transform(generate_series(1, len(w) - 1),
+             list_transform(generate_series(1, greatest(len(w) - 1, 0)),
                             i -> array_to_string(w[i:i+1], ' ')) AS g2,
-             list_transform(generate_series(1, len(w) - 2),
+             list_transform(generate_series(1, greatest(len(w) - 2, 0)),
                             i -> array_to_string(w[i:i+2], ' ')) AS g3
-      FROM t WHERE len(w) >= 3)
+      FROM t)
     SELECT doc_id, len(w) AS n_tokens,
-           COALESCE(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
-                    / len(g2), 0.0) AS dup_2gram_frac,
-           COALESCE(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
-                    / len(g3), 0.0) AS dup_3gram_frac,
+           CASE WHEN len(g2) > 0
+                THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS dup_3gram_frac,
            CAST(list_aggregate(
                   list_transform(list_distinct(w),
                                  tk -> len(list_filter(w, x -> x = tk))),
@@ -2511,8 +2754,10 @@ def x25(spark, sf):
     """,
 )
 def x26(spark, sf):
-    # Gopher-style repetition filters; all-docs guard len(w)>=3 matches
-    # the fixture floor (min 10 tokens) so the oracle stays simple.
+    # Gopher-style repetition filters. The oracle emits a row for EVERY
+    # document (mirroring the operator) — short docs get 0.0 fractions,
+    # not a silent row drop; top_token_frac in the oracle counts via
+    # distinct-token max (equal to the operator's sorted-run-length max).
     from stream_sentinel_spark.operators import curation
 
     return curation.repetition_features(
@@ -2553,6 +2798,7 @@ def x27(spark, sf):
     "x28_weighted_sample",
     """
     SELECT doc_id, n_chars FROM documents
+    WHERE n_chars > 0
     ORDER BY ln((CAST(('0x' || substr(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 15))
                       AS BIGINT) + 1.0) / 1152921504606846976.0)
              / n_chars DESC,
