@@ -75,9 +75,44 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     ev = load_table(spark, sf_dir, "events")
     n_events = ev.count()
     tmp = tempfile.mkdtemp(prefix="ss_bench_stream_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        # Streaming state partitions are sized to the per-batch volume,
+        # not the CPU count: every micro-batch pays a fixed per-partition
+        # cost (state store open/commit + one Arrow python worker round)
+        # regardless of rows, and at ~12.5k events/batch 32 near-empty
+        # state partitions are pure overhead (measured: 8 partitions
+        # p50 1.3s vs 32 partitions p50 1.5s and far worse p95). On a
+        # real cluster this knob scales with key cardinality x batch
+        # volume; it is pinned per-checkpoint at first start.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         src = f"{tmp}/ev"
         ev.repartition(8).write.parquet(src)  # 8 files → 8 micro-batches
+
+        # Untimed warm-up stream (200 events, 2 micro-batches): absorbs
+        # the one-time costs — stateful-operator codegen, python worker
+        # fork, Arrow + state-store init — that otherwise land entirely
+        # in the first timed micro-batch (measured 3-30s of p95,
+        # depending on host load). Steady-state throughput is the metric;
+        # BASELINE.md documents the protocol.
+        wsrc = f"{tmp}/warm"
+        ev.limit(200).repartition(2).write.parquet(wsrc)
+        wstream = read_file_stream(
+            spark, wsrc, ev.schema, time_col="ts", watermark=None,
+            max_files_per_trigger=1,
+        )
+        walerts = compile_rules_streaming(
+            wstream, DEFAULT_RULES, key_field="user_id", time_col="ts",
+            order_cols=("event_id",),
+        )
+        wq = (
+            walerts.writeStream.format("noop")
+            .option("checkpointLocation", f"{tmp}/warm_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination()
+
         listener = SentinelMetricsListener()
         spark.streams.addListener(listener)
         stream = read_file_stream(
@@ -111,6 +146,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "microbatch_ms": snap["processing_latency_ms"],
         }
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -86,13 +86,15 @@ def run_job(
             "No detection rules configured — refusing to start"
         )
     log.info("Loaded %d detection rules", len(rules))
-    # 3. health server (daemon; stopped when the process exits)
-    health = HealthServer()
-    health.start(config.health_port)
-    # 4. session + metrics
+    # 3-4. session + metrics + health server (daemon; stopped when the
+    # process exits) — /metrics serves the listener's counters and
+    # latency percentiles in Prometheus text format (SentinelMetrics
+    # exposition parity, SentinelMetrics.java:25-51)
     spark = spark or build_session(config)
     listener = SentinelMetricsListener()
     spark.streams.addListener(listener)
+    health = HealthServer(metrics_source=listener.snapshot)
+    health.start(config.health_port)
     # 5-6. pipeline construction + execution
     if events is None:
         raw = read_kafka_stream(spark, config)

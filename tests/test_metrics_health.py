@@ -91,14 +91,18 @@ def test_health_port_validation():
         srv.start(70_000)
 
 
-def test_health_serves_up():
-    srv = HealthServer()
+def _free_port() -> int:
     # pick a free ephemeral port manually (reference requires 1..65535)
     import socket
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
+
+
+def test_health_serves_up():
+    srv = HealthServer()
+    port = _free_port()
     srv.start(port)
     try:
         assert srv.is_running()
@@ -108,6 +112,36 @@ def test_health_serves_up():
                 assert json.loads(r.read()) == {"status": "UP"}
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+        # no metrics source wired -> /metrics is 404, health unaffected
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics")
     finally:
         srv.stop()
     assert not srv.is_running()
+
+
+def test_metrics_prometheus_exposition():
+    """SentinelMetrics exposition parity (SentinelMetrics.java:25-51):
+    /metrics serves the listener snapshot as Prometheus counters plus a
+    latency summary with the reference's three quantiles."""
+    listener = SentinelMetricsListener()
+    listener.events_processed = 120
+    listener.anomalies_detected = 7
+    listener._latencies.extend(float(x) for x in range(1, 101))
+    srv = HealthServer(metrics_source=listener.snapshot)
+    port = _free_port()
+    srv.start(port)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            body = r.read().decode()
+        assert "# TYPE events_processed_total counter" in body
+        assert "events_processed_total 120" in body
+        assert "anomalies_detected_total 7" in body
+        assert "# TYPE processing_latency_ms summary" in body
+        assert 'processing_latency_ms{quantile="0.5"} 51.0' in body
+        assert 'processing_latency_ms{quantile="0.95"}' in body
+        assert 'processing_latency_ms{quantile="0.99"}' in body
+    finally:
+        srv.stop()

@@ -202,3 +202,35 @@ def test_range_join_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_degenerate_vocab_allpairs_bounded_by_doc_count(spark, monkeypatch):
+    """The small-vocab all-pairs/bitmask regimes are quadratic in the
+    DOCUMENT count no matter how small the vocabulary is — a repetitive
+    100 TB corpus has a tiny shingle vocab and billions of docs, and an
+    unbounded vocab-only switch would plan a BroadcastNestedLoopJoin
+    over trillions of pairs. Above the doc cap the operators must fall
+    through to the prefix-filter / LSH plans: keyed equi-joins only."""
+    from stream_sentinel_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # the fixture vocabulary IS degenerate (small word pool), so with the
+    # cap lowered below the fixture's doc count only the doc-count guard
+    # separates the two regimes
+    monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_DOCS", 10)
+
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    plan = plan_of(jac)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    ver = dedup.minhash_verified_pairs(docs, "doc_id", "text", threshold=0.8)
+    plan = plan_of(ver)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    # and under the cap the degenerate regime still picks the bitmask
+    # broadcast plan (the fast path for small corpora)
+    monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_DOCS", 100_000)
+    jac_small = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    assert "BroadcastNestedLoopJoin" in plan_of(jac_small)
