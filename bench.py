@@ -58,6 +58,32 @@ def materialize(df) -> int:
     return 0
 
 
+def calibration(spark) -> float:
+    """Fixed reference workload (CPU-bound sum + one shuffle) whose wall
+    clock characterizes the host's effective speed during THIS bench
+    invocation. The corpus numbers are only comparable across rounds
+    relative to their calibration: on this hardware an uncontended run
+    measures ~1 s; a 2-3x higher calibration means the host was
+    contended and every query number is inflated by roughly that factor.
+    Min-of-2 so the number measures HOST SPEED, not the first-run
+    codegen/JIT of the calibration plan itself."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        (
+            spark.range(4_000_000)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .count()
+            .selectExpr("sum(count)")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    return round(min(once(), once()), 4)
+
+
 def bench_streaming(spark, sf_dir: str) -> dict:
     """Streaming leg of the BASELINE.md protocol: the 3-rule pipeline
     over a file stream of the events table, split into multiple files so
@@ -177,6 +203,16 @@ def main() -> None:
     except Exception as exc:
         log(f"warm-up skipped: {exc}")
 
+    # host-speed calibration before AND after the corpus: a contended or
+    # throttled host shows up here, making the per-query numbers
+    # interpretable relative to other rounds (see calibration()).
+    calib_pre = calibration(spark)
+    try:
+        load_pre = list(os.getloadavg())
+    except OSError:
+        load_pre = []
+    log(f"calibration_pre: {calib_pre}s loadavg={load_pre}")
+
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
     total = 0.0
@@ -203,6 +239,13 @@ def main() -> None:
         log(f"STREAMING BENCH FAIL: {exc}")
         streaming = {"error": str(exc)[:200]}
 
+    calib_post = calibration(spark)
+    try:
+        load_post = list(os.getloadavg())
+    except OSError:
+        load_post = []
+    log(f"calibration_post: {calib_post}s loadavg={load_post}")
+
     print(
         json.dumps(
             {
@@ -215,6 +258,8 @@ def main() -> None:
                 "cpus": cpus,
                 "spark": spark.version,
                 "streaming": streaming,
+                "calibration_sec": {"pre": calib_pre, "post": calib_post},
+                "loadavg": {"pre": load_pre, "post": load_post},
             }
         ),
         flush=True,

@@ -2337,21 +2337,31 @@ def x22(spark, sf):
     # — the same fixed-size-reservoir idea as the reference's 350-sample
     # DescriptiveStatisticsHistogram (SentinelMetrics.java:35-38) but with
     # error bounds. The compared columns are DETERMINISTIC: at accuracy
-    # 50 000 the GK summary retains every sample below ~50k rows/group, so
-    # the percentile IS the exact nearest-rank value (ceil(p·n) — DuckDB's
+    # 10 000 the GK summary retains every sample below 10k rows/group —
+    # covering the correctness SFs (≤2k rows/group at sf0.01) — so the
+    # percentile IS the exact nearest-rank value (ceil(p·n) — DuckDB's
     # quantile_disc, verified rank rule); the HLL estimate is compared as
     # its 3·rsd accuracy bound against the exact distinct count (sketch
     # bits are engine-specific; the BOUND is the cross-engine contract,
     # and its exact-count twin here is correctness-gate-only work).
+    # Accuracy deliberately stays at 10k: a 50k-sample summary made the
+    # sf0.1 bench pay 12s of summary-merge work for zero extra proof.
+    # The exact distinct count lives in its OWN aggregation joined back
+    # on the (tiny) group key: a COUNT(DISTINCT) in the same groupBy
+    # makes Catalyst Expand every input row for the distinct path, and
+    # the percentile summaries then merge over the doubled row stream
+    # (measured 8× slower fused than split at sf0.1).
     ev = _t(spark, sf, "events")
+    sketch = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("_hll"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_pcts"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("_exact")
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("user_id", 0.01).alias("_hll"),
-            F.countDistinct("user_id").alias("_exact"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 50_000).alias("_pcts"),
-        )
+        sketch.join(F.broadcast(exact), "event_type")
         .select(
             "event_type", "n_events",
             (
