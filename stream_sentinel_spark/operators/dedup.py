@@ -465,31 +465,63 @@ def _minhash_min_matrix(
     return out
 
 
-def _text_sig_udf(n: int, num_hashes: int):
-    """pandas_udf text -> array<long> signature. Shingle codes are the
-    n raw bytes of each UTF-8 n-gram packed into one uint64 (n ≤ 8) —
-    the byte content IS the code, no string hashing at all; np.unique
-    gives the distinct-shingle set."""
+def _shingle_code_arrays(texts: pd.Series, n: int) -> list[np.ndarray]:
+    """Per-text sorted distinct shingle codes: the n raw bytes of each
+    UTF-8 n-gram packed into one uint64 (n ≤ 8) — the byte content IS
+    the code, no string hashing at all; np.unique gives the sorted
+    distinct-shingle set."""
     assert n <= 8
+    arrays: list[np.ndarray] = []
+    empty = np.empty(0, dtype=np.uint64)
+    for t in texts:
+        if t is None:
+            arrays.append(empty)
+            continue
+        bs = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if bs.size < n:
+            arrays.append(empty)
+            continue
+        c = np.zeros(bs.size - n + 1, dtype=np.uint64)
+        for j in range(n):
+            c = (c << np.uint64(8)) | bs[j: bs.size - n + 1 + j]
+        arrays.append(np.unique(c))
+    return arrays
+
+
+def _text_sig_udf(n: int, num_hashes: int):
+    """pandas_udf text -> array<long> MinHash signature over the byte
+    n-gram shingle codes."""
 
     def fn(texts: pd.Series) -> pd.Series:
-        arrays: list[np.ndarray] = []
-        empty = np.empty(0, dtype=np.uint64)
-        for t in texts:
-            if t is None:
-                arrays.append(empty)
-                continue
-            bs = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            if bs.size < n:
-                arrays.append(empty)
-                continue
-            c = np.zeros(bs.size - n + 1, dtype=np.uint64)
-            for j in range(n):
-                c = (c << np.uint64(8)) | bs[j: bs.size - n + 1 + j]
-            arrays.append(np.unique(c))
-        return pd.Series(_minhash_min_matrix(arrays, num_hashes))
+        return pd.Series(
+            _minhash_min_matrix(_shingle_code_arrays(texts, n), num_hashes)
+        )
 
     return F.pandas_udf(fn, "array<long>")
+
+
+def _text_sig_code_udf(n: int, num_hashes: int):
+    """pandas_udf text -> struct(sig, codes, sz): the MinHash signature
+    PLUS the sorted distinct shingle-code array it was computed from —
+    one kernel pass feeds both candidate generation and exact
+    verification, so the verify path needs no second shingling of the
+    corpus (and, unlike the dictionary-encoding route, no shuffle at
+    all to build per-doc sets)."""
+
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        arrays = _shingle_code_arrays(texts, n)
+        sigs = _minhash_min_matrix(arrays, num_hashes)
+        return pd.DataFrame(
+            {
+                "sig": sigs,
+                "codes": [a.view(np.int64).tolist() for a in arrays],
+                "sz": [len(a) for a in arrays],
+            }
+        )
+
+    return F.pandas_udf(
+        fn, "struct<sig:array<bigint>, codes:array<bigint>, sz:int>"
+    )
 
 
 def minhash_signatures(
@@ -619,6 +651,33 @@ def _exact_verify(cands: DataFrame, sets_: DataFrame, threshold: float) -> DataF
     )
 
 
+def _code_mask_udf(vocab: list[int], nwords: int):
+    """pandas_udf codes(array<bigint>) -> fixed-width bitmask
+    (array<bigint>, ``nwords`` longs). Dense bit ids come from binary
+    search against the sorted vocabulary carried as closure state
+    (dimension-sized — same pattern as the IVF centroid matrix). Any
+    consistent code→bit assignment works for popcount-of-AND
+    verification; searchsorted over the shared vocab makes both join
+    sides agree by construction (``vocab`` must be ascending in UNSIGNED
+    code order — codes ≥ 2^63 arrive as negative int64 from the JVM, so
+    the caller sorts after masking to uint64). Map-only: masks of N docs
+    are N independent rows, no shuffle."""
+    V = np.asarray(vocab, dtype=np.uint64)
+
+    def fn(codes: pd.Series) -> pd.Series:
+        out: list[list[int]] = []
+        for c in codes:
+            idx = np.searchsorted(V, np.asarray(c, dtype=np.int64).view(np.uint64))
+            words = np.zeros(nwords, dtype=np.uint64)
+            np.bitwise_or.at(
+                words, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+            )
+            out.append(words.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<bigint>")
+
+
 def minhash_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -634,19 +693,26 @@ def minhash_verified_pairs(
     explosion is capped by the banded buckets, and the exact check runs
     on the (tiny) candidate set with per-doc shingle arrays.
 
-    Candidate generation is ALWAYS the text-byte-shingle MinHash
-    (:func:`minhash_signatures`) — one signature definition for every
-    regime, so the candidate set is reproducible by an external oracle
-    running the same multiply-shift family over the same byte trigrams.
-    Only VERIFICATION is adaptive, on the same vocabulary/doc-count
-    probe as :func:`ngram_jaccard_pairs`: on a degenerate vocabulary LSH
-    buckets collapse and the candidate set approaches all-pairs
-    (measured 5.5M candidates from 5 000 docs / 377 shingles on the
-    driver corpus), where per-pair string-array intersection is the
-    whole runtime (~490 s) but fixed-width bitmask popcount verifies the
-    same pairs in ~2 s. Real text (large vocab) verifies via sorted-INT
-    array_intersect — the dictionary encoding keeps even that path off
-    string comparisons. Verification runs on the DEDUPLICATED candidate
+    Candidate generation is ALWAYS the text-byte-shingle MinHash — one
+    signature definition for every regime, so the candidate set is
+    reproducible by an external oracle running the same multiply-shift
+    family over the same byte trigrams. ONE Arrow kernel pass emits
+    both the signature and the sorted distinct shingle-code set per doc
+    (:func:`_text_sig_code_udf`), so the verify path costs no second
+    shingling and — unlike a dictionary-encoding route — no shuffle at
+    all to build per-doc sets (the old string-encode stage was 7 of
+    x19's 12 seconds at sf0.1).
+
+    Only VERIFICATION is adaptive, on a vocabulary/doc-count probe
+    (same bounds as :func:`ngram_jaccard_pairs`): on a degenerate
+    vocabulary LSH buckets collapse and the candidate set approaches
+    all-pairs (measured 6.7M candidates from 5 000 docs / ~400 shingle
+    codes on the driver corpus), where per-pair array intersection is
+    the whole runtime but fixed-width bitmask popcount — dense bit ids
+    assigned by binary search against the (collected, dimension-sized)
+    sorted vocab in a map-only kernel — verifies the same pairs in ~2 s.
+    Real text (large vocab) verifies via sorted-INT array_intersect on
+    the code arrays. Verification runs on the DEDUPLICATED candidate
     set (distinct before the mask joins): the distinct shuffles only
     (a_id, b_id) int pairs, and the measured collision stream repeats
     each hot-bucket pair up to ``bands`` times — verifying the raw
@@ -655,37 +721,68 @@ def minhash_verified_pairs(
     Output matches :func:`ngram_jaccard_pairs` (a_id, b_id, shared,
     a_sz, b_sz, jaccard) but with LSH recall (near-1 for jaccard ≥ 0.8
     with 16 bands × 4 rows) instead of exhaustive certainty."""
-    docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
-    cands = minhash_lsh_candidates(df, id_col, text_col, n, num_hashes, bands)
-    if _fits_allpairs(df, n_vocab):
-        docs, nwords = _add_shingle_masks(docs, n_vocab)
-        docs = _materialize_masks(docs)
-        da = F.broadcast(docs.select(
-            F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
-            F.col("mask").alias("a_mask"),
-        ))
-        db = F.broadcast(docs.select(
-            F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
-            F.col("mask").alias("b_mask"),
-        ))
-        return (
-            cands.join(da, "a_id")
-            .join(db, "b_id")
-            .withColumn("shared", _popcount_shared(nwords))
-            .withColumn(
-                "jaccard",
-                F.col("shared").cast("double")
-                / (F.col("a_sz") + F.col("b_sz") - F.col("shared")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select(
-                "a_id", "b_id", "shared",
-                F.col("a_sz").cast("long").alias("a_sz"),
-                F.col("b_sz").cast("long").alias("b_sz"),
-                "jaccard",
-            )
+    sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
+    docs = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", sig_code.alias("_sc"))
+        .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    # the explicit repartition after the distinct is load-bearing: AQE
+    # sizes the post-distinct stage by BYTES, and 6.7M 16-byte id pairs
+    # coalesce to ~2 partitions — which would serialize the downstream
+    # verify (joins + popcount, the expensive part) onto two cores
+    # (measured 15.8 s → 3.1 s at sf0.1). The extra exchange is ~100 MB
+    # of int pairs — noise next to the work it parallelizes.
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    cands = (
+        _band_raw_pairs(docs.select("id", "sig"), num_hashes, bands)
+        .distinct()
+        .repartition(par)
+    )
+    # regime probe: the complete vocabulary IS the probe — collect at
+    # most cap+1 distinct codes (a dimension-sized pull, same class as
+    # IVF centroids); overflow or a too-large corpus → array-intersect
+    vocab_rows = (
+        docs.select(F.explode("codes").alias("c"))
+        .distinct()
+        .limit(_BITMASK_VOCAB_MAX + 1)
+        .collect()
+    )
+    sets_ = docs.select("id", F.col("codes").alias("grams"), "sz")
+    if len(vocab_rows) > _BITMASK_VOCAB_MAX or df.count() > _ALLPAIRS_MAX_DOCS:
+        return _exact_verify(cands, sets_, threshold)
+    vocab = sorted(r["c"] & 0xFFFF_FFFF_FFFF_FFFF for r in vocab_rows)
+    nwords = (len(vocab) + 63) // 64
+    masks = docs.select(
+        "id", "sz", _code_mask_udf(vocab, nwords)(F.col("codes")).alias("mask")
+    )
+    da = F.broadcast(masks.select(
+        F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
+        F.col("mask").alias("a_mask"),
+    ))
+    db = F.broadcast(masks.select(
+        F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
+        F.col("mask").alias("b_mask"),
+    ))
+    return (
+        cands.join(da, "a_id")
+        .join(db, "b_id")
+        .withColumn("shared", _popcount_shared(nwords))
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("a_sz") + F.col("b_sz") - F.col("shared")),
         )
-    return _exact_verify(cands, docs, threshold)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "a_id", "b_id", "shared",
+            F.col("a_sz").cast("long").alias("a_sz"),
+            F.col("b_sz").cast("long").alias("b_sz"),
+            "jaccard",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
