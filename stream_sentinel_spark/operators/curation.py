@@ -234,6 +234,36 @@ def top_keywords(
     )
 
 
+def corpus_vocabulary(
+    df: DataFrame, id_col: str, text_col: str, k: int = 1000
+) -> DataFrame:
+    """Corpus-wide top-``k`` terms by total occurrence count — the
+    vocabulary-building pass of a tokenizer/frequency-filter pipeline.
+    Output ``(rank, term, tf, df)``: total term frequency and document
+    frequency, ranked by tf desc with term asc tie-break.
+
+    Scale: one explode + two hash aggregations (term totals; distinct
+    (doc, term) → document frequencies) — shuffles keyed on the
+    high-cardinality term — then a global top-k, which Spark executes as
+    per-partition top-k + a k-row merge (TakeOrderedAndProject), never a
+    full sort. The rank column is a window over the k surviving rows
+    only (driver-bounded by construction).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(text_col)).alias("term"),
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    top = tf.join(dfreq, "term").orderBy(F.desc("tf"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "tf", "df"
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -39,6 +39,44 @@ def hash_sample(
     return df.filter(bucket < F.lit(cutoff))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixing primitive
+    (e.g. keep 100% of books, 10% of web crawl, 1% of logs). Same
+    md5-bucket decision as :func:`hash_sample`, but the cutoff comes
+    from the row's stratum; strata not listed in ``fractions`` fall back
+    to ``default_rate`` (0 = drop).
+
+    Scale: map-only — the per-row decision is a hash compare against a
+    CASE over the (small, broadcast-as-literals) fractions map; no
+    shuffle, no per-stratum pass, stable under repartitioning, and the
+    mix of incremental runs is the run of the mixed inputs. The same
+    salt across strata reuses one hash computation per row.
+    """
+    for stratum, rate in fractions.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    cutoff = F.lit(int(default_rate * (1 << 32)))
+    for stratum, rate in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * (1 << 32)))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
 def quota_per_key(
     df: DataFrame,
     key: Column,

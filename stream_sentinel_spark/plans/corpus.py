@@ -2891,3 +2891,62 @@ def q47(spark, sf):
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# x30-x31: dataset mixing + vocabulary building — the remaining standard
+# passes of a training-data pipeline (stratified source mixing; top-k
+# term vocabulary for tokenizer/frequency filters).
+# ---------------------------------------------------------------------------
+
+@query(
+    "x30_stratified_sample",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+          < CASE source
+              WHEN 'src0' THEN 4294967296
+              WHEN 'src1' THEN 2147483648
+              WHEN 'src2' THEN 1073741824
+              ELSE 429496729 END
+    ORDER BY doc_id
+    """,
+)
+def x30(spark, sf):
+    # Dataset mixing: keep 100% of src0, 50% of src1, 25% of src2, 10%
+    # of everything else — one map-only hash compare per row (the md5
+    # bucket is engine-portable, so the KEPT SET is the contract, stable
+    # under repartitioning and incremental reruns).
+    from stream_sentinel_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+        salt="mix",
+    ).orderBy("doc_id")
+
+
+@query(
+    "x31_corpus_vocabulary",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY 1),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    top AS (SELECT term, tf, df FROM tf JOIN dfreq USING (term)
+            ORDER BY tf DESC, term LIMIT 50)
+    SELECT ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS "rank", term, tf, df
+    FROM top
+    """,
+)
+def x31(spark, sf):
+    # Tokenizer-vocabulary pass: corpus-wide top-50 terms with total and
+    # document frequencies. Global top-k via per-partition top-k + k-row
+    # merge (TakeOrderedAndProject) — no full sort, no driver collect of
+    # the term distribution.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.corpus_vocabulary(_t(spark, sf, "documents"), "doc_id", "text", k=50)

@@ -171,3 +171,39 @@ def test_chunk_documents_rejects_bad_params(spark):
         curation.chunk_documents(df, "doc_id", "text", chunk_tokens=0)
     with pytest.raises(ValueError):
         curation.chunk_documents(df, "doc_id", "text", stride=0)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from stream_sentinel_spark.operators.sampling import stratified_sample
+
+    df = spark.range(4000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 4 = 0 THEN 'keep_all' "
+        "WHEN id % 4 = 1 THEN 'half' ELSE 'other' END AS source",
+    )
+    out = stratified_sample(
+        df, "doc_id", "source", {"keep_all": 1.0, "half": 0.5},
+        default_rate=0.0, salt="t",
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert by["keep_all"] == 1000          # rate 1.0 keeps every row
+    assert 380 <= by.get("half", 0) <= 620  # ~50% of 1000
+    assert "other" not in by               # default 0 drops the rest
+    # deterministic: same inputs -> identical kept set
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in out.collect()}
+    assert ids1 == ids2
+    with pytest.raises(ValueError, match="rate"):
+        stratified_sample(df, "doc_id", "source", {"half": 1.5})
+
+
+def test_corpus_vocabulary_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b"), (3, "c")], ["doc_id", "text"]
+    )
+    rows = curation.corpus_vocabulary(df, "doc_id", "text", k=2).collect()
+    assert [(r["rank"], r["term"], r["tf"], r["df"]) for r in rows] == [
+        (1, "a", 3, 2),   # 3 occurrences over docs 1 and 2
+        (2, "b", 3, 2),   # tie on tf=3 broken by term asc
+    ]
