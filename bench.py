@@ -47,6 +47,14 @@ def build_spark(cpus: int):
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
         )
+        # The corpus operators use localCheckpoint barriers; their pinned
+        # blocks are only released by the ContextCleaner AFTER a driver
+        # GC notices the RDD is unreferenced. The default periodic GC
+        # (30 min) never fires inside one bench run, so storage/GC
+        # pressure accumulates across 79 queries and late queries degrade
+        # 3-5x (measured: same corpus 86 s vs 230 s run-to-run). The
+        # bench loop also forces a driver GC between queries.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -232,6 +240,12 @@ def main() -> None:
         if best == best:  # not NaN
             total += best
         log(f"{name}: {timings[name]}s")
+        # untimed: let the ContextCleaner release the query's pinned
+        # localCheckpoint blocks before the next query is measured
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     try:
         streaming = bench_streaming(spark, sf_dir)

@@ -234,3 +234,12 @@ def test_degenerate_vocab_allpairs_bounded_by_doc_count(spark, monkeypatch):
     monkeypatch.setattr(dedup, "_ALLPAIRS_MAX_DOCS", 100_000)
     jac_small = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
     assert "BroadcastNestedLoopJoin" in plan_of(jac_small)
+
+
+def test_cosine_pairs_lsh_never_nested_loop(spark):
+    """x07's measured path must be the banded equi-join + broadcast
+    verify — the quadratic a_id < b_id product (BroadcastNestedLoopJoin)
+    is exactly what the scale path exists to avoid."""
+    plan = plan_of(corpus.queries()["x07_embedding_cosine_pairs"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
