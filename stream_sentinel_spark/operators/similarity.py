@@ -209,7 +209,13 @@ def cosine_pairs_lsh(
     Cosines are computed with the same fold-order kernel as
     :func:`cosine_pairs` (bit-equal to ``list_cosine_similarity``)."""
     cos_seq = _cos_seq_udf()
-    cands = lsh_candidates(df, id_col, vec_col, bits, bands, dim, seed)
+    # explicit repartition after the candidate distinct: AQE sizes the
+    # post-distinct stage by bytes, and hundreds of thousands of
+    # 16-byte id pairs coalesce to ~1 partition — which would serialize
+    # the vector joins + Arrow cosine kernel (the expensive part) onto
+    # one core. Same measured pathology as dedup.minhash_verified_pairs.
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    cands = lsh_candidates(df, id_col, vec_col, bits, bands, dim, seed).repartition(par)
     vecs = spread_small(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     ).withColumn("nrm", norm(_as_double(F.col("vec")))).localCheckpoint(eager=True)
