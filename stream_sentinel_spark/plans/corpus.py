@@ -2950,3 +2950,78 @@ def x31(spark, sf):
     from stream_sentinel_spark.operators import curation
 
     return curation.corpus_vocabulary(_t(spark, sf, "documents"), "doc_id", "text", k=50)
+
+
+# ---------------------------------------------------------------------------
+# q48-q49: remaining analytic surface — distribution window functions
+# (percent_rank / cume_dist / nth_value) and UNPIVOT via stack().
+# ---------------------------------------------------------------------------
+
+@query(
+    "q48_distribution_windows",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q48(spark, sf):
+    # Distribution window functions over a tie-broken total order: the
+    # unique (price, key) ordering makes rank = row_number, so
+    # percent_rank/cume_dist are exact integer ratios and nth_value's
+    # running frame is identical across engines. One window shuffle per
+    # priority group, no driver work.
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+
+
+@query(
+    "q49_unpivot_measures",
+    """
+    WITH u AS (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+    SELECT l_returnflag, measure,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
+           COUNT(*) AS n
+    FROM u
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def q49(spark, sf):
+    # Long-form measure table via stack() (Spark's UNPIVOT primitive —
+    # a map-only 4x row expansion, no shuffle until the aggregate), with
+    # decimal-accumulated sums cast to double once (order-insensitive
+    # exact arithmetic, AQE/partial-agg safe — same discipline as q25).
+    li = _t(spark, sf, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount, 'tax', l_tax) AS (measure, value)",
+    )
+    total = F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            total.alias("total"),
+            (total / F.count(F.lit(1))).alias("mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
