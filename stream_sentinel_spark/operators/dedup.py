@@ -621,7 +621,16 @@ def minhash_lsh_candidates(
 def _exact_verify(cands: DataFrame, sets_: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard verification of candidate (a_id, b_id) pairs against
     a per-doc shingle-set frame (id, grams, sz). Shared by the prefix-
-    filter and LSH operators so the verify semantics cannot diverge."""
+    filter and LSH operators so the verify semantics cannot diverge.
+
+    The candidate frame is repartitioned first: candidates typically
+    arrive from a distinct over id pairs, whose post-shuffle stage AQE
+    coalesces by BYTES (millions of 16-byte pairs → a couple of
+    partitions), and the per-pair array_intersect — the expensive part —
+    would run on a couple of cores. Same measured pathology as the
+    bitmask verify path."""
+    par = cands.sparkSession.sparkContext.defaultParallelism * 2
+    cands = cands.repartition(par)
     da = sets_.select(
         F.col("id").alias("a_id"), F.col("grams").alias("a_grams"),
         F.col("sz").alias("a_sz"),
@@ -729,18 +738,7 @@ def minhash_verified_pairs(
         .filter(F.col("sig").isNotNull())
         .localCheckpoint(eager=True)
     )
-    # the explicit repartition after the distinct is load-bearing: AQE
-    # sizes the post-distinct stage by BYTES, and 6.7M 16-byte id pairs
-    # coalesce to ~2 partitions — which would serialize the downstream
-    # verify (joins + popcount, the expensive part) onto two cores
-    # (measured 15.8 s → 3.1 s at sf0.1). The extra exchange is ~100 MB
-    # of int pairs — noise next to the work it parallelizes.
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    cands = (
-        _band_raw_pairs(docs.select("id", "sig"), num_hashes, bands)
-        .distinct()
-        .repartition(par)
-    )
+    cands = _band_raw_pairs(docs.select("id", "sig"), num_hashes, bands).distinct()
     # regime probe: the complete vocabulary IS the probe — collect at
     # most cap+1 distinct codes (a dimension-sized pull, same class as
     # IVF centroids); overflow or a too-large corpus → array-intersect
@@ -753,6 +751,15 @@ def minhash_verified_pairs(
     sets_ = docs.select("id", F.col("codes").alias("grams"), "sz")
     if len(vocab_rows) > _BITMASK_VOCAB_MAX or df.count() > _ALLPAIRS_MAX_DOCS:
         return _exact_verify(cands, sets_, threshold)
+    # the explicit repartition after the distinct is load-bearing: AQE
+    # sizes the post-distinct stage by BYTES, and 6.7M 16-byte id pairs
+    # coalesce to ~2 partitions — which would serialize the downstream
+    # verify (joins + popcount, the expensive part) onto two cores
+    # (measured 15.8 s → 3.1 s at sf0.1). The extra exchange is ~100 MB
+    # of int pairs — noise next to the work it parallelizes.
+    # (_exact_verify does the same for the diverse regime.)
+    par = df.sparkSession.sparkContext.defaultParallelism * 2
+    cands = cands.repartition(par)
     vocab = sorted(r["c"] & 0xFFFF_FFFF_FFFF_FFFF for r in vocab_rows)
     nwords = (len(vocab) + 63) // 64
     masks = docs.select(
