@@ -749,7 +749,10 @@ def minhash_verified_pairs(
         .collect()
     )
     sets_ = docs.select("id", F.col("codes").alias("grams"), "sz")
-    if len(vocab_rows) > _BITMASK_VOCAB_MAX or df.count() > _ALLPAIRS_MAX_DOCS:
+    # doc-count probe against the checkpointed frame: counting pinned
+    # blocks is near-free, and it bounds by docs-that-have-signatures
+    # (the set the quadratic regimes actually touch)
+    if len(vocab_rows) > _BITMASK_VOCAB_MAX or docs.count() > _ALLPAIRS_MAX_DOCS:
         return _exact_verify(cands, sets_, threshold)
     # the explicit repartition after the distinct is load-bearing: AQE
     # sizes the post-distinct stage by BYTES, and 6.7M 16-byte id pairs
