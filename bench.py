@@ -51,7 +51,7 @@ def build_spark(cpus: int):
         # blocks are only released by the ContextCleaner AFTER a driver
         # GC notices the RDD is unreferenced. The default periodic GC
         # (30 min) never fires inside one bench run, so storage/GC
-        # pressure accumulates across 79 queries and late queries degrade
+        # pressure accumulates across the full corpus and late queries degrade
         # 3-5x (measured: same corpus 86 s vs 230 s run-to-run). The
         # bench loop also forces a driver GC between queries.
         .config("spark.cleaner.periodicGC.interval", "1min")

@@ -86,15 +86,18 @@ def run_job(
             "No detection rules configured — refusing to start"
         )
     log.info("Loaded %d detection rules", len(rules))
-    # 3-4. session + metrics + health server (daemon; stopped when the
-    # process exits) — /metrics serves the listener's counters and
-    # latency percentiles in Prometheus text format (SentinelMetrics
-    # exposition parity, SentinelMetrics.java:25-51)
-    spark = spark or build_session(config)
+    # 3. health server BEFORE the (slow) session build, as the reference
+    # starts it before the job (StreamSentinelJob.java:78-81) — k8s
+    # probes must see /health during the 10-30 s SparkContext bring-up.
+    # The listener needs no session, so /metrics is live immediately too
+    # (zero counters until the stream starts), serving the snapshot in
+    # Prometheus text format (SentinelMetrics.java:25-51 parity).
     listener = SentinelMetricsListener()
-    spark.streams.addListener(listener)
     health = HealthServer(metrics_source=listener.snapshot)
     health.start(config.health_port)
+    # 4. session + metrics
+    spark = spark or build_session(config)
+    spark.streams.addListener(listener)
     # 5-6. pipeline construction + execution
     if events is None:
         raw = read_kafka_stream(spark, config)

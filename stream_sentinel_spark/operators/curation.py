@@ -156,8 +156,14 @@ def repetition_features(
         }
         for t in texts:
             if t is None:
-                for k in out:
-                    out[k].append(None)
+                # NULL-text contract matches the column-expression
+                # formulation and the oracle: counts NULL, dup fractions
+                # 0.0 (the `WHEN total > 0 ... ELSE 0.0` branch), ratio
+                # NULL
+                out["n_tokens"].append(None)
+                out["dup_2gram_frac"].append(0.0)
+                out["dup_3gram_frac"].append(0.0)
+                out["top_token_frac"].append(None)
                 continue
             toks = t.split(" ")  # single-space split, same as word_tokens
             n = len(toks)

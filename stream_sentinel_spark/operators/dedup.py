@@ -28,7 +28,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from stream_sentinel_spark.operators.partitioning import spread_small as _spread
+from stream_sentinel_spark.operators.partitioning import (
+    spread_pairs as _spread_pairs,
+    spread_small as _spread,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -95,16 +98,6 @@ _BITMASK_VOCAB_MAX = 4096  # ≤ 64 longs per doc mask
 # Above this many docs the operators fall through to the prefix-filter /
 # LSH paths (keyed shuffles, never all-pairs) regardless of vocab size.
 _ALLPAIRS_MAX_DOCS = 100_000
-
-
-def _fits_allpairs(df: DataFrame, n_vocab: int) -> bool:
-    """Planner probe for the degenerate-vocab regime: bitmask verification
-    and all-pairs candidate generation are only admissible when BOTH the
-    vocabulary is small (bounded mask width) and the document count is
-    bounded (quadratic pair volume, broadcast build side). The doc count
-    is only computed when the vocab test already passed — one cheap
-    metadata-backed count action, same cost class as the vocab probe."""
-    return n_vocab <= _BITMASK_VOCAB_MAX and df.count() <= _ALLPAIRS_MAX_DOCS
 
 
 def _encode_shingle_docs(
@@ -231,7 +224,18 @@ def ngram_jaccard_pairs(
     """
     docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
 
-    use_bitmask = _fits_allpairs(df, n_vocab)
+    # Regime probe: bitmask all-pairs only when BOTH the vocabulary is
+    # small (bounded mask width) and the document count is bounded
+    # (quadratic pair volume, broadcast build side — see
+    # _ALLPAIRS_MAX_DOCS). The encoded docs frame is pinned BEFORE the
+    # doc-count probe so the count reads materialized blocks instead of
+    # re-running the caller's upstream lineage (df may be an arbitrary
+    # derived frame, not a bare scan); the same pinned frame then feeds
+    # the masks or the prefix/verify path.
+    use_bitmask = False
+    if n_vocab <= _BITMASK_VOCAB_MAX:
+        docs = docs.localCheckpoint(eager=True)
+        use_bitmask = docs.count() <= _ALLPAIRS_MAX_DOCS
     if use_bitmask:
         # DEGENERATE-VOCAB REGIME (repetitive corpora): every shingle is
         # frequent, so prefix filtering prunes almost nothing and the
@@ -622,15 +626,10 @@ def _exact_verify(cands: DataFrame, sets_: DataFrame, threshold: float) -> DataF
     """Exact Jaccard verification of candidate (a_id, b_id) pairs against
     a per-doc shingle-set frame (id, grams, sz). Shared by the prefix-
     filter and LSH operators so the verify semantics cannot diverge.
-
-    The candidate frame is repartitioned first: candidates typically
-    arrive from a distinct over id pairs, whose post-shuffle stage AQE
-    coalesces by BYTES (millions of 16-byte pairs → a couple of
-    partitions), and the per-pair array_intersect — the expensive part —
-    would run on a couple of cores. Same measured pathology as the
-    bitmask verify path."""
-    par = cands.sparkSession.sparkContext.defaultParallelism * 2
-    cands = cands.repartition(par)
+    Candidates are re-spread first (:func:`partitioning.spread_pairs`) —
+    the per-pair array_intersect is the expensive part and must not run
+    in an AQE-coalesced post-distinct stage."""
+    cands = _spread_pairs(cands)
     da = sets_.select(
         F.col("id").alias("a_id"), F.col("grams").alias("a_grams"),
         F.col("sz").alias("a_sz"),
@@ -754,15 +753,11 @@ def minhash_verified_pairs(
     # (the set the quadratic regimes actually touch)
     if len(vocab_rows) > _BITMASK_VOCAB_MAX or docs.count() > _ALLPAIRS_MAX_DOCS:
         return _exact_verify(cands, sets_, threshold)
-    # the explicit repartition after the distinct is load-bearing: AQE
-    # sizes the post-distinct stage by BYTES, and 6.7M 16-byte id pairs
-    # coalesce to ~2 partitions — which would serialize the downstream
-    # verify (joins + popcount, the expensive part) onto two cores
-    # (measured 15.8 s → 3.1 s at sf0.1). The extra exchange is ~100 MB
-    # of int pairs — noise next to the work it parallelizes.
-    # (_exact_verify does the same for the diverse regime.)
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    cands = cands.repartition(par)
+    # re-spread before the popcount verify — the AQE-coalesced
+    # post-distinct stage must not serialize it (see
+    # partitioning.spread_pairs; _exact_verify spreads its own input for
+    # the diverse regime)
+    cands = _spread_pairs(cands)
     vocab = sorted(r["c"] & 0xFFFF_FFFF_FFFF_FFFF for r in vocab_rows)
     nwords = (len(vocab) + 63) // 64
     masks = docs.select(

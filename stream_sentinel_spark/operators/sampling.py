@@ -19,6 +19,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _md5_bucket(id_col: str, salt: str) -> Column:
+    """Uniform 32-bit bucket from md5(salt ‖ id) — the shared decision
+    variable of every sampling operator here. Engine-portable: the
+    first 8 hex chars as an integer, reproducible in any SQL engine as
+    ``('0x' || substr(md5(salt || id), 1, 8))::BIGINT`` (the generated
+    oracles depend on this exact construction — change it in ONE place
+    or nowhere)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_sample(
     df: DataFrame,
     id_col: str,
@@ -26,17 +40,11 @@ def hash_sample(
     salt: str = "",
 ) -> DataFrame:
     """Keep ≈ ``rate`` of rows, decided by md5(salt ‖ id) — deterministic
-    and engine-portable (the first 8 hex chars as an integer against the
-    scaled cutoff). Different salts give independent samples."""
+    and engine-portable. Different salts give independent samples."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
     cutoff = int(rate * (1 << 32))
-    return df.filter(bucket < F.lit(cutoff))
+    return df.filter(_md5_bucket(id_col, salt) < F.lit(cutoff))
 
 
 def stratified_sample(
@@ -64,11 +72,7 @@ def stratified_sample(
             raise ValueError(f"rate for {stratum!r} must be in [0, 1], got {rate}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    bucket = _md5_bucket(id_col, salt)
     cutoff = F.lit(int(default_rate * (1 << 32)))
     for stratum, rate in sorted(fractions.items()):
         cutoff = F.when(

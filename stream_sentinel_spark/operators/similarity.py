@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from stream_sentinel_spark.operators.partitioning import spread_small
+from stream_sentinel_spark.operators.partitioning import spread_pairs, spread_small
 
 
 def _as_double(col):
@@ -209,13 +209,10 @@ def cosine_pairs_lsh(
     Cosines are computed with the same fold-order kernel as
     :func:`cosine_pairs` (bit-equal to ``list_cosine_similarity``)."""
     cos_seq = _cos_seq_udf()
-    # explicit repartition after the candidate distinct: AQE sizes the
-    # post-distinct stage by bytes, and hundreds of thousands of
-    # 16-byte id pairs coalesce to ~1 partition — which would serialize
-    # the vector joins + Arrow cosine kernel (the expensive part) onto
-    # one core. Same measured pathology as dedup.minhash_verified_pairs.
-    par = df.sparkSession.sparkContext.defaultParallelism * 2
-    cands = lsh_candidates(df, id_col, vec_col, bits, bands, dim, seed).repartition(par)
+    # re-spread the candidates so the vector joins + Arrow cosine kernel
+    # never run in an AQE-coalesced post-distinct stage (see
+    # partitioning.spread_pairs)
+    cands = spread_pairs(lsh_candidates(df, id_col, vec_col, bits, bands, dim, seed))
     vecs = spread_small(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     ).withColumn("nrm", norm(_as_double(F.col("vec")))).localCheckpoint(eager=True)

@@ -180,22 +180,30 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tokens — chained regexp_replace, one scan, codegen'd. The rule list
     is ordered and RE2-safe so any engine reproduces it byte-for-byte.
 
-    ``n_redactions`` counts the placeholder tokens in the FINAL text —
-    one regex pass instead of one count scan per rule (the replacement
-    chain is 8 regex passes either way; the per-rule counting doubled
-    it to 16). Equal to the number of replacements performed whenever
-    the source text contains no literal placeholder token (none of the
-    digit/email patterns can match inside an emitted placeholder, so
-    replacements are never re-counted or destroyed by later rules)."""
-    out = F.col(text_col)
+    ``n_redactions`` is EXACTLY the number of replacements performed,
+    computed as placeholder-token count in the FINAL text minus the
+    count already present in the SOURCE text — two regex passes instead
+    of one count scan per rule (the replacement chain is 8 passes either
+    way; per-rule counting doubled it to 16). The difference is exact
+    because no rule pattern can consume a character of an existing
+    placeholder (every pattern matches only ``[A-Za-z0-9._%+\\- ()]``
+    runs anchored on digits/@ — never ``<`` or ``>``), so pre-existing
+    tokens survive every rule untouched and each replacement adds
+    exactly one token."""
+    src = F.col(text_col)
+    out = src
     for pattern, token in REDACTION_RULES:
         out = F.regexp_replace(out, pattern, token)
+
+    def tok_count(col):
+        return F.size(
+            F.regexp_extract_all(col, F.lit(_REDACTION_TOKEN_PATTERN), F.lit(0))
+        )
+
     return df.select(
         F.col(id_col).alias("doc_id"),
         out.alias("redacted_text"),
-        F.size(
-            F.regexp_extract_all(out, F.lit(_REDACTION_TOKEN_PATTERN), F.lit(0))
-        ).alias("n_redactions"),
+        (tok_count(out) - tok_count(src)).alias("n_redactions"),
     )
 
 

@@ -1192,9 +1192,10 @@ def _redact_oracle() -> str:
     tok_pat = text._REDACTION_TOKEN_PATTERN.replace("'", "''")
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, t{last} AS redacted_text, "
-        + f"len(regexp_extract_all(t{last}, '{tok_pat}')) AS n_redactions"
-        + f" FROM r{last}"
+        + f"\nSELECT r{last}.doc_id, t{last} AS redacted_text, "
+        + f"len(regexp_extract_all(t{last}, '{tok_pat}'))"
+        + f" - len(regexp_extract_all(r0.t0, '{tok_pat}')) AS n_redactions"
+        + f" FROM r{last} JOIN r0 ON r0.doc_id = r{last}.doc_id"
     )
 
 

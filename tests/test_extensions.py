@@ -276,3 +276,43 @@ def test_fuzzy_pairs_matches_naive(spark):
     assert (0, 3, 1) in got   # insertion
     assert (0, 4, 1) in got   # deletion
     assert not any(a == 0 and b == 5 for a, b, _ in got)  # distance 2 — out
+
+
+def test_cosine_pairs_exhaustive_vs_numpy(spark):
+    """The quadratic cosine_pairs is the exhaustive baseline for the LSH
+    scale path (x07): pin its exact pair set and values against a numpy
+    recomputation, and pin that the LSH-prefiltered variant returns a
+    SUBSET with identical cosines (candidates it does keep are verified
+    with the same arithmetic)."""
+    import numpy as np
+    from stream_sentinel_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in similarity.cosine_pairs(df, threshold=0.3).collect()
+    }
+    V = vecs.astype("float64")
+    want = {}
+    for i in range(len(V)):
+        for j in range(i + 1, len(V)):
+            c = float(V[i] @ V[j] / (np.linalg.norm(V[i]) * np.linalg.norm(V[j])))
+            if c >= 0.3:
+                want[(i, j)] = c
+    assert set(got) == set(want)
+    for k, c in got.items():
+        assert abs(c - want[k]) < 1e-12
+    lsh = {
+        (r["a_id"], r["b_id"]): r["cos"]
+        for r in similarity.cosine_pairs_lsh(
+            df, threshold=0.3, dim=8
+        ).collect()
+    }
+    assert set(lsh) <= set(got)
+    for k, c in lsh.items():
+        assert c == got[k]
