@@ -553,26 +553,119 @@ def minhash_signatures(
     )
 
 
-def _band_raw_pairs(
-    sig: DataFrame, num_hashes: int, bands: int, salt: int = 8
+# A bucket of n rows emits C(n,2) pairs from ONE join task. Salting only
+# pays once that single task is pinned for seconds: at ~50ns/pair,
+# C(8192,2) ≈ 33M pairs ≈ low single-digit seconds — below that the
+# straggler costs less than ANY salting machinery (measured at sf0.1,
+# hottest bucket 1890 rows ≈ 1.8M pairs: unsalted 0.95s vs fixed-salt-8
+# 1.18s vs always-on broadcast tagging 2.14s for the identical result).
+# The cutoff is an absolute wall-time bound, not a share of the corpus:
+# it is scale-free in the right way — a 100 TB corpus with millions of
+# cold buckets stays on the zero-overhead plan, and any bucket big
+# enough to pin a task for seconds trips the salted plan regardless of
+# how much other work there is.
+_HOT_BUCKET_CUTOFF = 8192
+_HOT_SALT_MAX = 64
+
+
+def _hot_salted_self_join(
+    keyed: DataFrame,
+    keys: list[str],
+    carry: list[str] = (),
+    cutoff: int = _HOT_BUCKET_CUTOFF,
+    max_salt: int = _HOT_SALT_MAX,
 ) -> DataFrame:
+    """Self-join ``keyed`` (columns: id, *keys, *carry) on ``keys``,
+    emitting each unordered pair (a_id < b_id) exactly once per shared
+    key combination, with ADAPTIVE hot-bucket salting. ``carry`` columns
+    ride along prefixed ``a_``/``b_``.
+
+    Near-dup corpora concentrate rows in a few hot buckets, and a bucket
+    of n rows emits C(n,2) pairs from ONE task; AQE skew-split doesn't
+    fire because its byte thresholds see only the tiny pre-join rows,
+    not the join's output explosion. Round 2 guarded that with an
+    unconditional salt=8 — which replicated the ENTIRE right side 8x
+    even when no bucket was hot, regressing the candidate queries 1.5-2x
+    (the r2 x08/x09 driver-bench regression). The regime is now chosen
+    by a PROBE of the max bucket size — one scalar agg (map-side
+    combined count + max), the same cost class as the vocabulary probe
+    in :func:`minhash_verified_pairs`:
+
+    - max bucket ≤ ``cutoff``: the plain unsalted equi-join plan. Zero
+      fan-out, zero extra joins — the straggler bound is C(cutoff,2)
+      pairs in one task, an absolute wall-clock quantum (see
+      _HOT_BUCKET_CUTOFF).
+    - above: bucket sizes are re-derived, the hot keys (a bounded,
+      dimension-sized set — at most |keyed|/cutoff of them) broadcast,
+      and ONLY rows in hot buckets are salted, salt scaled to the
+      bucket's size (ceil(n/cutoff), capped at ``max_salt``). The left
+      row's chunk is fixed by its id hash, the right row replicates to
+      its bucket's salt chunks, so each pair still meets on exactly one
+      (*keys, chunk) — no dedup introduced, and the replication cost is
+      salt x (hot rows only), never salt x |keyed|.
+
+    ``keyed`` should derive from a materialized frame (the callers feed
+    it from localCheckpoint'ed signatures) — the probe and both join
+    sides re-derive it otherwise."""
+    sizes = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    max_n = sizes.agg(F.max("_n")).first()[0]
+    if max_n is None or max_n <= cutoff:
+        a = keyed.select(
+            F.col("id").alias("a_id"),
+            *[F.col(c).alias(f"a_{c}") for c in carry],
+            *keys,
+        )
+        b = keyed.select(
+            F.col("id").alias("b_id"),
+            *[F.col(c).alias(f"b_{c}") for c in carry],
+            *keys,
+        )
+        return (
+            a.join(b, list(keys))
+            .filter(F.col("a_id") < F.col("b_id"))
+            .drop(*keys)
+        )
+    hot = F.broadcast(
+        sizes.filter(F.col("_n") > cutoff)
+        .select(
+            *keys,
+            F.least(
+                F.lit(max_salt).cast("long"),
+                F.ceil(F.col("_n") / F.lit(cutoff)).cast("long"),
+            ).alias("_salt"),
+        )
+    )
+    tagged = keyed.join(hot, list(keys), "left").withColumn(
+        "_salt", F.coalesce(F.col("_salt"), F.lit(1).cast("long"))
+    )
+    a = tagged.select(
+        F.col("id").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in carry],
+        *keys,
+        F.pmod(F.xxhash64("id"), F.col("_salt")).alias("_chunk"),
+    )
+    b = tagged.select(
+        F.col("id").alias("b_id"),
+        *[F.col(c).alias(f"b_{c}") for c in carry],
+        *keys,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_salt") - F.lit(1))
+        ).alias("_chunk"),
+    )
+    return (
+        a.join(b, [*keys, "_chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .drop("_chunk", *keys)
+    )
+
+
+def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Band-bucket collision pairs from a (id, sig) frame WITHOUT the
     final dedup: a pair agreeing on k bands appears k times. Callers
     `.distinct()` to get the candidate contract. ``sig`` should be
     materialized (see :func:`minhash_signatures`) — both join sides
-    re-derive it otherwise.
-
-    ``salt`` splits hot buckets: near-dup corpora concentrate docs in a
-    few (band, bucket) keys, and a bucket of n docs emits C(n,2) pairs
-    from ONE task (measured: the hottest bucket of the driver corpus
-    yields ~1M of 8.8M pairs — a 3.6x straggler at 32 partitions; AQE
-    skew-split doesn't fire because its byte thresholds see only the
-    tiny pre-join rows, not the join's output explosion). The left
-    row's chunk is fixed by its id hash, the right side replicates to
-    every chunk, so each pair still meets on exactly one key
-    (band, bucket, chunk) — no dedup introduced, hot buckets spread
-    over ``salt`` tasks at a fixed ``salt``x fan-out of the (tiny)
-    banded frame."""
+    re-derive it otherwise. Hot (band, bucket) keys are salted
+    adaptively (:func:`_hot_salted_self_join`)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     banded = sig.select(
@@ -588,19 +681,7 @@ def _band_raw_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(
-        F.col("id").alias("a_id"), "band", "bucket",
-        F.pmod(F.xxhash64("id"), F.lit(salt)).alias("chunk"),
-    )
-    b = banded.select(
-        F.col("id").alias("b_id"), "band", "bucket",
-        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<long>")).alias("chunk"),
-    )
-    return (
-        a.join(b, ["band", "bucket", "chunk"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-    )
+    return _hot_salted_self_join(banded, ["band", "bucket"]).select("a_id", "b_id")
 
 
 def minhash_lsh_candidates(
@@ -858,8 +939,11 @@ def simhash_candidates(
 ) -> DataFrame:
     """Pairs whose SimHashes agree on ≥1 of ``chunks`` 16-bit chunks —
     by pigeonhole, a superset of all pairs with hamming distance <
-    ``chunks``. Equi-join on (chunk index, chunk value); includes the
-    exact hamming distance for downstream filtering."""
+    ``chunks``. Equi-join on (chunk index, chunk value), hot chunk
+    values salted adaptively (:func:`_hot_salted_self_join` — identical
+    hot-bucket shape to the MinHash band join: near-dup corpora
+    concentrate fingerprints in a few chunk values); includes the exact
+    hamming distance for downstream filtering."""
     # fp feeds BOTH sides of the self-join; the barrier keeps the
     # (map-only, Arrow) fingerprint computation from running twice —
     # the old groupBy formulation had an implicitly reusable shuffle
@@ -879,13 +963,10 @@ def simhash_candidates(
         ]
     )
     chunked = fp.select(
-        "id", "simhash", F.explode(chunk_structs).alias("cc")
-    ).select("id", "simhash", "cc.chunk", "cc.val")
-    a = chunked.select(F.col("id").alias("a_id"), F.col("simhash").alias("a_fp"), "chunk", "val")
-    b = chunked.select(F.col("id").alias("b_id"), F.col("simhash").alias("b_fp"), "chunk", "val")
+        "id", F.col("simhash").alias("fp"), F.explode(chunk_structs).alias("cc")
+    ).select("id", "fp", "cc.chunk", "cc.val")
     pairs = (
-        a.join(b, ["chunk", "val"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        _hot_salted_self_join(chunked, ["chunk", "val"], ["fp"])
         .select("a_id", "b_id", "a_fp", "b_fp")
         .distinct()
     )

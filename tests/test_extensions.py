@@ -67,6 +67,80 @@ def test_minhash_verified_pairs_match_exhaustive(spark, docs):
     assert verified == exhaustive  # and full recall on the fixture
 
 
+def test_minhash_verified_pairs_32_8_recall(spark, docs):
+    """The corpus x19 parameterization (32 hashes / 8 bands — rows per
+    band still 4, so the per-band collision curve is unchanged;
+    recall at jaccard ≥ 0.8 is 1-(1-s^4)^8 ≈ 0.985) keeps full recall
+    vs the exhaustive operator on the fixture at half the signature
+    cost."""
+    exhaustive = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    verified = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_verified_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8
+        ).collect()
+    }
+    assert verified == exhaustive
+
+
+def test_hot_salted_self_join_exact_pair_semantics(spark):
+    """_hot_salted_self_join emits each unordered pair exactly once per
+    shared key — one hot bucket (well above the cutoff) plus many cold
+    buckets, checked against itertools combinations, as a LIST so
+    duplicate rows (a pair meeting on >1 chunk) would fail."""
+    import itertools
+
+    rows = [(i, "hot") for i in range(200)] + [
+        (1000 + i, f"cold{i % 37}") for i in range(111)
+    ]
+    keyed = spark.createDataFrame(rows, ["id", "k"])
+    groups: dict[str, list[int]] = {}
+    for i, k in rows:
+        groups.setdefault(k, []).append(i)
+    expect = sorted(
+        p
+        for ids in groups.values()
+        for p in itertools.combinations(sorted(ids), 2)
+    )
+    # default cutoff → probe picks the plain unsalted plan; cutoff=64 →
+    # the 200-row bucket is hot (salt=ceil(200/64)=4), cold buckets
+    # unsalted — both must produce the exact pair multiset
+    for cutoff in (dedup._HOT_BUCKET_CUTOFF, 64):
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in dedup._hot_salted_self_join(
+                keyed, ["k"], cutoff=cutoff
+            ).collect()
+        )
+        assert got == expect  # exact multiset: no lost pairs, no chunk dups
+
+
+def test_hot_salted_self_join_invariant_across_regimes(spark, docs):
+    """The candidate set must not depend on the salting regime: forcing
+    every bucket hot (cutoff=1), the adaptive default, and forcing every
+    bucket cold (huge cutoff) all yield the same pairs, and carry
+    columns ride along intact."""
+    sig = dedup.simhash_fingerprints(docs, "doc_id", "text").localCheckpoint()
+    keyed = sig.select(
+        "id", F.col("simhash").alias("fp"),
+        F.pmod("simhash", F.lit(4)).alias("k"),
+    )
+    outs = [
+        sorted(
+            (r.a_id, r.b_id, r.a_fp, r.b_fp)
+            for r in dedup._hot_salted_self_join(
+                keyed, ["k"], ["fp"], cutoff=c
+            ).collect()
+        )
+        for c in (1, dedup._HOT_BUCKET_CUTOFF, 10**9)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+
+
 def test_connected_components_multi_hop(spark):
     """Chains require propagation over multiple rounds: 1-2-3-4-5 plus a
     separate 10-11 component."""
