@@ -63,12 +63,83 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness gate checks the first 50 queries() entries in
+# iteration order; local oracle parity (tests/test_oracle_parity.py)
+# covers all of them every run. Queries whose driver rows are still
+# outstanding rotate to the front so every query earns a driver-checked
+# row across rounds: round 3 fronts the 31 queries added in round 2
+# (absent from CORRECTNESS_r01/r02), then one representative per
+# already-proven family — including every operator whose implementation
+# changed this round (x08/x09/x19 salting, x18 redaction) so the changed
+# code is re-proven driver-side, not just locally.
+_DRIVER_PRIORITY = [
+    # --- 31 locally-proven, driver-unchecked (r2 additions) ---
+    "x21_salted_hot_key_agg",
+    "q30_outer_join_order_fill",
+    "q31_cube_returns",
+    "q32_lag_lead_ntile",
+    "q33_tpch_q6_forecast",
+    "q34_tpch_q4_priority",
+    "q35_tpch_q10_returns",
+    "q36_tpch_q13_distribution",
+    "q37_tpch_q18_volume",
+    "q38_tpch_q19_disjunctive",
+    "q39_median_order_value",
+    "q40_pivot_priority_segment",
+    "q41_price_quantity_moments",
+    "q42_p95_nearest_rank",
+    "x22_sketch_metrics",
+    "q43_tpch_q7_volume_shipping",
+    "q44_tpch_q8_market_share",
+    "q45_tpch_q15_top_supplier",
+    "x23_range_join_neighbors",
+    "q46_value_window_functions",
+    "x24_fuzzy_name_pairs",
+    "x25_decontamination",
+    "x26_repetition_quality",
+    "x27_tfidf_keywords",
+    "x28_weighted_sample",
+    "x29_document_chunks",
+    "q47_tpch_q16_supplier_counts",
+    "x30_stratified_sample",
+    "x31_corpus_vocabulary",
+    "q48_distribution_windows",
+    "q49_unpivot_measures",
+    # --- 19 representatives of driver-proven families ---
+    "detect_pipeline",
+    "q01_scan_projection",
+    "q03_threshold_rule",
+    "q06_rate_rule_window",
+    "q08_statistical_rule",
+    "q12_tpch_q3_topk",
+    "q15_rollup_lineitem",
+    "q20_json_group",
+    "q22_tumbling_windows",
+    "q23_session_windows",
+    "q25_tpch_q1_pricing",
+    "x01_dedup_exact",
+    "x02_dedup_ngram_jaccard",
+    "x06_ann_cosine_topk",
+    "x08_minhash_lsh_candidates",
+    "x09_simhash_candidates",
+    "x10_multimodal_features",
+    "x18_pii_redaction",
+    "x19_minhash_verified_neardups",
+]
+
+
+def _rotated(reg: dict) -> dict:
+    out = {k: reg[k] for k in _DRIVER_PRIORITY if k in reg}
+    out.update((k, v) for k, v in reg.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _rotated(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _rotated(_ORACLES)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -50,6 +50,30 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_driver_priority_rotation():
+    """The driver gate covers the first 50 queries() entries; the round-3
+    rotation must put every driver-unchecked r2 addition (q30-q49,
+    x21-x31) plus every operator changed this round inside that window,
+    and the priority list must name only real queries."""
+    from stream_sentinel_spark.plans import corpus
+
+    assert set(corpus._DRIVER_PRIORITY) <= set(QUERIES)
+    assert len(corpus._DRIVER_PRIORITY) == len(set(corpus._DRIVER_PRIORITY)) == 50
+    first50 = list(QUERIES)[:50]
+    assert first50 == corpus._DRIVER_PRIORITY
+    unproven = {
+        n for n in QUERIES
+        if n.startswith(tuple(f"q{i}_" for i in range(30, 50)))
+        or n.startswith(tuple(f"x{i}_" for i in range(21, 32)))
+    }
+    assert len(unproven) == 31
+    changed = {
+        "x08_minhash_lsh_candidates", "x09_simhash_candidates",
+        "x19_minhash_verified_neardups", "x18_pii_redaction",
+    }
+    assert unproven | changed <= set(first50)
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, name):
     got = normalize(QUERIES[name](spark, SF_DIR).toPandas())
