@@ -96,7 +96,15 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     """Streaming leg of the BASELINE.md protocol: the 3-rule pipeline
     over a file stream of the events table, split into multiple files so
     several micro-batches execute; reports throughput + micro-batch
-    latency percentiles from the metrics listener."""
+    latency percentiles from the metrics listener.
+
+    Measured on the SCALE-PATH state store: the RocksDB provider
+    (changelog checkpointing, memory-bounded native state — the store
+    that survives 100 TB key cardinality), with the
+    transformWithStateInPandas backend when its protobuf dependency is
+    importable and applyInPandasWithState otherwise (identical alerts
+    either way — tests/test_streaming_tws.py). The JSON records which
+    combination actually ran."""
     import glob
     import shutil
     import tempfile
@@ -106,10 +114,24 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     from stream_sentinel_spark.sources.batch import load_table
     from stream_sentinel_spark.streaming import compile_rules_streaming, read_file_stream
 
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        backend = "tws"
+    except ImportError:
+        backend = "aiws"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
     ev = load_table(spark, sf_dir, "events")
     n_events = ev.count()
     tmp = tempfile.mkdtemp(prefix="ss_bench_stream_")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
     try:
         # Streaming state partitions are sized to the per-batch volume,
         # not the CPU count: every micro-batch pays a fixed per-partition
@@ -137,7 +159,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         walerts = compile_rules_streaming(
             wstream, DEFAULT_RULES, key_field="user_id", time_col="ts",
-            order_cols=("event_id",),
+            order_cols=("event_id",), backend=backend,
         )
         wq = (
             walerts.writeStream.format("noop")
@@ -155,7 +177,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         alerts = compile_rules_streaming(
             stream, DEFAULT_RULES, key_field="user_id", time_col="ts",
-            order_cols=("event_id",),
+            order_cols=("event_id",), backend=backend,
         )
         t0 = time.perf_counter()
         q = (
@@ -178,9 +200,15 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             "events_per_sec": round(n_events / wall, 1),
             "alerts": snap["anomalies_detected_total"],
             "microbatch_ms": snap["processing_latency_ms"],
+            "state_backend": backend,
+            "state_store": "rocksdb",
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -223,8 +251,17 @@ def main() -> None:
 
     qmap = entry_mod.queries()
     timings: dict[str, float] = {}
+    # 1-min loadavg sampled as each query STARTS: a spiked row (e.g. a
+    # 3x session-window time that every clean run measures at 0.4 s) is
+    # then machine-attributable to host contention instead of argued
+    # from calibrations alone
+    query_load: dict[str, float] = {}
     total = 0.0
     for name, fn in qmap.items():
+        try:
+            query_load[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         best = None
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -274,6 +311,7 @@ def main() -> None:
                 "streaming": streaming,
                 "calibration_sec": {"pre": calib_pre, "post": calib_post},
                 "loadavg": {"pre": load_pre, "post": load_post},
+                "query_loadavg_1m": query_load,
             }
         ),
         flush=True,

@@ -40,13 +40,25 @@ def compile_rules_streaming(
     time_col: str = "ts",
     order_cols: Sequence[str] = (),
     state_ttl_ms: int | None = None,
+    backend: str = "aiws",
 ) -> DataFrame:
     """Compile a rule set against a STREAMING events frame.
 
     Stateless rules compile through the shared batch compiler (identical
-    plans work on streaming frames); stateful rules are gathered into one
-    `applyInPandasWithState` branch. Empty rule set is fatal, as at job
-    start (StreamSentinelJob.java:70-75)."""
+    plans work on streaming frames); stateful rules are gathered into
+    one keyed stateful branch. Empty rule set is fatal, as at job
+    start (StreamSentinelJob.java:70-75).
+
+    ``backend`` picks the stateful API: ``"aiws"`` (default) is
+    `applyInPandasWithState`; ``"tws"`` is `transformWithStateInPandas`
+    (Spark 4 typed-state API, built-in TTL, requires the protobuf
+    package — see :func:`stateful_alerts_tws`). Both produce identical
+    alerts (tests/test_streaming_tws.py); either runs on the RocksDB
+    state store via
+    ``spark.sql.streaming.stateStore.providerClass`` — the store that
+    survives 100 TB key cardinality."""
+    if backend not in ("aiws", "tws"):
+        raise ValueError(f"unknown stateful backend: {backend!r}")
     if not rules:
         raise ValueError(
             "No detection rules configured — refusing to start (empty rule set)"
@@ -70,8 +82,14 @@ def compile_rules_streaming(
                 )
             )
     if stateful:
+        if backend == "tws":
+            from stream_sentinel_spark.streaming.state import stateful_alerts_tws
+
+            stateful_fn = stateful_alerts_tws
+        else:
+            stateful_fn = stateful_alerts
         branches.append(
-            stateful_alerts(
+            stateful_fn(
                 payload,
                 [r for _, r in stateful],
                 key_field=key_field,

@@ -107,3 +107,45 @@ def test_tws_matches_apply_in_pandas_with_state(spark, events_src):
     t = {_alert_key(r): r["original_event"] for r in tws}
     k = next(iter(b))
     assert b[k] == t[k]
+
+
+def test_compile_rules_streaming_backend_param(spark, events_src):
+    """The backend switch routes to the TWS stateful branch (gated with
+    the actionable protobuf error in this container) and rejects unknown
+    names."""
+    from stream_sentinel_spark.streaming import (
+        compile_rules_streaming,
+        read_file_stream,
+    )
+
+    path, ev = events_src
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    with pytest.raises(ValueError, match="unknown stateful backend"):
+        compile_rules_streaming(
+            stream, RULES, key_field="user_id", time_col="ts", backend="flink"
+        )
+    if not _has_protobuf():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            compile_rules_streaming(
+                stream, RULES, key_field="user_id", time_col="ts",
+                order_cols=("event_id",), backend="tws",
+            )
+
+
+def test_aiws_on_rocksdb_matches_default_store(spark, events_src):
+    """The bench's measured streaming path in this container: the
+    applyInPandasWithState backend on the RocksDB state store provider
+    must produce the identical alert set to the default in-memory
+    store."""
+    base = _run(spark, events_src, stateful_alerts, "mem")
+    assert len(base) > 0
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        rocks = _run(spark, events_src, stateful_alerts, "aiws_rocks")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert sorted(map(_alert_key, base)) == sorted(map(_alert_key, rocks))
