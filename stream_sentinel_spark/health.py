@@ -31,14 +31,26 @@ HEALTH_RESPONSE = json.dumps({"status": "UP"}).encode("utf-8")
 def render_prometheus(snapshot: dict) -> str:
     """Render a metrics snapshot (the ``SentinelMetricsListener.snapshot``
     shape) as Prometheus text exposition format v0.0.4: counters as
-    ``counter`` series, percentile dicts as ``summary`` quantiles."""
+    ``counter`` series, percentile dicts as full ``summary`` families —
+    quantile samples plus the ``_count``/``_sum`` samples (from the
+    dict's ``count``/``sum`` keys) that client libraries emit and that
+    consumers need to compute rates, with ``# HELP`` lines throughout
+    (matching the reference's client-library exposition,
+    SentinelMetrics.java:25-51)."""
     lines: list[str] = []
     for name, value in snapshot.items():
+        help_text = name.removesuffix("_total").replace("_", " ")
+        lines.append(f"# HELP {name} {help_text}")
         if isinstance(value, dict):
             lines.append(f"# TYPE {name} summary")
             for pk, pv in value.items():
-                q = float(pk.lstrip("p")) / 100.0
-                lines.append(f'{name}{{quantile="{q}"}} {float(pv)}')
+                if pk.startswith("p") and pk[1:].isdigit():
+                    q = float(pk.lstrip("p")) / 100.0
+                    lines.append(f'{name}{{quantile="{q}"}} {float(pv)}')
+            if "count" in value:
+                lines.append(f"{name}_count {int(value['count'])}")
+            if "sum" in value:
+                lines.append(f"{name}_sum {float(value['sum'])}")
         else:
             lines.append(f"# TYPE {name} counter")
             lines.append(f"{name} {value}")

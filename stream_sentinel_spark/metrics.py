@@ -72,6 +72,11 @@ class SentinelMetricsListener(StreamingQueryListener):
         self.anomalies_detected = 0
         self.last_observed: dict = {}
         self._latencies: deque[float] = deque(maxlen=RESERVOIR_SIZE)
+        # cumulative over ALL observations (not the reservoir window) —
+        # Prometheus summary semantics: quantiles may be windowed, but
+        # consumers compute rates from monotonic _count/_sum
+        self._latency_count = 0
+        self._latency_sum = 0.0
 
     # -- StreamingQueryListener hooks ------------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -89,7 +94,7 @@ class SentinelMetricsListener(StreamingQueryListener):
                 self.anomalies_detected += p.sink.numOutputRows
             duration = (p.durationMs or {}).get("triggerExecution")
             if duration is not None:
-                self._latencies.append(float(duration))
+                self._observe_latency(float(duration))
             self.last_observed = {
                 name: row.asDict() for name, row in (p.observedMetrics or {}).items()
             }
@@ -99,6 +104,14 @@ class SentinelMetricsListener(StreamingQueryListener):
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
+
+    def _observe_latency(self, ms: float) -> None:
+        """One latency observation: reservoir (quantiles) + cumulative
+        count/sum (the ``_count``/``_sum`` summary samples). Callers
+        hold or don't need ``self._lock`` (single listener thread)."""
+        self._latencies.append(ms)
+        self._latency_count += 1
+        self._latency_sum += ms
 
     # -- histogram surface (SentinelMetrics.java:49-51) ------------------
     def _percentile(self, q: float) -> float:
@@ -129,5 +142,7 @@ class SentinelMetricsListener(StreamingQueryListener):
                 "p50": self.p50,
                 "p95": self.p95,
                 "p99": self.p99,
+                "count": self._latency_count,
+                "sum": round(self._latency_sum, 3),
             },
         }

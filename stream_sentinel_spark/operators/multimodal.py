@@ -67,16 +67,52 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, kind: str, fake: bool = False) -> dict:
-    """Decode one media payload → raw sample array.
+def _pil():
+    """Import probe for Pillow — the one real codec this module can use.
+    Returns the Image module or None; callers turn None into the
+    actionable NotImplementedError (same gating style as the Kafka
+    connector and protobuf probes)."""
+    try:
+        from PIL import Image
 
-    STUB: real decoding requires PIL/ffmpeg/librosa, not present in this
-    environment. ``fake=True`` substitutes a deterministic
-    byte-statistics decoder with the same output contract.
-    """
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> dict:
+    """Decode one media payload → feature contract
+    ``{"n_bytes": int, "features": list[float]}``.
+
+    The real path decodes ``kind == "image"`` via Pillow WHEN it is
+    importable (features: width, height, channel count, mean pixel
+    value); audio/video decoding requires ffmpeg/librosa and stays a
+    declared stub. Without Pillow (this container) the real path raises
+    the actionable NotImplementedError; ``fake=True`` always substitutes
+    the deterministic byte-statistics decoder with the same output
+    contract, which is what the oracle-checked corpus entry (x10)
+    exercises."""
     if not fake:
+        Image = _pil()
+        if kind == "image" and Image is not None:
+            import io
+
+            import numpy as np
+
+            img = Image.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert("RGB"), dtype=np.float64)
+            return {
+                "n_bytes": len(payload),
+                "features": [
+                    float(img.width),
+                    float(img.height),
+                    float(arr.shape[2]),
+                    float(arr.mean()) if arr.size else 0.0,
+                ],
+            }
         raise NotImplementedError(
-            "media decoding requires image/audio libraries not present in "
+            "real media decoding needs Pillow for images (pip install "
+            "pillow) and ffmpeg/librosa for audio/video — not present in "
             "this environment; pass fake=True for the deterministic stub"
         )
     n = len(payload)
@@ -154,21 +190,38 @@ def resize_images(
     """mapInPandas image resize: image rows resized to (width, height),
     non-image rows passed through untouched with NULL dims.
 
-    STUB decode (real path needs PIL/opencv — NotImplementedError unless
-    ``fake=True``); the Spark plumbing is real: partition-preserving, no
-    shuffle, Arrow-batched, payload replaced in place so downstream size
-    is bounded by the target dims, not the source."""
-    if not fake:
+    Real resize via Pillow when importable (decode → RGB resize →
+    re-encode PNG); without it (this container) the real path raises an
+    actionable NotImplementedError at plan BUILD time — not mid-query in
+    an executor — and ``fake=True`` runs the deterministic stub. Either
+    way the Spark plumbing is identical and real: partition-preserving,
+    no shuffle, Arrow-batched, payload replaced in place so downstream
+    size is bounded by the target dims, not the source."""
+    if not fake and _pil() is None:
         raise NotImplementedError(
-            "image resize requires an image library not present in this "
-            "environment; pass fake=True for the deterministic stub"
+            "real image resize needs Pillow (pip install pillow) — not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub"
         )
+
+    def _real_resize(payload: bytes) -> bytes:
+        import io
+
+        Image = _pil()
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+
+    one_resize = _fake_resize if fake else (
+        lambda p, w=width, h=height: _real_resize(p)
+    )
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             is_img = pdf["kind"] == "image"
             out_payload = [
-                _fake_resize(p, width, height) if img else p
+                one_resize(p, width, height) if img else p
                 for p, img in zip(pdf["payload"], is_img)
             ]
             yield pd.DataFrame(

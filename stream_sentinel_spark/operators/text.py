@@ -186,10 +186,17 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of one count scan per rule (the replacement chain is 8 passes either
     way; per-rule counting doubled it to 16). The difference is exact
     because no rule pattern can consume a character of an existing
-    placeholder (every pattern matches only ``[A-Za-z0-9._%+\\- ()]``
-    runs anchored on digits/@ — never ``<`` or ``>``), so pre-existing
-    tokens survive every rule untouched and each replacement adds
-    exactly one token."""
+    placeholder: no pattern's character classes include ``<`` or ``>``,
+    so a match can never span a placeholder boundary, and a match
+    cannot sit strictly inside one either (the interiors are pure
+    letters, every pattern requires a digit or ``@``). Adversarial
+    token-adjacent shapes stay exact — ``<EMAIL>@x.co`` has NO email
+    match (the mandatory ``@``-adjacent local part would need the
+    ``>``), and ``<EMAIL@x.co>`` → ``<<EMAIL>>`` is one replacement
+    and one net new token — pinned for both this chain and the RE2
+    oracle in tests/test_extensions.py. Pre-existing tokens therefore
+    survive every rule untouched and each replacement adds exactly one
+    token."""
     src = F.col(text_col)
     out = src
     for pattern, token in REDACTION_RULES:

@@ -52,6 +52,39 @@ def test_pii_redaction_planted(spark):
         assert "4111" not in r["redacted_text"]
 
 
+def test_pii_redaction_count_exact_on_preexisting_placeholders(spark):
+    """The n_redactions invariant (final-minus-source token count ==
+    replacements performed) on adversarial source text that already
+    contains placeholder tokens adjacent to PII shapes. No pattern
+    class contains < or >, so matches can border but never consume a
+    placeholder: '<EMAIL>@x.co' has NO email match (the local part
+    would need the '>'), while '<EMAIL@x.co>' is one real replacement
+    producing '<<EMAIL>>'. DuckDB's RE2 agrees byte-for-byte (verified
+    against the identical chain), so oracle parity is unaffected."""
+    rows = [
+        (0, "<EMAIL>@x.co"),                 # no match, count 0
+        (1, "<EMAIL@x.co>"),                 # 1 replacement inside brackets
+        (2, "a<EMAIL>b@x.co"),               # b@x.co is a real email
+        (3, "pre <PHONE> and j@x.co"),       # pre-existing token + 1 email
+        (4, "<EMAIL 345-67-8901>"),          # SSN matches inside brackets
+        (5, "<PHONE>555-123-4567"),          # token then a real phone
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.redact_pii(df, "doc_id", "text").collect()}
+    assert got[0]["redacted_text"] == "<EMAIL>@x.co"
+    assert got[0]["n_redactions"] == 0
+    assert got[1]["redacted_text"] == "<<EMAIL>>"
+    assert got[1]["n_redactions"] == 1
+    assert got[2]["redacted_text"] == "a<EMAIL><EMAIL>"
+    assert got[2]["n_redactions"] == 1
+    assert got[3]["redacted_text"] == "pre <PHONE> and <EMAIL>"
+    assert got[3]["n_redactions"] == 1
+    assert got[4]["redacted_text"] == "<EMAIL <SSN>>"
+    assert got[4]["n_redactions"] == 1
+    assert got[5]["redacted_text"] == "<PHONE><PHONE>"
+    assert got[5]["n_redactions"] == 1
+
+
 def test_minhash_verified_pairs_match_exhaustive(spark, docs):
     """LSH + exact verify finds the same high-jaccard pairs as the
     exhaustive operator on the fixture (recall check)."""
@@ -246,9 +279,53 @@ def test_multimodal_plumbing(spark, docs):
     assert rows[0] == again[0]
 
 
+def _has_pil() -> bool:
+    return multimodal._pil() is not None
+
+
+@pytest.mark.skipif(_has_pil(), reason="Pillow installed — image gate inactive")
 def test_decode_media_stub_gated():
+    """Without Pillow every real-decode kind refuses loudly."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "image", fake=False)
+
+
+def test_decode_media_audio_video_always_stubbed():
+    """Audio/video real decoding is a declared stub regardless of
+    installed image libraries (needs ffmpeg/librosa)."""
+    for kind in ("audio", "video"):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"bytes", kind, fake=False)
+
+
+@pytest.mark.skipif(
+    not _has_pil(),
+    reason="real image path needs Pillow (absent in this container); the "
+    "gate raises the actionable error instead and is tested above",
+)
+def test_decode_and_resize_real_pil_path(spark, docs):
+    """When Pillow exists: decode_media returns (w, h, channels, mean)
+    for a real PNG and resize_images re-encodes images at the target
+    dims through the same Arrow plumbing as the fake path."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    got = multimodal.decode_media(png, "image", fake=False)
+    assert got["n_bytes"] == len(png)
+    assert got["features"][:3] == [5.0, 3.0, 3.0]
+    assert got["features"][3] == pytest.approx(20.0)
+
+    media = spark.createDataFrame(
+        [(0, "image", png, ("synthetic", len(png)))], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.resize_images(media, width=8, height=4, fake=False).collect()[0]
+    assert (r.width, r.height) == (8, 4)
+    out = Image.open(io.BytesIO(bytes(r.payload)))
+    assert out.size == (8, 4)
 
 def test_resize_images_plumbing(spark, docs):
     media = multimodal.synthesize_media(docs, "doc_id", "text")
@@ -263,11 +340,11 @@ def test_resize_images_plumbing(spark, docs):
         else:
             assert r.width is None and r.height is None
             assert bytes(r.payload) == bytes(src[mid].payload)  # pass-through
-    # stub gate: real decode path must refuse loudly
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        multimodal.resize_images(media, fake=False)
+    # stub gate: without Pillow the real path must refuse loudly at
+    # plan build time (with it, the real path is tested separately)
+    if not _has_pil():
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_images(media, fake=False)
 
 
 def test_sample_frames_plumbing(spark, docs):

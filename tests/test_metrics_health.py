@@ -127,7 +127,8 @@ def test_metrics_prometheus_exposition():
     listener = SentinelMetricsListener()
     listener.events_processed = 120
     listener.anomalies_detected = 7
-    listener._latencies.extend(float(x) for x in range(1, 101))
+    for x in range(1, 101):
+        listener._observe_latency(float(x))
     srv = HealthServer(metrics_source=listener.snapshot)
     port = _free_port()
     srv.start(port)
@@ -143,5 +144,13 @@ def test_metrics_prometheus_exposition():
         assert 'processing_latency_ms{quantile="0.5"} 51.0' in body
         assert 'processing_latency_ms{quantile="0.95"}' in body
         assert 'processing_latency_ms{quantile="0.99"}' in body
+        # full summary family: cumulative _count/_sum (rate() inputs)
+        # and HELP lines, as a client library would emit
+        assert "processing_latency_ms_count 100" in body
+        assert "processing_latency_ms_sum 5050.0" in body
+        assert "# HELP events_processed_total events processed" in body
+        assert "# HELP processing_latency_ms processing latency ms" in body
+        # the quantile/count keys must not leak as bogus quantile samples
+        assert 'quantile="count"' not in body and "nan" not in body
     finally:
         srv.stop()
