@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_sentinel_spark.functions.coercion import key_column
-from stream_sentinel_spark.operators import dedup, multimodal, similarity, text
+from stream_sentinel_spark.operators import dedup, multimodal, similarity, sketches, text
 from stream_sentinel_spark.plans.pipeline import compile_rules
 from stream_sentinel_spark.rules import DetectionRule
 from stream_sentinel_spark.sources.batch import load_table
@@ -3109,4 +3109,120 @@ def q49(spark, sf):
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag", "measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x32-x34: owned sketches — deterministic HLL / count-min / bloom pruning
+# (operators/sketches.py). Unlike x22 (Spark's opaque built-in sketches,
+# checked via accuracy bounds), every register/counter/bit here is an
+# exact md5-derived integer, so the sketch VALUES hash-match DuckDB.
+# ---------------------------------------------------------------------------
+
+@query(
+    "x32_hll_distinct",
+    f"""
+    WITH hll AS ({{hll}}),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1)
+    SELECT hll.event_type, hll.hll_estimate, hll.registers_zero,
+           hll.harmonic_scaled, ex.n_exact
+    FROM hll JOIN ex USING (event_type)
+    """.format(hll=sketches.hll_oracle_sql("events", "event_type", "user_id")),
+)
+def x32(spark, sf):
+    # Per-group distinct users via explicit HLL registers (m=256): the
+    # register table is a bounded-cardinality groupBy (≤ m rows/group
+    # survive the map-side partial agg — the O(sketch) shuffle that
+    # replaces COUNT(DISTINCT)'s row expansion at 100 TB), and register
+    # tables are mergeable across days with the same max() aggregate.
+    # The exact count rides in a separate agg joined on the tiny group
+    # key (same split as x22: fusing DISTINCT into the sketch groupBy
+    # would Expand every input row).
+    ev = _t(spark, sf, "events")
+    est = sketches.hll_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type")
+
+
+@query(
+    "x33_cms_heavy_hitters",
+    """
+    WITH d(depth) AS (VALUES (0), (1), (2), (3)),
+    sketch AS (
+      SELECT d.depth,
+             CAST(('0x' || substr(md5('cm' || CAST(d.depth AS VARCHAR) || ':'
+                   || CAST(user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS bucket,
+             COUNT(*) AS counter
+      FROM events, d GROUP BY 1, 2),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1
+      ORDER BY exact_cnt DESC, user_id LIMIT 20),
+    probes AS (
+      SELECT e.user_id, e.exact_cnt, d.depth,
+             CAST(('0x' || substr(md5('cm' || CAST(d.depth AS VARCHAR) || ':'
+                   || CAST(e.user_id AS VARCHAR)), 1, 3)) AS BIGINT) AS bucket
+      FROM exact e, d)
+    SELECT p.user_id, p.exact_cnt, MIN(s.counter) AS cms_estimate
+    FROM probes p JOIN sketch s ON s.depth = p.depth AND s.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def x33(spark, sf):
+    # Heavy-hitter counts through an owned count-min sketch (d=4,
+    # w=4096): the sketch build is a bounded groupBy (≤ d·w rows total,
+    # partial-agg collapsed map-side), the probe side is dimension-sized
+    # and broadcast. CMS error is one-sided (estimate ≥ exact — pinned
+    # in tests); at 100 TB the sketch is the only thing shuffled, and
+    # daily sketches merge by summing counters.
+    ev = _t(spark, sf, "events")
+    sk = sketches.cms_build(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(20)
+    )
+    est = sketches.cms_estimate(sk, exact.select("user_id"), "user_id")
+    return exact.join(est, "user_id")
+
+
+@query(
+    "x34_bloom_join_prune",
+    """
+    SELECT l.l_orderkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def x34(spark, sf):
+    # Join pruned by an owned bloom filter: the build side aggregates
+    # its keys into a 64 Kbit bitmap (bit_or over 1024 words — an
+    # O(sketch) shuffle), the probe is a map-only literal-bitmap bit
+    # test that drops ~80% of lineitem BEFORE the join shuffle. False
+    # positives are eliminated by the real join, so the result is
+    # exactly the unpruned join — which is what the oracle checks. This
+    # is the manual twin of Spark's runtime bloom pruning
+    # (spark.sql.optimizer.runtime.bloomFilter), owned so it can be
+    # persisted/merged across pipeline stages; the bitmap driver pull is
+    # 8 KiB (same bounded-pull contract as the IVF centroids).
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf, "lineitem")
+    bitmap = sketches.bloom_build(orders, "o_orderkey")
+    pruned = sketches.bloom_prune(li, "l_orderkey", bitmap)
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    ).cast("double")
+    return (
+        pruned.join(F.broadcast(orders.select("o_orderkey")),
+                    pruned.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"), rev.alias("revenue"))
     )
