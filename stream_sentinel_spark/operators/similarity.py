@@ -496,3 +496,73 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "rk", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (cluster, then prune within cluster)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    cluster_bits: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) in deterministic,
+    oracle-checkable form: partition the corpus into semantic clusters,
+    compute exact cosines WITHIN each cluster only, and drop every
+    document that has a smaller-id neighbor with cos ≥ threshold (the
+    paper keeps one representative per ε-ball; min-id is its
+    deterministic stand-in for "keep the lowest-perplexity member").
+
+    The paper clusters with k-means; here the cluster id is the sign-LSH
+    code over ``cluster_bits`` seeded hyperplanes — same role (coarse
+    semantic partitioning so pruning never compares across clusters),
+    but reproducible to the bit by an external oracle, which k-means
+    centroids (float means, order-sensitive) are not.
+
+    Scale shape: the pair stage is cluster-local — sum(|cluster|²)
+    work, never corpus² — and each cluster's pairs land in one shuffle
+    bucket keyed by the code. More bits → smaller clusters (recall
+    trades exactly like the paper's n_clusters). Single pass, one
+    self-join, cosines through the fold-order Arrow kernel
+    (bit-identical to DuckDB's list_cosine_similarity).
+
+    Returns one row per document: (id, cluster, dropped).
+    """
+    cos_seq = _cos_seq_udf()
+    sig = lsh_signatures(df, id_col, vec_col, cluster_bits, dim, seed)
+    vecs = (
+        spread_small(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
+        .withColumn("nrm", norm(_as_double(F.col("vec"))))
+        .join(sig, "id")
+        .localCheckpoint(eager=True)
+    )
+    a = vecs.select(
+        F.col("id").alias("a_id"), "sig",
+        F.col("vec").alias("a_vec"), F.col("nrm").alias("a_nrm"),
+    )
+    b = vecs.select(
+        F.col("id").alias("b_id"), "sig",
+        F.col("vec").alias("b_vec"), F.col("nrm").alias("b_nrm"),
+    )
+    dropped = (
+        a.join(b, "sig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cos_seq("a_vec", "b_vec", "a_nrm", "b_nrm"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("b_id").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        vecs.select("id", F.col("sig").alias("cluster"))
+        .join(dropped, "id", "left")
+        .select(
+            "id", "cluster", F.coalesce("dropped", F.lit(False)).alias("dropped")
+        )
+    )

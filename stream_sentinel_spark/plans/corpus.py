@@ -3226,3 +3226,52 @@ def x34(spark, sf):
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("n_lines"), rev.alias("revenue"))
     )
+
+
+def _semdedup_oracle(threshold: float, bits: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """Mirrors similarity.semantic_dedup: the cluster code is the sign-LSH
+    signature from the SAME seeded hyperplanes (inlined ±1 literals), the
+    prune compares within-cluster pairs only, and a document is dropped
+    iff a smaller-id neighbor clears the cosine threshold."""
+    planes = similarity._planes(dim, bits, seed)
+    sig_terms = "\n        + ".join(
+        "(CASE WHEN list_dot_product(vec, [{p}]) >= 0 THEN {w} ELSE 0 END)".format(
+            p=", ".join(str(x) for x in plane), w=1 << b
+        )
+        for b, plane in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    sigs AS (
+      SELECT id,
+        {sig_terms}
+        AS sig
+      FROM v),
+    dropped AS (
+      SELECT DISTINCT b.id AS b_id
+      FROM sigs a
+      JOIN sigs b ON a.sig = b.sig AND a.id < b.id
+      JOIN v va ON va.id = a.id
+      JOIN v vb ON vb.id = b.id
+      WHERE list_cosine_similarity(va.vec, vb.vec) >= {threshold})
+    SELECT s.id AS vec_id, CAST(s.sig AS BIGINT) AS cluster,
+           CAST(s.id IN (SELECT b_id FROM dropped) AS INT) AS dropped
+    FROM sigs s
+    """
+
+
+@query("x35_semantic_dedup", _semdedup_oracle(0.25))
+def x35(spark, sf):
+    # SemDeDup over the embeddings table: deterministic semantic clusters
+    # (8-bit sign-LSH code standing in for the paper's k-means), exact
+    # cosine prune within clusters, keep-min-id per ε-ball. The 0.25
+    # threshold matches this synthetic corpus (near-orthogonal random
+    # embeddings top out at cos ≈ 0.35; real text corpora run ≥ 0.9).
+    out = similarity.semantic_dedup(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        threshold=0.25, cluster_bits=8,
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cluster", F.col("dropped").cast("int").alias("dropped")
+    )
