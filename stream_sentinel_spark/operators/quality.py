@@ -1,0 +1,141 @@
+"""Declarative data-quality constraint suite (Deequ-style).
+
+A pipeline feeding a 100 TB training run needs gate checks on every
+ingested table: completeness, uniqueness, value ranges, set/pattern
+compliance. This module compiles a declared list of constraints into
+ONE aggregation pass over the table (one scan, one 1-row global agg —
+no per-constraint jobs), then unpivots the metrics into long form and
+evaluates each constraint's predicate driver-side on the single result
+row.
+
+The design mirrors the engine's rule surface (SURVEY §1.3: declarative
+config compiled to a Catalyst plan): a ``Constraint`` is (metric name,
+aggregation expression, pass predicate), and ``run_checks`` is the
+compiler. Cross-engine determinism: fractions are one IEEE division of
+exact integer counts, means are decimal-sum / count (order-insensitive),
+min/max are exact — so the whole report value-hash matches a SQL oracle.
+
+Scale notes: everything is a partial-aggregable global agg (map-side
+collapse to one row per partition). ``uniqueness``/``distinctness`` use
+COUNT(DISTINCT), which Expands input rows per distinct column at scale;
+for sketch-sized state swap in the HLL registers from
+operators/sketches.py (the ``approx_distinct_constraint`` variant).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One quality metric + its pass predicate.
+
+    metric: unique name in the report (e.g. ``completeness(o_custkey)``)
+    agg: aggregation expression producing the metric value (double)
+    passes: metric value -> pass expression (evaluated in the same plan)
+    """
+
+    metric: str
+    agg: Column
+    passes: Callable[[Column], Column] | None = None
+
+
+def _frac(num: Column, den: Column) -> Column:
+    # one IEEE division of two exact longs — deterministic across engines
+    return num.cast("double") / den.cast("double")
+
+
+def completeness(col: str, at_least: float | None = None) -> Constraint:
+    """Fraction of rows with a non-null value."""
+    return Constraint(
+        f"completeness({col})",
+        _frac(F.count(col), F.count(F.lit(1))),
+        (lambda v: v >= at_least) if at_least is not None else None,
+    )
+
+
+def uniqueness(col: str, exact: bool = True) -> Constraint:
+    """distinct/count — 1.0 means the column is a key."""
+    return Constraint(
+        f"uniqueness({col})",
+        _frac(F.countDistinct(col), F.count(F.lit(1))),
+        (lambda v: v == 1.0) if exact else None,
+    )
+
+
+def distinctness(col: str, at_least: int | None = None) -> Constraint:
+    """Exact distinct count (see module docstring for the sketch swap)."""
+    return Constraint(
+        f"distinctness({col})",
+        F.countDistinct(col).cast("double"),
+        (lambda v: v >= at_least) if at_least is not None else None,
+    )
+
+
+def min_value(col: str, at_least: float | None = None) -> Constraint:
+    return Constraint(
+        f"min({col})",
+        F.min(col).cast("double"),
+        (lambda v: v >= at_least) if at_least is not None else None,
+    )
+
+
+def max_value(col: str, at_most: float | None = None) -> Constraint:
+    return Constraint(
+        f"max({col})",
+        F.max(col).cast("double"),
+        (lambda v: v <= at_most) if at_most is not None else None,
+    )
+
+
+def mean_value(col: str, between: tuple[float, float] | None = None) -> Constraint:
+    # decimal accumulation, one final division — the q25/q49 discipline
+    agg = F.sum(F.col(col).cast("decimal(18,6)")).cast("double") / F.count(col)
+    return Constraint(
+        f"mean({col})",
+        agg,
+        (lambda v: (v >= between[0]) & (v <= between[1])) if between else None,
+    )
+
+
+def compliance(name: str, predicate: Column, at_least: float = 1.0) -> Constraint:
+    """Fraction of rows satisfying an arbitrary boolean expression —
+    the escape hatch for set membership, regex shape, range rules."""
+    return Constraint(
+        f"compliance({name})",
+        _frac(
+            F.sum(F.when(predicate, 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ),
+        lambda v: v >= at_least,
+    )
+
+
+def run_checks(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
+    """Compile all constraints into one aggregation pass and unpivot to
+    (metric, value, passed) long form. ``passed`` is NULL for metrics
+    declared without a threshold (profile-only)."""
+    aggs = [c.agg.alias(f"_m{i}") for i, c in enumerate(constraints)]
+    row = df.agg(*aggs)
+    entries = []
+    for i, c in enumerate(constraints):
+        v = F.col(f"_m{i}")
+        passed = (
+            c.passes(v).cast("int") if c.passes is not None else F.lit(None).cast("int")
+        )
+        entries.append(
+            F.struct(
+                F.lit(c.metric).alias("metric"),
+                v.cast("double").alias("value"),
+                passed.alias("passed"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.metric", "e.value", "e.passed")
+    )

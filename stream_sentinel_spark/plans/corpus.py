@@ -3275,3 +3275,71 @@ def x35(spark, sf):
     return out.select(
         F.col("id").alias("vec_id"), "cluster", F.col("dropped").cast("int").alias("dropped")
     )
+
+
+_DQ_ORACLE = """
+    WITH m AS (
+      SELECT COUNT(o_custkey) AS c_ck, COUNT(*) AS n,
+             COUNT(DISTINCT o_orderkey) AS d_ok,
+             COUNT(DISTINCT o_orderpriority) AS d_pr,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS minp,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS maxp,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sump,
+             COUNT(o_totalprice) AS cp,
+             SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS st,
+             SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS pm
+      FROM orders)
+    SELECT metric, value, passed FROM (
+      SELECT 'completeness(o_custkey)' AS metric,
+             CAST(c_ck AS DOUBLE) / CAST(n AS DOUBLE) AS value,
+             CAST(CAST(c_ck AS DOUBLE) / CAST(n AS DOUBLE) >= 0.999 AS INT) AS passed FROM m
+      UNION ALL
+      SELECT 'uniqueness(o_orderkey)',
+             CAST(d_ok AS DOUBLE) / CAST(n AS DOUBLE),
+             CAST(CAST(d_ok AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 AS INT) FROM m
+      UNION ALL
+      SELECT 'distinctness(o_orderpriority)', CAST(d_pr AS DOUBLE),
+             CAST(d_pr >= 3 AS INT) FROM m
+      UNION ALL
+      SELECT 'min(o_totalprice)', minp, CAST(minp >= 0.0 AS INT) FROM m
+      UNION ALL
+      SELECT 'max(o_totalprice)', maxp, CAST(maxp <= 1000000000.0 AS INT) FROM m
+      UNION ALL
+      SELECT 'mean(o_totalprice)', sump / cp,
+             CAST(sump / cp >= 1.0 AND sump / cp <= 1000000000.0 AS INT) FROM m
+      UNION ALL
+      SELECT 'compliance(status_domain)',
+             CAST(st AS DOUBLE) / CAST(n AS DOUBLE),
+             CAST(CAST(st AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS INT) FROM m
+      UNION ALL
+      SELECT 'compliance(priority_pattern)',
+             CAST(pm AS DOUBLE) / CAST(n AS DOUBLE),
+             CAST(CAST(pm AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0 AS INT) FROM m)
+    """
+
+
+@query("x36_data_quality", _DQ_ORACLE)
+def x36(spark, sf):
+    # Deequ-style gate check on an ingested table: eight declared
+    # constraints compiled into ONE global aggregation pass (map-side
+    # collapse to a single row; the two COUNT(DISTINCT)s are the only
+    # Expand — see operators/quality.py for the HLL swap at scale),
+    # then unpivoted to a (metric, value, passed) report.
+    from stream_sentinel_spark.operators import quality as dq
+
+    o = _t(spark, sf, "orders")
+    checks = [
+        dq.completeness("o_custkey", at_least=0.999),
+        dq.uniqueness("o_orderkey"),
+        dq.distinctness("o_orderpriority", at_least=3),
+        dq.min_value("o_totalprice", at_least=0.0),
+        dq.max_value("o_totalprice", at_most=1_000_000_000.0),
+        dq.mean_value("o_totalprice", between=(1.0, 1_000_000_000.0)),
+        dq.compliance(
+            "status_domain", F.col("o_orderstatus").isin("O", "F", "P"), at_least=1.0
+        ),
+        dq.compliance(
+            "priority_pattern", F.col("o_orderpriority").rlike("^[1-5]-"), at_least=1.0
+        ),
+    ]
+    return dq.run_checks(o, checks)

@@ -1,0 +1,73 @@
+"""Data-quality constraint suite (operators/quality.py): failing
+constraints, null handling, profile-only metrics, and the one-pass plan.
+Cross-engine parity for the report values is x36 in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators import quality as dq
+
+
+def _report(spark, rows, schema, checks):
+    df = spark.createDataFrame(rows, schema)
+    out = dq.run_checks(df, checks)
+    return {r["metric"]: (r["value"], r["passed"]) for r in out.collect()}
+
+
+def test_failing_and_passing_constraints(spark):
+    rows = [(1, "a", 10.0), (2, "b", None), (2, "c", 30.0)]
+    rep = _report(
+        spark,
+        rows,
+        "id long, name string, v double",
+        [
+            dq.completeness("v", at_least=0.9),       # 2/3 -> fail
+            dq.uniqueness("id"),                       # dup id -> fail
+            dq.uniqueness("name"),                     # unique -> pass
+            dq.min_value("v", at_least=0.0),           # 10 -> pass
+            dq.mean_value("v", between=(0.0, 100.0)),  # 20 -> pass
+        ],
+    )
+    assert rep["completeness(v)"] == (2 / 3, 0)
+    assert rep["uniqueness(id)"][1] == 0
+    assert rep["uniqueness(name)"][1] == 1
+    assert rep["min(v)"] == (10.0, 1)
+    assert rep["mean(v)"] == (20.0, 1)
+
+
+def test_profile_only_metric_has_null_passed(spark):
+    rep = _report(
+        spark,
+        [(1,), (2,)],
+        "id long",
+        [dq.distinctness("id"), dq.completeness("id")],
+    )
+    assert rep["distinctness(id)"] == (2.0, None)
+    assert rep["completeness(id)"] == (1.0, None)
+
+
+def test_compliance_fraction(spark):
+    rep = _report(
+        spark,
+        [("O",), ("F",), ("X",), ("O",)],
+        "s string",
+        [dq.compliance("dom", F.col("s").isin("O", "F"), at_least=0.9)],
+    )
+    assert rep["compliance(dom)"] == (0.75, 0)
+
+
+def test_single_aggregation_pass(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    checks = [
+        dq.completeness("v"),
+        dq.min_value("v"),
+        dq.max_value("v"),
+        dq.mean_value("v"),
+        dq.compliance("pos", F.col("v") >= 0, at_least=1.0),
+    ]
+    plan = dq.run_checks(df, checks)._jdf.queryExecution().optimizedPlan().toString()
+    # all constraints fold into one Aggregate node — one scan, one pass
+    assert plan.count("Aggregate") == 1
