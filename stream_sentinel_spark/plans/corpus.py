@@ -3343,3 +3343,76 @@ def x36(spark, sf):
         ),
     ]
     return dq.run_checks(o, checks)
+
+
+@query(
+    "x37_cdc_snapshot",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ms DESC, event_id DESC) AS rn
+      FROM c)
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def x37(spark, sf):
+    # Latest-wins CDC merge: the events stream read as keyed change rows
+    # (error events = delete tombstones), compacted to the current
+    # snapshot. One row_number window on the key — the standard MERGE
+    # compaction shape that a 1000-executor backfill runs unchanged.
+    from stream_sentinel_spark.operators import cdc
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_millis("ts").alias("ms"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    snap = cdc.merge_latest(ev, ["user_id"], ["ms", "event_id"], op_col="op")
+    return snap.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "x38_scd2_history",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             LAG(event_type) OVER w AS prev,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+    ch AS (
+      SELECT user_id, event_type, ms, event_id
+      FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type, ms AS valid_from,
+             LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to
+      FROM ch)
+    SELECT user_id, event_type, valid_from, valid_to,
+           CAST(valid_to IS NULL AS INT) AS is_current
+    FROM v
+    """,
+)
+def x38(spark, sf):
+    # SCD2 dimension history with change compression: per user, each run
+    # of equal event_type collapses to one version row carrying its
+    # validity interval; is_current marks the open version. Reproducible
+    # "as of" reads for any past training cut come from
+    # valid_from <= t < coalesce(valid_to, inf). One key shuffle, two
+    # sorts (the second over the compressed rows only).
+    from stream_sentinel_spark.operators import cdc
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", "event_type", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    return cdc.scd2(
+        ev, ["user_id"], "ms", ["event_type"], tiebreak_cols=["event_id"]
+    )
