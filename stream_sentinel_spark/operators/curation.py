@@ -363,3 +363,78 @@ def chunk_documents(
         F.col(id_col).alias("doc_id"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     ).withColumn("chunk_len", F.size(word_tokens("chunk_text")))
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_words: int = 6,
+) -> DataFrame:
+    """Passage-level exact deduplication — the bounded-memory stand-in
+    for suffix-array exact-substring dedup (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): each document is cut into consecutive non-overlapping
+    ``passage_words``-word passages; every passage instance whose text
+    already occurred earlier in the corpus (global first occurrence =
+    lexicographic min of (doc_id, passage index)) is dropped; each
+    document is reconstructed from its surviving passages in order.
+
+    Output: one row per input document —
+    ``(doc_id, n_passages, n_kept, kept_text)`` (``kept_text`` NULL when
+    every passage was a duplicate).
+
+    Scale shape: passage explosion is map-only; the only shuffle is the
+    groupBy on the passage text (hash-partitioned, partial-agg min), and
+    reconstruction re-aggregates by doc_id. No driver pulls, no
+    quadratic stage — corpus-size-linear like x01's exact dedup, with
+    the passage granularity the only new cost (a ``passage_words``-fold
+    smaller row count than word-level).
+    """
+    toks = word_tokens(text_col)
+    n = passage_words
+    n_p_minus_1 = F.floor((F.size(toks) - 1) / F.lit(float(n))).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_p_minus_1),
+        lambda s: F.array_join(F.slice(toks, s * n + 1, n), " "),
+    )
+    p = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(passages).alias("idx", "ptext"),
+    )
+    firsts = p.groupBy("ptext").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    kept = (
+        p.join(firsts, "ptext")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("idx") == F.col("first.idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "ptext"))),
+                    lambda s: s["ptext"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.floor((F.size(toks) - 1) / F.lit(float(n))) + 1)
+        .cast("bigint")
+        .alias("n_passages"),
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "kept_text",
+        )
+    )

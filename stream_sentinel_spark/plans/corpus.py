@@ -3416,3 +3416,47 @@ def x38(spark, sf):
     return cdc.scd2(
         ev, ["user_id"], "ms", ["event_type"], tiebreak_cols=["event_id"]
     )
+
+
+@query(
+    "x39_passage_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(floor((len(w) - 1) / 6.0) AS BIGINT))) AS idx, w
+      FROM t),
+    p AS (
+      SELECT doc_id, idx,
+             array_to_string(w[idx*6 + 1 : idx*6 + 6], ' ') AS ptext
+      FROM c),
+    k AS (
+      SELECT doc_id, idx, ptext,
+             ROW_NUMBER() OVER (PARTITION BY ptext
+                                ORDER BY doc_id, idx) AS rn
+      FROM p),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(ptext, ' ' ORDER BY idx) AS kept_text
+      FROM k WHERE rn = 1 GROUP BY 1),
+    tot AS (
+      SELECT doc_id,
+             CAST(floor((len(w) - 1) / 6.0) AS BIGINT) + 1 AS n_passages
+      FROM t)
+    SELECT tot.doc_id, tot.n_passages,
+           COALESCE(agg.n_kept, 0) AS n_kept, agg.kept_text
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """,
+)
+def x39(spark, sf):
+    # Passage-level exact dedup (the bounded-memory stand-in for
+    # suffix-array exact-substring dedup, Lee et al. 2021): 6-word
+    # passages, global first occurrence kept, documents reconstructed
+    # from survivors. Map-only explode + one hash shuffle on the passage
+    # text + one re-aggregation by doc — corpus-linear at any scale.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.passage_dedup(
+        _t(spark, sf, "documents"), "doc_id", "text", passage_words=6
+    )

@@ -207,3 +207,37 @@ def test_corpus_vocabulary_counts(spark):
         (1, "a", 3, 2),   # 3 occurrences over docs 1 and 2
         (2, "b", 3, 2),   # tie on tf=3 broken by term asc
     ]
+
+
+class TestPassageDedup:
+    def _docs(self, spark):
+        rows = [
+            (1, "a b c d e f g h i j k l"),      # passages: [a..f], [g..l]
+            (2, "a b c d e f x y z p q r"),      # first passage dups doc 1
+            (3, "g h i j k l"),                  # dups doc 1's second passage
+            (4, "unique words only here now yes"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_first_occurrence_kept_and_reconstruction(self, spark):
+        from stream_sentinel_spark.operators.curation import passage_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in passage_dedup(self._docs(spark), "doc_id", "text").collect()
+        }
+        assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+        assert out[1]["kept_text"] == "a b c d e f g h i j k l"
+        # doc 2 loses its first passage to doc 1
+        assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == "x y z p q r"
+        # doc 3 is entirely duplicate -> zero kept, NULL text
+        assert out[3]["n_kept"] == 0 and out[3]["kept_text"] is None
+        assert out[4]["n_kept"] == 1
+
+    def test_short_tail_passage(self, spark):
+        from stream_sentinel_spark.operators.curation import passage_dedup
+
+        df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+        row = passage_dedup(df, "doc_id", "text").collect()[0]
+        assert row["n_passages"] == 2  # 6 words + short tail of 2
+        assert row["kept_text"] == "a b c d e f g h"
