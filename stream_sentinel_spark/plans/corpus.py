@@ -3460,3 +3460,352 @@ def x39(spark, sf):
     return curation.passage_dedup(
         _t(spark, sf, "documents"), "doc_id", "text", passage_words=6
     )
+
+
+# ---------------------------------------------------------------------------
+# q50-q55: the remaining TPC-H shapes — with q50-q55 every one of the 22
+# TPC-H queries has a corpus twin (the fixture set has no partsupp /
+# shipmode / commit+receipt dates, so Q2/Q9/Q11/Q12/Q20/Q21 substitute
+# lineitem-derived relationships that preserve each query's defining
+# plan shape; substitutions noted per query).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost
+      FROM cost GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+           s.s_acctbal, c.unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = p.p_partkey AND c.unit_cost = b.best_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+    ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+    LIMIT 100
+    """,
+)
+def q50(spark, sf):
+    # TPC-H Q2 shape: correlated MIN subquery ("the supplier matching
+    # the part's minimum cost"), decorrelated the way Catalyst itself
+    # would — a per-part MIN aggregate joined back on (part, cost).
+    # partsupp stands in as lineitem's observed (part, supplier,
+    # unit-price) relationship. unit_cost is one IEEE division per row
+    # then MIN — deterministic, no accumulation. The part filter
+    # shrinks the probe side before both joins; top-100 carries a full
+    # tie-break.
+    li = _t(spark, sf, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    sup = _t(spark, sf, "supplier")
+    return (
+        part.join(cost, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            best,
+            (F.col("b_partkey") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(sup), F.col("s_suppkey") == cost.l_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "unit_cost"
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q51_tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM l.l_shipdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.6 * p.p_retailprice * l.l_quantity
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q51(spark, sf):
+    # TPC-H Q9 shape: the profit rollup — a 4-way join fanning out from
+    # lineitem with a substring filter on part names, grouped by
+    # (nation, year). ps_supplycost is absent, so cost is modeled as
+    # 60% of retail price (keeps the profit expression's multi-table
+    # arithmetic). part is filtered THEN broadcast; supplier and nation
+    # broadcast outright — lineitem never shuffles before the final
+    # grouped aggregation. Decimal-accumulated profit, per-row double
+    # arithmetic cast once per row (the x34/q33 discipline).
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q52_tpch_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey < 2
+      GROUP BY 1),
+    tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT val.l_partkey AS p_partkey, CAST(val.v AS DOUBLE) AS value
+    FROM val, tot
+    WHERE val.v * 200 > tot.t
+    ORDER BY value DESC, p_partkey
+    """,
+)
+def q52(spark, sf):
+    # TPC-H Q11 shape: grouped value per part, HAVING against a scalar
+    # subquery over the SAME aggregate (value > 1/200 of the total).
+    # The threshold compare stays entirely in DECIMAL (v * 200 > t —
+    # integer-exact, no float fraction), so the survivor set is
+    # bit-deterministic. The scalar total rides in as a one-row
+    # broadcast cross join (same pattern as the x27 corpus-size
+    # scalar); lineitem shuffles once, on the part key.
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation").filter(F.col("n_regionkey") < 2)
+    val = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("v")
+        )
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") * 200 > F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("v").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+@query(
+    "q53_tpch_q12_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q53(spark, sf):
+    # TPC-H Q12 shape: join + conditional aggregation splitting line
+    # counts by order priority class (l_shipmode/receipt-lateness are
+    # absent; the year filter keeps the selective-scan character). The
+    # date predicate pushes to the lineitem scan, shrinking the join's
+    # probe side ~7x before any shuffle.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q54_tpch_q20_excess_suppliers",
+    """
+    WITH y98 AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS q98
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY 1, 2),
+    alltime AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qall
+      FROM lineitem GROUP BY 1, 2),
+    excess AS (
+      SELECT DISTINCT y.l_suppkey
+      FROM y98 y
+      JOIN alltime a ON a.l_suppkey = y.l_suppkey
+                    AND a.l_partkey = y.l_partkey
+      JOIN part p ON p.p_partkey = y.l_partkey
+      WHERE p.p_name LIKE '%red%' AND y.q98 * 2 > a.qall)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM excess)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q54(spark, sf):
+    # TPC-H Q20 shape: nested semi-join chain — suppliers IN (pairs
+    # whose one-year shipped quantity exceeds half their all-time
+    # quantity, for a filtered part family). availqty is absent, so the
+    # excess test compares the 1998 shipment share (decimal-exact
+    # q98 * 2 > qall — no float fraction). The inner correlated
+    # aggregate decorrelates to two groupBys joined on the
+    # (supplier, part) key; the outer IN is a left-semi join.
+    li = _t(spark, sf, "lineitem")
+    y98 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q98"))
+    )
+    alltime = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qall")
+    )
+    part = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    excess = (
+        y98.withColumnRenamed("l_suppkey", "e_suppkey")
+        .join(
+            alltime,
+            (F.col("l_suppkey") == F.col("e_suppkey"))
+            & (alltime.l_partkey == y98.l_partkey),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == y98.l_partkey)
+        .filter(F.col("q98") * 2 > F.col("qall"))
+        .select(F.col("e_suppkey").alias("x_suppkey"))
+        .distinct()
+    )
+    sup = _t(spark, sf, "supplier")
+    return (
+        sup.join(excess, F.col("s_suppkey") == F.col("x_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q55_tpch_q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    counted AS (
+      SELECT lt.l_orderkey, lt.l_suppkey
+      FROM late lt
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = lt.l_orderkey
+                      AND l2.l_suppkey <> lt.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = lt.l_orderkey
+                          AND l3.l_suppkey <> lt.l_suppkey))
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM counted c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q55(spark, sf):
+    # TPC-H Q21 shape: the double-correlated EXISTS / NOT EXISTS —
+    # suppliers who were the ONLY late supplier on a finished
+    # multi-supplier order ("kept orders waiting"). Lateness is shipped
+    # >60 days after order date (commit/receipt dates absent — same
+    # lateness surrogate as q34). EXISTS compiles to a left-semi and
+    # NOT EXISTS to a left-anti join, both equi-keyed on the order key
+    # with a supplier-inequality residual; the distinct late pairs are
+    # computed once and reused for both sides.
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("o3_supp")
+    )
+    counted = (
+        late.join(
+            other,
+            (F.col("o2_key") == F.col("l_orderkey"))
+            & (F.col("o2_supp") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("o3_key") == F.col("l_orderkey"))
+            & (F.col("o3_supp") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    sup = _t(spark, sf, "supplier")
+    return (
+        counted.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
