@@ -438,3 +438,76 @@ def passage_dedup(
             "kept_text",
         )
     )
+
+
+def pack_token_stream(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    context_len: int,
+    n_shards: int = 64,
+    salt: str = "pk",
+) -> DataFrame:
+    """Pre-training sequence packing: concatenate documents into a token
+    stream and cut it into fixed ``context_len`` windows (the GPT-style
+    pack-and-split regime — every window is exactly full; documents
+    straddle window boundaries rather than leaving padding).
+
+    Documents are first routed to ``n_shards`` independent streams by an
+    md5-derived shard key, then laid end-to-end within their shard in
+    (shard, doc_id) order. Output is one row per training window:
+    ``(shard, pack_id, n_tokens, n_docs, first_doc, last_doc)`` where
+    ``n_tokens = context_len`` for every window except possibly the last
+    one of each shard, and ``n_docs`` counts the documents contributing
+    at least one token.
+
+    Scale shape: the running-offset window partitions BY SHARD — there
+    is never a global single-partition cumsum (the classic packing
+    bottleneck); shards are independent streams exactly like training
+    data shards, and ``n_shards`` scales with the cluster. The
+    span-explode emits ``ceil(len/context)+1`` rows per document (≈1 for
+    real corpora), map-only. Everything is integer arithmetic on an
+    md5-derived shard — reproducible by a SQL oracle.
+    """
+    tok = F.col(token_count_col).cast("long")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = (
+        df.select(F.col(id_col).alias("doc_id"), tok.alias("n_tok"), shard)
+        .withColumn("offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .filter(F.col("n_tok") > 0)
+    )
+    c = F.lit(context_len)
+    first_pack = (F.col("offset") / c).cast("long")
+    last_pack = ((F.col("offset") + F.col("n_tok") - 1) / c).cast("long")
+    spans = laid.select(
+        "shard", "doc_id", "offset", "n_tok",
+        F.explode(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    )
+    # tokens this doc contributes to this pack: overlap of
+    # [offset, offset+n_tok) with [pack*C, (pack+1)*C)
+    contrib = F.least(
+        F.col("offset") + F.col("n_tok"), (F.col("pack_id") + 1) * c
+    ) - F.greatest(F.col("offset"), F.col("pack_id") * c)
+    return (
+        spans.withColumn("contrib", contrib)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.sum("contrib").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

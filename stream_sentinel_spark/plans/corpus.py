@@ -67,10 +67,10 @@ def query(name: str, oracle: str | None = None):
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
 # covers all of them every run. Queries whose driver rows are still
 # outstanding rotate to the front so every query earns a driver-checked
-# row across rounds: round 3 fronts the 31 queries added in round 2
-# (absent from CORRECTNESS_r01/r02), then one representative per
-# already-proven family — including every operator whose implementation
-# changed this round (x08/x09/x19 salting, x18 redaction) so the changed
+# row across rounds: round 3 fronts the 31 round-2 additions (absent
+# from CORRECTNESS_r01/r02) plus the 14 round-3 additions, then the
+# flagship pipeline, the scan baseline, and the three operators whose
+# perf-sensitive code changed in the round-2 salting rework — changed
 # code is re-proven driver-side, not just locally.
 _DRIVER_PRIORITY = [
     # --- 31 locally-proven, driver-unchecked (r2 additions) ---
@@ -105,25 +105,28 @@ _DRIVER_PRIORITY = [
     "x31_corpus_vocabulary",
     "q48_distribution_windows",
     "q49_unpivot_measures",
-    # --- 19 representatives of driver-proven families ---
+    # --- 14 round-3 additions (locally proven, driver row outstanding) ---
+    "x32_hll_distinct",
+    "x33_cms_heavy_hitters",
+    "x34_bloom_join_prune",
+    "x35_semantic_dedup",
+    "x36_data_quality",
+    "x37_cdc_snapshot",
+    "x38_scd2_history",
+    "x39_passage_dedup",
+    "q50_tpch_q2_min_cost_supplier",
+    "q51_tpch_q9_product_profit",
+    "q52_tpch_q11_important_parts",
+    "q53_tpch_q12_priority_lines",
+    "q54_tpch_q20_excess_suppliers",
+    "q55_tpch_q21_waiting_suppliers",
+    "x40_sequence_packing",
+    # --- 4 representatives: the flagship pipeline and the three
+    # operators whose perf-sensitive code changed in the round-2
+    # salting rework (re-proven driver-side every round they change) ---
     "detect_pipeline",
-    "q01_scan_projection",
-    "q03_threshold_rule",
-    "q06_rate_rule_window",
-    "q08_statistical_rule",
-    "q12_tpch_q3_topk",
-    "q15_rollup_lineitem",
-    "q20_json_group",
-    "q22_tumbling_windows",
-    "q23_session_windows",
-    "q25_tpch_q1_pricing",
-    "x01_dedup_exact",
-    "x02_dedup_ngram_jaccard",
-    "x06_ann_cosine_topk",
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",
-    "x10_multimodal_features",
-    "x18_pii_redaction",
     "x19_minhash_verified_neardups",
 ]
 
@@ -3808,4 +3811,49 @@ def q55(spark, sf):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+@query(
+    "x40_sequence_packing",
+    """
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+             CAST(('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard
+      FROM documents),
+    laid AS (
+      SELECT doc_id, n_tok, shard,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pos
+      FROM d WHERE n_tok > 0),
+    spans AS (
+      SELECT shard, doc_id, pos, n_tok,
+             unnest(generate_series(CAST(floor(pos / 256.0) AS BIGINT),
+                                    CAST(floor((pos + n_tok - 1) / 256.0)
+                                         AS BIGINT))) AS pack_id
+      FROM laid)
+    SELECT shard, pack_id,
+           CAST(SUM(LEAST(pos + n_tok, (pack_id + 1) * 256)
+               - GREATEST(pos, pack_id * 256)) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM spans
+    GROUP BY 1, 2
+    """,
+)
+def x40(spark, sf):
+    # Pre-training sequence packing: documents concatenated into 8
+    # independent sharded token streams and cut into exactly-full
+    # 256-token training windows (documents straddle boundaries — no
+    # padding waste). The running offset partitions by shard, so there
+    # is no global cumsum bottleneck; shards scale with the cluster.
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return curation.pack_token_stream(
+        docs, "doc_id", "n_tok", context_len=256, n_shards=8
     )

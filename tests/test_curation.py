@@ -241,3 +241,58 @@ class TestPassageDedup:
         row = passage_dedup(df, "doc_id", "text").collect()[0]
         assert row["n_passages"] == 2  # 6 words + short tail of 2
         assert row["kept_text"] == "a b c d e f g h"
+
+
+class TestSequencePacking:
+    def test_windows_full_and_tokens_conserved(self, spark):
+        from stream_sentinel_spark.operators.curation import pack_token_stream
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+
+        docs = spark.range(1, 200).select(
+            F.col("id").alias("doc_id"), ((F.col("id") * 7) % 90 + 1).alias("n_tok")
+        )
+        out = pack_token_stream(docs, "doc_id", "n_tok", context_len=64, n_shards=4).cache()
+        # token conservation: packed tokens == input tokens
+        total_in = docs.agg(F.sum("n_tok")).collect()[0][0]
+        total_out = out.agg(F.sum("n_tokens")).collect()[0][0]
+        assert total_in == total_out
+        # every window is exactly full except possibly the last per shard
+        w = Window.partitionBy("shard")
+        bad = (
+            out.withColumn("maxp", F.max("pack_id").over(w))
+            .filter((F.col("pack_id") != F.col("maxp")) & (F.col("n_tokens") != 64))
+            .count()
+        )
+        assert bad == 0
+        # pack ids are contiguous from 0 per shard
+        per_shard = out.groupBy("shard").agg(
+            F.min("pack_id").alias("mn"), F.max("pack_id").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        for r in per_shard:
+            assert r["mn"] == 0 and r["n"] == r["mx"] + 1
+
+    def test_doc_straddles_boundary(self, spark):
+        from stream_sentinel_spark.operators.curation import pack_token_stream
+        import pyspark.sql.functions as F
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10)], "doc_id long, n_tok long"
+        )
+        out = {
+            r["pack_id"]: r
+            for r in pack_token_stream(
+                docs, "doc_id", "n_tok", context_len=16, n_shards=1
+            ).collect()
+        }
+        # 30 tokens -> pack0 full (docs 1+2), pack1 has the tail
+        assert out[0]["n_tokens"] == 16 and out[0]["n_docs"] == 2
+        assert out[1]["n_tokens"] == 14 and out[1]["n_docs"] == 2
+        assert out[1]["first_doc"] == 2 and out[1]["last_doc"] == 3
+
+    def test_zero_token_docs_skipped(self, spark):
+        from stream_sentinel_spark.operators.curation import pack_token_stream
+        docs = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_tok long")
+        rows = pack_token_stream(docs, "doc_id", "n_tok", 8, n_shards=1).collect()
+        assert len(rows) == 1 and rows[0]["n_docs"] == 1

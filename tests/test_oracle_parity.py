@@ -63,13 +63,13 @@ def test_driver_priority_rotation():
     assert first50 == corpus._DRIVER_PRIORITY
     unproven = {
         n for n in QUERIES
-        if n.startswith(tuple(f"q{i}_" for i in range(30, 50)))
-        or n.startswith(tuple(f"x{i}_" for i in range(21, 32)))
+        if n.startswith(tuple(f"q{i}_" for i in range(30, 56)))
+        or n.startswith(tuple(f"x{i}_" for i in range(21, 41)))
     }
-    assert len(unproven) == 31
+    assert len(unproven) == 46  # 31 r2 additions + 15 r3 additions
     changed = {
         "x08_minhash_lsh_candidates", "x09_simhash_candidates",
-        "x19_minhash_verified_neardups", "x18_pii_redaction",
+        "x19_minhash_verified_neardups",
     }
     assert unproven | changed <= set(first50)
 
