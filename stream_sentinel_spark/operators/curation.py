@@ -511,3 +511,114 @@ def pack_token_stream(
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    lines: Column,
+    max_doc_freq: int = 2,
+    joiner: str = " ",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet / RefinedWeb
+    line-dedup filter): drop EVERY instance of any line that occurs in
+    more than ``max_doc_freq`` distinct documents (navigation chrome,
+    cookie banners, license headers), then reconstruct each document
+    from its surviving lines in order.
+
+    Unlike :func:`passage_dedup` (which keeps the globally-first
+    instance of each duplicated passage), boilerplate removal is a
+    document-frequency filter: a line above the threshold is removed
+    from ALL documents, including its first occurrence.
+
+    ``lines`` is the per-document ``array<string>`` of lines (pass
+    ``F.split(col, "\\n")`` for real text; the corpus entry segments the
+    newline-free synthetic documents into fixed-width pseudo-lines).
+
+    Output: one row per input document —
+    ``(doc_id, n_lines, n_kept, cleaned_text)`` (``cleaned_text`` NULL
+    when every line was boilerplate).
+
+    Scale shape: line explosion is map-only; document frequency is one
+    hash shuffle on the line text with partial aggregation
+    (``approx``-free exact count-distinct on doc_id is safe because the
+    grouping key IS the line — each group holds only that line's
+    instances); the filter join is an equi-join on the same key, so AQE
+    reuses the shuffle, and reconstruction re-aggregates by doc_id.
+    Corpus-size-linear, no driver pulls.
+    """
+    p = df.select(F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("idx", "line"))
+    common = (
+        p.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("docfreq"))
+        .filter(F.col("docfreq") > max_doc_freq)
+        .select("line")
+    )
+    kept = (
+        p.join(common, "line", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                joiner,
+            ).alias("cleaned_text"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"), F.size(lines).cast("bigint").alias("n_lines")
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "cleaned_text",
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style LM filter,
+    with the corpus's own unigram distribution standing in for the
+    external KenLM): per-document mean negative log-likelihood
+    ``nll = mean_t( -ln( count(t) / N ) ) = ln N - mean_t( ln count(t) )``
+    over the document's tokens, where ``count(t)`` is the token's corpus
+    frequency and ``N`` the corpus token total. Low nll = made of
+    common words (boilerplate-ish); high nll = rare-word-heavy
+    (noise-ish); the middle is what LM filters keep.
+
+    Output: ``(doc_id, n_tokens, nll)`` with ``nll`` rounded to
+    ``round_to`` decimals — ``ln`` is transcendental, so cross-engine
+    comparison needs the round (sum order + libm differences live at
+    1e-13; the round gives 7 orders of margin).
+
+    Scale shape: two passes over the exploded tokens — one hash-agg for
+    the frequency table (partial agg on the token key), one equi-join of
+    tokens against it (both sides shuffle on the token; AQE broadcasts
+    the frequency table when the vocabulary is small). ``N`` is a
+    one-row broadcast scalar, never a driver ``count()``.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(word_tokens(text_col)).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n_total = freq.agg(F.sum("cnt").cast("double").alias("n_total"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log("cnt")).alias("_mean_ln_cnt"),
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log("n_total") - F.col("_mean_ln_cnt"), round_to).alias("nll"),
+        )
+    )

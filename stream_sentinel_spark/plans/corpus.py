@@ -3857,3 +3857,159 @@ def x40(spark, sf):
     return curation.pack_token_stream(
         docs, "doc_id", "n_tok", context_len=256, n_shards=8
     )
+
+
+# ---------------------------------------------------------------------------
+# x41-x44: round-3 curation additions — corpus-level boilerplate
+# removal, C4 heuristic filters, unigram-LM quality scoring, and
+# random-projection dimensionality reduction. Registered AFTER the
+# 50-slot driver window: locally oracle-proven this round, fronted in
+# the round-4 rotation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x41_boilerplate_removal",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(floor((len(w) - 1) / 3.0) AS BIGINT))) AS idx, w
+      FROM t),
+    p AS (
+      SELECT doc_id, idx,
+             array_to_string(w[idx*3 + 1 : idx*3 + 3], ' ') AS line
+      FROM c),
+    common AS (
+      SELECT line FROM p GROUP BY line HAVING COUNT(DISTINCT doc_id) > 2),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY idx) AS cleaned_text
+      FROM p WHERE line NOT IN (SELECT line FROM common) GROUP BY 1),
+    tot AS (
+      SELECT doc_id,
+             CAST(floor((len(w) - 1) / 3.0) AS BIGINT) + 1 AS n_lines
+      FROM t)
+    SELECT tot.doc_id, tot.n_lines,
+           COALESCE(kept.n_kept, 0) AS n_kept, kept.cleaned_text
+    FROM tot LEFT JOIN kept USING (doc_id)
+    """,
+)
+def x41(spark, sf):
+    # CCNet/RefinedWeb-style boilerplate removal: every instance of a
+    # line occurring in >2 distinct documents is dropped (unlike x39's
+    # keep-first passage dedup). The newline-free synthetic corpus is
+    # segmented into 3-word pseudo-lines (~9% of lines are corpus-level
+    # boilerplate at sf0.01). One doc-frequency hash shuffle on the
+    # line + a left-anti equi-join on the same key + one re-agg by doc.
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    toks = curation.word_tokens("text")
+    n = 3
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / F.lit(float(n))).cast("int")),
+        lambda s: F.array_join(F.slice(toks, s * n + 1, n), " "),
+    )
+    return curation.boilerplate_removal(docs, "doc_id", lines, max_doc_freq=2)
+
+
+@query(
+    "x42_c4_filters",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS words,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                  ln -> regexp_matches(trim(ln), '[.!?\"]$'))) AS BIGINT)
+               AS n_terminal,
+             CAST(list_sum(list_transform(words, w -> length(w)))
+                  AS BIGINT) AS word_chars,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace
+      FROM s)
+    SELECT doc_id, n_words, n_lines,
+           CASE WHEN n_lines > 0 THEN n_terminal / n_lines END
+             AS frac_lines_terminal,
+           CASE WHEN n_words > 0 THEN word_chars / n_words END
+             AS mean_word_len,
+           has_lorem, has_brace,
+           COALESCE(n_words BETWEEN 50 AND 100000
+                    AND (word_chars / n_words) BETWEEN 3.0 AND 10.0
+                    AND NOT has_lorem AND NOT has_brace, FALSE) AS keep
+    FROM f
+    """,
+)
+def x42(spark, sf):
+    # C4 heuristic document filters (Raffel et al. 2020 §2.2): word
+    # bounds, mean-word-length band, terminal-punctuation line fraction,
+    # lorem-ipsum / brace rejects, one `keep` conjunction. Map-only
+    # column expressions — zero shuffles, zero UDFs, scan-speed at any
+    # scale.
+    from stream_sentinel_spark.operators import text as T
+
+    return T.c4_filters(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x43_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM freq),
+    d AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, AVG(ln(cnt)) AS m
+      FROM toks JOIN freq USING (tok) GROUP BY 1)
+    SELECT doc_id, n_tokens, round(ln(n_total) - m, 6) AS nll
+    FROM d, n
+    """,
+)
+def x43(spark, sf):
+    # Unigram-LM quality score (the CCNet LM-filter shape, corpus
+    # unigram distribution standing in for KenLM): per-doc mean negative
+    # log-likelihood. One frequency hash-agg + one token equi-join
+    # (AQE broadcasts the small vocab) + a one-row broadcast scalar for
+    # the corpus total. nll is rounded to 6 — the only transcendental
+    # in a compared value, margin ~1e7 over cross-engine wobble.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.unigram_logprob(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x44_random_projection",
+    """
+    WITH u AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(0, len(embedding) - 1)) AS i
+      FROM embeddings),
+    j AS (SELECT unnest(generate_series(0, 7)) AS j)
+    SELECT u.vec_id, j.j,
+           round(SUM(CAST(embedding[i + 1] AS DOUBLE)
+                     * CAST(1 - 2*(((i*(j.j*2 + 3)*1009 + j.j*31 + 7) % 97) % 2)
+                            AS DOUBLE)),
+                 6) AS component
+    FROM u CROSS JOIN j
+    GROUP BY 1, 2
+    """,
+)
+def x44(spark, sf):
+    # Signed random projection (Achlioptas JL): 64-dim embeddings down
+    # to 8 components with a deterministic index-derived ±1 sign matrix
+    # — no stored matrix, stateless map, zero shuffles; the standard
+    # prelude to banding wide embeddings into joinable widths. Long-form
+    # scalar output keeps the cross-engine compare float-array-free.
+    from stream_sentinel_spark.operators import similarity
+
+    return similarity.random_projection(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", out_dim=8
+    ).select("vec_id", F.col("j").cast("bigint").alias("j"), "component")

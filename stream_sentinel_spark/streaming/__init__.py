@@ -19,12 +19,15 @@ from stream_sentinel_spark.streaming.sources import (
     read_file_stream,
     read_kafka_stream,
 )
+from stream_sentinel_spark.streaming.relational import dedup_events, interval_join
 from stream_sentinel_spark.streaming.state import stateful_alerts
 
 __all__ = [
     "DEFAULT_WATERMARK",
     "INGEST_COL",
     "compile_rules_streaming",
+    "dedup_events",
+    "interval_join",
     "parse_events",
     "read_file_stream",
     "read_kafka_stream",

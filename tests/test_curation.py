@@ -296,3 +296,68 @@ class TestSequencePacking:
         docs = spark.createDataFrame([(1, 0), (2, 5)], "doc_id long, n_tok long")
         rows = pack_token_stream(docs, "doc_id", "n_tok", 8, n_shards=1).collect()
         assert len(rows) == 1 and rows[0]["n_docs"] == 1
+
+
+class TestBoilerplateRemoval:
+    def test_common_lines_dropped_everywhere(self, spark):
+        # "cookie notice" appears in 3 docs (> max_doc_freq=2): removed
+        # from ALL of them, including the first; "rare line" (2 docs)
+        # survives. Real-newline text exercises the generic API.
+        df = _docs(
+            spark,
+            [
+                (1, "cookie notice\nunique alpha\nrare line"),
+                (2, "cookie notice\nunique beta"),
+                (3, "cookie notice\nrare line\nunique gamma"),
+            ],
+        )
+        out = curation.boilerplate_removal(
+            df, "doc_id", F.split(F.col("text"), "\n"), max_doc_freq=2, joiner="\n"
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[1].n_lines == 3 and by_id[1].n_kept == 2
+        assert by_id[1].cleaned_text == "unique alpha\nrare line"
+        assert by_id[2].cleaned_text == "unique beta"
+        assert by_id[3].cleaned_text == "rare line\nunique gamma"
+
+    def test_all_boilerplate_doc_nulls_out(self, spark):
+        df = _docs(
+            spark,
+            [(1, "same"), (2, "same"), (3, "same"), (4, "other")],
+        )
+        out = curation.boilerplate_removal(
+            df, "doc_id", F.split(F.col("text"), "\n"), max_doc_freq=2
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        for i in (1, 2, 3):
+            assert by_id[i].n_kept == 0 and by_id[i].cleaned_text is None
+        assert by_id[4].cleaned_text == "other"
+
+    def test_within_doc_repeats_count_distinct_docs(self, spark):
+        # a line repeated 5x inside ONE doc has doc-frequency 1 — kept
+        # (doc frequency, not instance frequency, is the signal)
+        df = _docs(spark, [(1, "x\nx\nx\nx\nx"), (2, "y")])
+        out = curation.boilerplate_removal(
+            df, "doc_id", F.split(F.col("text"), "\n"), max_doc_freq=2
+        ).collect()
+        assert {r.doc_id: r.n_kept for r in out} == {1: 5, 2: 1}
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        # corpus: "a a b" + "a c" → counts a=3, b=1, c=1, N=5
+        df = _docs(spark, [(1, "a a b"), (2, "a c")])
+        out = {r.doc_id: r for r in curation.unigram_logprob(df, "doc_id", "text").collect()}
+        n = 5.0
+        nll1 = math.log(n) - (math.log(3) + math.log(3) + math.log(1)) / 3
+        nll2 = math.log(n) - (math.log(3) + math.log(1)) / 2
+        assert out[1].n_tokens == 3 and abs(out[1].nll - nll1) < 1e-6
+        assert out[2].n_tokens == 2 and abs(out[2].nll - nll2) < 1e-6
+
+    def test_common_word_doc_scores_lower(self, spark):
+        rows = [(i, "the the the the") for i in range(10)] + [(99, "zyzzyva qat")]
+        df = _docs(spark, rows)
+        out = {r.doc_id: r.nll for r in curation.unigram_logprob(df, "doc_id", "text").collect()}
+        assert out[0] < out[99]

@@ -467,3 +467,69 @@ def test_cosine_pairs_exhaustive_vs_numpy(spark):
     assert set(lsh) <= set(got)
     for k, c in lsh.items():
         assert c == got[k]
+
+
+class TestC4Filters:
+    def _run(self, spark, rows):
+        from stream_sentinel_spark.operators.text import c4_filters
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in c4_filters(df, "doc_id", "text").collect()}
+
+    def test_signals_on_real_text(self, spark):
+        prose = " ".join(["word wiggle wobble tremble"] * 15) + "."
+        out = self._run(
+            spark,
+            [
+                (1, "First line ends well.\nsecond does not\nThird asks?"),
+                (2, "var x = { a: 1 };"),
+                (3, "Lorem ipsum dolor sit amet " * 10),
+                (4, prose),
+            ],
+        )
+        assert out[1].n_lines == 3
+        assert abs(out[1].frac_lines_terminal - 2 / 3) < 1e-12
+        assert out[2].has_brace and not out[2].keep
+        assert out[3].has_lorem and not out[3].keep
+        assert out[4].keep  # 61 words, clean prose, mean len in band
+
+    def test_word_count_bounds(self, spark):
+        out = self._run(spark, [(1, "too short"), (2, " "), (3, "")])
+        assert out[1].n_words == 2 and not out[1].keep
+        assert out[2].n_words == 0 and out[2].mean_word_len is None
+        assert not out[2].keep and not out[3].keep
+
+
+class TestRandomProjection:
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from stream_sentinel_spark.operators.similarity import random_projection
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(5, 16).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = random_projection(df, "vec_id", "embedding", out_dim=4)
+        got = {(r.vec_id, r.j): r.component for r in out.collect()}
+        sign = lambda i, j: 1 - 2 * (((i * (j * 2 + 3) * 1009 + j * 31 + 7) % 97) % 2)
+        for vid in range(5):
+            for j in range(4):
+                want = round(
+                    float(sum(np.float64(vecs[vid][i]) * sign(i, j) for i in range(16))), 6
+                )
+                assert abs(got[(vid, j)] - want) < 1e-9, (vid, j)
+
+    def test_sign_matrix_not_rank_degenerate(self, spark):
+        # any polynomial in (i, j) taken directly mod 2 collapses to a
+        # function of the parities (≤4 distinct rows); the odd outer
+        # modulus must give 8 distinct, decorrelated, near-balanced rows
+        sign = lambda i, j: 1 - 2 * (((i * (j * 2 + 3) * 1009 + j * 31 + 7) % 97) % 2)
+        rows = [[sign(i, j) for i in range(64)] for j in range(8)]
+        assert len({tuple(r) for r in rows}) == 8
+        for r in rows:
+            assert abs(sum(r)) <= 8  # near-balanced ±1 row
+        for a in range(8):
+            for b in range(a + 1, 8):
+                dot = sum(x * y for x, y in zip(rows[a], rows[b]))
+                assert abs(dot) <= 24, (a, b, dot)  # |corr| ≤ 0.375
