@@ -622,3 +622,77 @@ def unigram_logprob(
             F.round(F.log("n_total") - F.col("_mean_ln_cnt"), round_to).alias("nll"),
         )
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = md5-bucket(id)
+    mod n_shards`` (the engine-portable 32-bit bucket shared with the
+    sampling operators). Hash assignment, not global-rank assignment,
+    is the 100 TB shape: a rank-based split needs a total order (one
+    all-data sort or a single-partition window); the hash is map-only,
+    stable under repartitioning, and balanced to ±O(sqrt(rows/shard)).
+    Re-running on a grown corpus moves no existing row between shards.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from stream_sentinel_spark.operators.sampling import _md5_bucket
+
+    return df.withColumn("shard", (_md5_bucket(id_col, salt) % n_shards).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Shard manifest for a training-data export: one row per shard with
+    ``(shard, n_rows, checksum, min_id, max_id)``. ``checksum`` is the
+    SUM of the rows' 32-bit md5 buckets — order-independent (valid
+    under any partitioning / merge order) and engine-portable, so a
+    consumer can re-derive and compare it without replaying the export
+    order. One hash-agg shuffle on the shard id; partial aggregation
+    does the heavy lifting map-side.
+    """
+    from stream_sentinel_spark.operators.sampling import _md5_bucket
+
+    return (
+        shard_assignment(df, id_col, n_shards, salt)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_md5_bucket(id_col, salt)).alias("checksum"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` deterministic parquet shards
+    (``path/shard=K/``) and return the manifest. The repartition ON the
+    shard column co-locates each shard's rows so every Hive partition
+    directory is written by exactly one task (no small-file explosion:
+    files-per-shard = 1, not = upstream partitions). The manifest is
+    computed from the input frame — equal to what a re-scan of the
+    export would produce, by the checksum's order-independence.
+    """
+    out = shard_assignment(df, id_col, n_shards, salt)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return shard_manifest(df, id_col, n_shards, salt)

@@ -4013,3 +4013,62 @@ def x44(spark, sf):
     return similarity.random_projection(
         _t(spark, sf, "embeddings"), "vec_id", "embedding", out_dim=8
     ).select("vec_id", F.col("j").cast("bigint").alias("j"), "component")
+
+
+@query(
+    "x45_shard_manifest",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS bucket
+      FROM documents)
+    SELECT CAST(bucket % 16 AS INT) AS shard,
+           COUNT(*) AS n_rows,
+           CAST(SUM(bucket) AS BIGINT) AS checksum,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id
+    FROM s GROUP BY 1
+    """,
+)
+def x45(spark, sf):
+    # Training-data export manifest: deterministic md5-bucket shard
+    # assignment (map-only, rank-free — the 100 TB shape) + per-shard
+    # order-independent checksums. One partial-agg hash shuffle on the
+    # 16-value shard key.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.shard_manifest(_t(spark, sf, "documents"), "doc_id", 16)
+
+
+_PR_EDGES_SQL = """
+    SELECT src, dst, COUNT(*) AS weight FROM (
+      SELECT LAG(user_id) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS src,
+             user_id AS dst
+      FROM events)
+    WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2
+"""
+
+
+def _x46_oracle() -> str:
+    from stream_sentinel_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, iterations=3)
+
+
+@query("x46_pagerank_handoff", None)
+def x46(spark, sf):
+    # PageRank centrality over the event-handoff graph (who acts after
+    # whom within an event_type stream): one window shuffle for edges,
+    # then 3 fixed synchronous iterations — each one join + one agg,
+    # no driver-side loop state. The oracle unrolls the iterations into
+    # chained CTEs (generated by pagerank_oracle_sql — one formulation,
+    # two engines).
+    from stream_sentinel_spark.operators.graph import handoff_edges, pagerank
+
+    edges = handoff_edges(_t(spark, sf, "events"))
+    return pagerank(edges, iterations=3)
+
+
+_ORACLES["x46_pagerank_handoff"] = _x46_oracle()

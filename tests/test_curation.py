@@ -361,3 +361,55 @@ class TestUnigramLogprob:
         df = _docs(spark, rows)
         out = {r.doc_id: r.nll for r in curation.unigram_logprob(df, "doc_id", "text").collect()}
         assert out[0] < out[99]
+
+
+class TestSharding:
+    def test_assignment_deterministic_and_complete(self, spark):
+        df = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+        a = curation.shard_assignment(df, "doc_id", 8)
+        b = curation.shard_assignment(df, "doc_id", 8)
+        assert a.collect() == b.collect()
+        shards = {r.shard for r in a.select("shard").distinct().collect()}
+        assert shards <= set(range(8)) and len(shards) == 8
+
+    def test_manifest_counts_and_checksum_order_independent(self, spark):
+        df = _docs(spark, [(i, f"doc {i}") for i in range(100)])
+        m1 = {r.shard: r for r in curation.shard_manifest(df, "doc_id", 4).collect()}
+        # same rows, different partitioning → identical manifest
+        m2 = {
+            r.shard: r
+            for r in curation.shard_manifest(df.repartition(13), "doc_id", 4).collect()
+        }
+        assert sum(r.n_rows for r in m1.values()) == 100
+        for s in m1:
+            assert (m1[s].n_rows, m1[s].checksum, m1[s].min_id, m1[s].max_id) == (
+                m2[s].n_rows, m2[s].checksum, m2[s].min_id, m2[s].max_id)
+
+    def test_write_shards_round_trip(self, spark, tmp_path):
+        df = _docs(spark, [(i, f"doc {i}") for i in range(50)])
+        path = str(tmp_path / "shards")
+        manifest = {r.shard: r for r in curation.write_shards(df, path, "doc_id", 4).collect()}
+        back = spark.read.parquet(path)
+        assert back.count() == 50
+        got = {
+            r.shard: r.n
+            for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == {s: m.n_rows for s, m in manifest.items()}
+        # one file per shard directory (no small-file explosion)
+        import os
+        for s in manifest:
+            files = [f for f in os.listdir(f"{path}/shard={s}") if f.endswith(".parquet")]
+            assert len(files) == 1, files
+
+    def test_grown_corpus_is_a_superset(self, spark):
+        small = _docs(spark, [(i, f"doc {i}") for i in range(30)])
+        big = _docs(spark, [(i, f"doc {i}") for i in range(60)])
+        a = {r.doc_id: r.shard for r in curation.shard_assignment(small, "doc_id", 8).collect()}
+        b = {r.doc_id: r.shard for r in curation.shard_assignment(big, "doc_id", 8).collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+    def test_rejects_bad_n_shards(self, spark):
+        df = _docs(spark, [(1, "x")])
+        with pytest.raises(ValueError):
+            curation.shard_assignment(df, "doc_id", 0)

@@ -243,3 +243,53 @@ def test_cosine_pairs_lsh_never_nested_loop(spark):
     plan = plan_of(corpus.queries()["x07_embedding_cosine_pairs"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_c4_filters_map_only(spark):
+    """x42 is pure column expressions: zero exchanges, zero Python, one
+    whole-stage-codegen span over the scan."""
+    plan = plan_of(corpus.queries()["x42_c4_filters"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # NB: the higher-order-function lambdas keep the Project out of
+    # WholeStageCodegen — it is still a single JVM map over the scan,
+    # which is the scale property this test pins.
+    assert "Project" in plan and "Scan parquet" in plan, plan
+
+
+def test_random_projection_map_only(spark):
+    """x44 (JL projection + posexplode) must not shuffle or leave the
+    JVM — it's the scan-speed prelude to banding, at any scale."""
+    plan = plan_of(corpus.queries()["x44_random_projection"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_boilerplate_removal_no_bnlj_and_pruned_scan(spark):
+    """x41: the doc-frequency filter must be an anti hash-join on the
+    line (never a nested loop), and the documents scan must prune to
+    (doc_id, text)."""
+    plan = plan_of(corpus.queries()["x41_boilerplate_removal"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all(
+        "lang" not in l and "source" not in l for l in read_schemas
+    ), read_schemas
+
+
+def test_unigram_logprob_scalar_is_broadcast(spark):
+    """x43's corpus-total N must join as a broadcast of a one-row agg,
+    not shuffle the token stream against it."""
+    plan = plan_of(corpus.queries()["x43_unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_shard_manifest_single_shuffle(spark):
+    """x45: one partial-agg hash shuffle on the shard key — nothing
+    else. (The md5 bucket is computed map-side twice rather than
+    shuffling rows wider.)"""
+    plan = plan_of(corpus.queries()["x45_shard_manifest"](spark, SF_DIR))
+    assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 2, plan
+    assert "HashAggregate" in plan, plan
+    assert "Python" not in plan, plan
