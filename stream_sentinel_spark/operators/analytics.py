@@ -1,0 +1,216 @@
+"""Event-log analytics: ordered funnels, retention cohorts, transition
+matrices, and windowed exponential moving averages.
+
+The reference engine's surface is per-key anomaly detection over an
+event stream (SURVEY §2); production deployments of that shape (fraud /
+abuse pipelines) invariably sit next to product-analytics queries over
+the same event log. This module adds the four canonical ones as batch
+operators over the ``events`` table, each expressed so the plan is one
+hash shuffle on the entity key plus cheap follow-on aggregation — the
+shape that scales: at 100 TB the per-user work is a single exchange,
+all subsequent window frames reuse that partitioning (Catalyst emits
+one Exchange for consecutive windows over the same partition key), and
+the final roll-ups group on low-cardinality keys.
+
+Cross-engine determinism: counts and integer week arithmetic are exact;
+the only doubles compared are single divisions of exact integers
+(transition probabilities) or short fixed-order weighted sums rounded
+to 6 decimals (EWMA) — see the corpus entries for the DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MS_PER_WEEK = 7 * 86_400_000
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: how many users reached step k having
+    completed steps 1..k-1 in strictly increasing event time.
+
+    Step k's entry timestamp is ``min(ts | type = steps[k] and ts >
+    t_{k-1})`` — the classic "first qualifying event after the previous
+    step" semantics (each step must happen strictly AFTER the previous
+    one; simultaneous events do not chain).
+
+    Plan shape: ONE shuffle. Every step timestamp is a conditional
+    ``min`` over the same ``Window.partitionBy(user)`` — consecutive
+    window functions over one partitioning collapse into a single
+    Exchange + one Window node, so adding funnel steps adds zero
+    shuffles. The final roll-up aggregates |steps| counters map-side
+    into a single row per step. No joins, no per-step scans: at 100 TB
+    this reads the event log exactly once.
+
+    Returns one row per step: (step int, event_type, users bigint),
+    monotonically non-increasing in ``users``.
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    w = Window.partitionBy(user_col)
+    df = events
+    prev: Column | None = None
+    reached: list[Column] = []
+    for i, step in enumerate(steps):
+        qualifies = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            qualifies = qualifies & (F.col(time_col) > prev)
+        t_k = F.min(F.when(qualifies, F.col(time_col))).over(w)
+        df = df.withColumn(f"_t{i}", t_k)
+        prev = F.col(f"_t{i}")
+        reached.append(F.col(f"_t{i}"))
+    # one surviving row per user is enough to count reach; the window
+    # frame already replicated _t* to every row of the user.
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))]
+    )
+    counters = per_user.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col(f"_n{i}").alias("users"),
+        )
+        for i, step in enumerate(steps)
+    ]
+    return counters.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.step", "r.event_type", "r.users")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted in every subsequent week they were active.
+
+    Weeks are integer epoch-week ordinals (``floor(epoch_ms / 1 week)``)
+    — timezone-proof and engine-exact; no calendar truncation.
+
+    Plan shape: ONE shuffle over the event log — a per-user
+    ``collect_set`` of active weeks (map-side combined, so each mapper
+    ships at most |weeks-in-corpus| ordinals per user, a time-bounded
+    constant — ~52/year — not the user's event count), then the cohort
+    is ``array_min`` and the triangle re-explodes the dedup'd weeks
+    into a roll-up on the tiny (cohort_week, week_offset) key. The
+    textbook formulation self-joins activity against first-activity;
+    this form never shuffles the activity frame a second time.
+
+    Returns (cohort_week bigint, week_offset bigint, users bigint);
+    week_offset 0 rows carry the cohort sizes.
+    """
+    week = F.floor(F.unix_millis(F.col(time_col)) / F.lit(_MS_PER_WEEK))
+    per_user = (
+        events.select(F.col(user_col).alias("user"), week.alias("week"))
+        .groupBy("user")
+        .agg(F.collect_set("week").alias("weeks"))
+    )
+    return (
+        per_user.select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences:
+    for each ordered pair (src → dst of the NEXT event by the same
+    user), its count and row-normalized probability.
+
+    Plan shape: one shuffle for the per-user ``lead`` window, a hash
+    aggregation on the (|types|²)-cardinality pair key, and a window
+    ``sum`` over src for the normalizer — the last two touch only the
+    tiny aggregated frame. Probability is one IEEE division of two
+    exact integers, so the value is bit-identical on any engine.
+
+    Returns (src_type, dst_type, n bigint, prob double).
+    """
+    w = Window.partitionBy(user_col).orderBy(time_col, *order_cols)
+    pairs = (
+        events.withColumn("_dst", F.lead(type_col).over(w))
+        .filter(F.col("_dst").isNotNull())
+        .groupBy(F.col(type_col).alias("src_type"), F.col("_dst").alias("dst_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("src_type")
+    return pairs.withColumn(
+        "prob", F.col("n") / F.sum("n").over(total)
+    )
+
+
+def ewma(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+    alpha: float = 0.25,
+    window: int = 8,
+) -> DataFrame:
+    """Windowed exponential moving average of ``value_col`` per user:
+    over the last ``window`` events (ROWS frame), a weighted mean with
+    geometric weights ``(1-alpha)^age`` (newest event weight 1,
+    normalized by the weight sum) — the truncated-EWMA every metrics
+    store ships (exact EWMA has an unbounded frame; truncating at k
+    events bounds both state and the error term by ``(1-alpha)^k``).
+
+    Plan shape: one shuffle on the user key; ``collect_list`` over the
+    bounded ROWS frame keeps ≤ ``window`` doubles per row, and the
+    weighted fold runs inside codegen via ``aggregate`` over the
+    zipped (value, age) array — no UDF. The frame is oldest→newest, so
+    the fold's addition order is fixed and engine-independent; the
+    compared value still rounds to 6 decimals to absorb last-ulp
+    ``pow`` differences across libm builds.
+
+    Returns the input keys plus (n_window int, ewma double).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    frame = (
+        Window.partitionBy(user_col)
+        .orderBy(time_col, *order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(F.col(value_col).cast("double")).over(frame)
+    df = events.withColumn("_arr", arr)
+    k = F.size("_arr")
+    # age of element i (1-based, oldest first) is k - i
+    ages = F.sequence(k - F.lit(1), F.lit(0), F.lit(-1))
+    decay = F.lit(1.0 - alpha)
+    weighted = F.zip_with(
+        "_arr", ages, lambda v, age: v * F.pow(decay, age.cast("double"))
+    )
+    weights = F.transform(ages, lambda age: F.pow(decay, age.cast("double")))
+    fold = lambda col: F.aggregate(  # noqa: E731 — local plan fragment
+        col, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.select(
+        *[F.col(c) for c in (user_col, time_col, *order_cols)],
+        k.alias("n_window"),
+        F.round(fold(weighted) / fold(weights), 6).alias("ewma"),
+    )

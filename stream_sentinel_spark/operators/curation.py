@@ -696,3 +696,81 @@ def write_shards(
         .parquet(path)
     )
     return shard_manifest(df, id_col, n_shards, salt)
+
+
+def temperature_rebalance(
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    alpha: float = 0.5,
+    anchor_target: int = 1000,
+    salt: str = "rebal",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual-corpus
+    sampling rule — e.g. the :math:`p_l \\propto |D_l|^{\\alpha}`
+    schedule of mBERT/XLM-R): per-group keep targets
+    ``floor(anchor_target * (n_g / n_max)^alpha + 0.5)``, realized as a
+    deterministic md5 hash sample at rate ``min(1, target/n_g)``.
+
+    Anchoring at the LARGEST group (rather than normalizing by the sum
+    of powered weights) keeps the arithmetic engine-exact: the weight
+    is a single ``pow`` of a ratio of two exact integers — no
+    cross-group float summation whose order could differ between
+    engines. ``alpha < 1`` flattens the distribution (upweights tail
+    groups); ``alpha = 1`` is proportional; ``alpha = 0`` is uniform.
+
+    Two passes over the corpus by construction — a distribution pass
+    (tiny group-key aggregation) and a decision pass (map-only filter
+    against the broadcast per-group cutoffs); that is the minimum for
+    any globally-informed sampler. The sample itself inherits
+    :func:`~stream_sentinel_spark.operators.sampling.hash_sample`'s
+    properties: reproducible across runs/engines/partitionings and
+    mergeable across incremental ingests.
+
+    Returns one row per group: (group, n_docs, weight double ∈ (0,1],
+    target bigint, n_sampled bigint).
+    """
+    from stream_sentinel_spark.operators.sampling import _md5_bucket
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    sizes = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    everything = Window.partitionBy()
+    plan = sizes.select(
+        "group", "n_docs",
+        F.pow(
+            F.col("n_docs") / F.max("n_docs").over(everything), F.lit(alpha)
+        ).alias("weight"),
+    ).select(
+        "group", "n_docs", "weight",
+        F.floor(F.col("weight") * F.lit(anchor_target) + F.lit(0.5))
+        .cast("long")
+        .alias("target"),
+    ).select(
+        "group", "n_docs", "weight", "target",
+        (
+            F.least(F.lit(1.0), F.col("target") / F.col("n_docs"))
+            * F.lit(float(1 << 32))
+        ).cast("long").alias("_cutoff"),
+    )
+    sampled = (
+        docs.select(
+            F.col(group_col).alias("group"),
+            _md5_bucket(id_col, salt).alias("_bucket"),
+        )
+        .join(F.broadcast(plan.select("group", "_cutoff")), "group")
+        .filter(F.col("_bucket") < F.col("_cutoff"))
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        plan.join(sampled, "group", "left")
+        .select(
+            "group", "n_docs",
+            F.round("weight", 6).alias("weight"),
+            "target",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )

@@ -56,6 +56,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bag_of_words_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Word-order-insensitive exact dedup: documents whose sorted token
+    multisets coincide collapse to one group (catches shuffled /
+    re-ordered copies that byte-exact dedup misses, without any
+    similarity machinery). The canonical key is
+    ``md5(sort(tokens) joined by ' ')`` — a pure codegen'd map
+    expression, so the whole operator is the same single hash shuffle
+    as :func:`exact_dedup_groups`, just on a normalized fingerprint.
+
+    Returns (fp, keep_id, copies, n_tokens) — ``n_tokens`` of the
+    surviving representative (identical across the group by
+    construction).
+    """
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.md5(F.array_join(F.array_sort(toks), " ")).alias("fp"),
+            F.col(id_col).alias("_id"),
+            F.size(toks).alias("_n"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("copies"),
+            F.min("_n").alias("n_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Character n-gram shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,146 @@
+"""Corpus indexing: inverted-index (postings) construction and PMI
+collocation mining.
+
+Training-data pipelines build token indexes for two reasons: fast
+contamination / membership probes (an inverted index over n-grams) and
+tokenizer or phrase-vocabulary induction (collocations by pointwise
+mutual information — Church & Hanks 1990). Both are pure relational
+plans over an exploded token stream:
+
+- postings: explode → hash-aggregate on the token key. The posting
+  list per token is bounded by an explicit cap before it is
+  materialized (``slice`` of the sorted set) — an uncapped
+  ``collect_list`` on a 100 TB corpus is a single-reducer OOM for
+  stop-word tokens, so the cap is part of the operator contract, with
+  the full document frequency kept alongside as the exact count.
+- PMI: two hash-aggregations (unigrams, adjacent bigrams) joined on
+  the bigram's parts. The unigram frame is vocabulary-sized, so AQE
+  broadcast-joins it; corpus totals ride along as one-row broadcast
+  scalars (no second scan, no driver round-trip).
+
+Cross-engine determinism: counts are exact integers; PMI is a single
+``ln`` of a ratio of exact-integer products rounded to 6 decimals
+(same transcendental-margin rule as the unigram-LM scorer in
+``curation.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators.curation import word_tokens
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    postings_cap: int = 20,
+    min_df: int = 1,
+) -> DataFrame:
+    """Token → (document frequency, term frequency, capped postings).
+
+    ``postings`` holds the first ``postings_cap`` doc ids in ascending
+    id order, serialized as a comma-joined string (keeps the compared
+    value scalar); ``df``/``tf`` are exact corpus-wide counts. One
+    explode + one token-key hash aggregation; ``collect_set`` is
+    bounded per token by the corpus's doc count but the MATERIALIZED
+    output is bounded by the cap — the full postings of a stop-word
+    never leave the aggregation buffer on the way to the result.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(text_col)).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, postings_cap),
+            ",",
+        ).alias("postings"),
+    )
+    if min_df > 1:
+        agg = agg.filter(F.col("df") >= min_df)
+    return agg
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 10,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual
+    information: ``pmi = ln( (c12/B) / ((c1/N) * (c2/N)) )`` with N the
+    corpus unigram total and B the bigram total.
+
+    Bigrams come from zipping each token array against itself shifted
+    by one (``slice`` twice + ``arrays_zip`` — map-side, no
+    positional join); unigram and bigram counts are two hash
+    aggregations; the unigram frame joins back onto the bigram frame
+    twice on vocabulary-sized keys (AQE broadcasts), and N/B attach as
+    a one-row broadcast scalar. Top-k orders by (pmi desc, w1, w2) —
+    a total order, so the cut is deterministic — and Spark plans it as
+    TakeOrderedAndProject (no global sort).
+
+    Returns (w1, w2, n12 bigint, n1 bigint, n2 bigint, pmi double).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k = F.size("toks")
+    bi = (
+        toks.filter(k >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, k - 1).alias("w1"),
+                    F.slice("toks", 2, k - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .filter(F.col("n12") >= min_count)
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("n").alias("n_total")).crossJoin(
+            # bigram total counts every adjacency, incl. sub-min_count
+            # ones — recompute from token counts, not from `bi`
+            toks.select(
+                F.greatest(k - F.lit(1), F.lit(0)).alias("nb")
+            ).agg(F.sum("nb").alias("b_total"))
+        )
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(totals)
+        .select(
+            "w1", "w2", "n12", "n1", "n2",
+            F.round(
+                F.log(
+                    # double arithmetic up front: the integer product
+                    # n12·N² overflows int64 on a web-scale corpus
+                    (F.col("n12").cast("double") * F.col("n_total") * F.col("n_total"))
+                    / (
+                        F.col("b_total").cast("double")
+                        * F.col("n1")
+                        * F.col("n2")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(top_k)

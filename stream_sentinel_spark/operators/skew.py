@@ -23,7 +23,7 @@ the arithmetic bit-stable vs an unsalted plan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__ss_salt"
@@ -118,3 +118,55 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return p.join(b, [*on, _SALT], how).drop(_SALT)
+
+
+def skew_report(df: DataFrame, key_col: str, percentile: float = 0.99) -> DataFrame:
+    """One-row distribution report for a prospective shuffle key: key
+    cardinality, row count, max/mean bucket size, the exact
+    nearest-rank percentile bucket size, and the skew ratio
+    (max / mean) — the number that decides whether a join or
+    aggregation on this key needs salting (``salted_aggregate`` /
+    ``salted_join``) before it runs.
+
+    Plan shape: one hash aggregation on the key (the same exchange the
+    real query would pay), then ranking over the AGGREGATED frame —
+    |keys| rows, not |df| — and a final one-row collapse. The ranking
+    window is deliberately unpartitioned: it sees only the per-key
+    count frame, and the exact nearest-rank percentile is the point of
+    a diagnosis run; the always-on monitoring variant is
+    ``percentile_approx`` over the same counts (no global sort).
+
+    mean/skew are single IEEE divisions of exact integers — engine-
+    bit-identical; no rounding needed.
+    """
+    if not 0.0 < percentile <= 1.0:
+        raise ValueError(f"percentile must be in (0, 1], got {percentile}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.col("n").asc(), F.col("key").asc())
+    everything = Window.partitionBy()
+    ranked = counts.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(everything).alias("nk"),
+    )
+    return (
+        ranked.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(F.lit(percentile) * F.col("nk")),
+                    F.col("n"),
+                )
+            ).alias("p_n"),
+        )
+        .select(
+            "n_keys", "n_rows", "max_n", "p_n",
+            (F.col("n_rows") / F.col("n_keys")).alias("mean_n"),
+            (F.col("max_n") * F.col("n_keys") / F.col("n_rows")).alias("skew_ratio"),
+        )
+    )

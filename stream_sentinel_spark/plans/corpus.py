@@ -4072,3 +4072,293 @@ def x46(spark, sf):
 
 
 _ORACLES["x46_pagerank_handoff"] = _x46_oracle()
+
+
+# ---------------------------------------------------------------------------
+# x47-x49 + x53: event-log analytics (operators/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x47_funnel_conversion",
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY 1),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY 1)
+    SELECT 1 AS step, 'signup' AS event_type, (SELECT COUNT(*) FROM t1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM t2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM t3)
+    """,
+)
+def x47(spark, sf):
+    # Ordered funnel signup → click → purchase: each step's entry is the
+    # first qualifying event STRICTLY after the previous step. The
+    # oracle chains min-after-join CTEs (one scan per step); the engine
+    # side is ONE scan + one user-key shuffle — all step timestamps are
+    # conditional window mins over the same partitioning.
+    from stream_sentinel_spark.operators.analytics import funnel
+
+    return funnel(_t(spark, sf, "events"), ["signup", "click", "purchase"])
+
+
+@query(
+    "x48_retention_cohorts",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch_ms(ts) / 604800000) AS BIGINT) AS week
+      FROM events),
+    c AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM a)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           COUNT(*) AS users
+    FROM c GROUP BY 1, 2
+    """,
+)
+def x48(spark, sf):
+    # Weekly retention triangle on integer epoch-week ordinals
+    # (timezone-proof). Engine side: distinct activity (one shuffle) +
+    # a window min over the SAME user partitioning + a tiny roll-up —
+    # no self-join of the activity frame.
+    from stream_sentinel_spark.operators.analytics import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf, "events"))
+
+
+@query(
+    "x49_event_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS src_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+      FROM events),
+    c AS (
+      SELECT src_type, dst_type, COUNT(*) AS n FROM p
+      WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+    SELECT src_type, dst_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src_type) AS prob
+    FROM c
+    """,
+)
+def x49(spark, sf):
+    # First-order Markov transition matrix of per-user event sequences.
+    # prob is one IEEE division of two exact integers — bit-identical
+    # across engines, no rounding needed.
+    from stream_sentinel_spark.operators.analytics import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
+@query(
+    "x53_ewma_user_value",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+      FROM events)
+    SELECT event_id, user_id, ts_ms,
+           CAST(len(arr) AS INT) AS n_window,
+           round(
+             list_sum(list_transform(
+               arr, (v, i) -> v * pow(0.75, CAST(len(arr) - i AS DOUBLE))))
+             / list_sum(list_transform(
+               arr, (v, i) -> pow(0.75, CAST(len(arr) - i AS DOUBLE)))),
+             6) AS ewma
+    FROM w
+    """,
+)
+def x53(spark, sf):
+    # Truncated EWMA (last 8 events, alpha=0.25) per user — the
+    # bounded-state moving average every metrics store ships. The fold
+    # order over the ≤8-element frame is fixed (oldest → newest) on
+    # both engines; round(6) absorbs last-ulp libm pow differences.
+    from stream_sentinel_spark.operators.analytics import ewma
+
+    out = ewma(_t(spark, sf, "events"), alpha=0.25, window=8)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "n_window", "ewma",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x50-x51: corpus indexing (operators/indexing.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x50_inverted_index",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents)
+    SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',')
+             AS postings
+    FROM toks GROUP BY 1
+    """,
+)
+def x50(spark, sf):
+    # Inverted index with capped postings: full exact df/tf counts, but
+    # the materialized posting list is the first 20 doc ids — an
+    # uncapped collect_list on a 100 TB corpus is a stop-word OOM, so
+    # the cap is part of the operator contract. Postings serialize as a
+    # comma-joined string to keep the compared value scalar.
+    from stream_sentinel_spark.operators.indexing import inverted_index
+
+    return inverted_index(
+        _t(spark, sf, "documents"), "doc_id", "text", postings_cap=20
+    )
+
+
+@query(
+    "x51_pmi_collocations",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    u AS (
+      SELECT w, COUNT(*) AS n FROM (SELECT unnest(t) AS w FROM toks)
+      GROUP BY 1),
+    nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM u),
+    bt AS (
+      SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS b_total
+      FROM toks),
+    bi AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n12
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+    SELECT w1, w2, n12, u1.n AS n1, u2.n AS n2,
+           round(ln((CAST(n12 AS DOUBLE) * n_total * n_total)
+                    / (CAST(b_total AS DOUBLE) * u1.n * u2.n)), 6) AS pmi
+    FROM bi
+    JOIN u u1 ON u1.w = bi.w1
+    JOIN u u2 ON u2.w = bi.w2, nt, bt
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+)
+def x51(spark, sf):
+    # Top-50 adjacent-token collocations by PMI (Church & Hanks) with a
+    # min-count support filter. Two hash aggs + vocabulary-sized joins
+    # (AQE broadcasts) + one-row broadcast totals; the top-k cut is a
+    # TakeOrderedAndProject over a total order.
+    from stream_sentinel_spark.operators.indexing import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf, "documents"), "doc_id", "text", min_count=10, top_k=50
+    )
+
+
+# ---------------------------------------------------------------------------
+# x52 + x54 + x55: rebalancing, normalized dedup, skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x52_language_rebalance",
+    """
+    WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    p AS (
+      SELECT lang, n_docs,
+             pow(n_docs / CAST((SELECT MAX(n_docs) FROM s) AS DOUBLE), 0.5)
+               AS weight
+      FROM s),
+    t AS (
+      SELECT lang, n_docs, weight,
+             CAST(FLOOR(weight * 200 + 0.5) AS BIGINT) AS target
+      FROM p),
+    c AS (
+      SELECT *, CAST(least(1.0, CAST(target AS DOUBLE) / n_docs)
+                     * 4294967296.0 AS BIGINT) AS cutoff
+      FROM t),
+    m AS (
+      SELECT d.lang, COUNT(*) AS n_sampled
+      FROM documents d JOIN c ON d.lang = c.lang
+      WHERE CAST(('0x' || substr(md5('rebal' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < cutoff
+      GROUP BY 1)
+    SELECT c.lang, c.n_docs, round(weight, 6) AS weight, target,
+           COALESCE(n_sampled, 0) AS n_sampled
+    FROM c LEFT JOIN m ON m.lang = c.lang
+    """,
+)
+def x52(spark, sf):
+    # Temperature rebalancing (p_l ∝ n_l^alpha, the multilingual-corpus
+    # sampling schedule), anchored at the largest group so the weight is
+    # a single pow of an exact-integer ratio — no cross-group float sum
+    # whose order could differ between engines. The sample itself is the
+    # deterministic md5 hash sample.
+    from stream_sentinel_spark.operators.curation import temperature_rebalance
+
+    out = temperature_rebalance(
+        _t(spark, sf, "documents"), "doc_id", "lang",
+        alpha=0.5, anchor_target=200,
+    )
+    return out.select(
+        F.col("group").alias("lang"), "n_docs", "weight", "target", "n_sampled"
+    )
+
+
+@query(
+    "x54_bag_of_words_dedup",
+    """
+    SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS copies,
+           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def x54(spark, sf):
+    # Word-order-insensitive exact dedup: the canonical key is the
+    # sorted token multiset — catches shuffled copies that byte-exact
+    # dedup (x01) misses, at the identical one-hash-shuffle cost.
+    from stream_sentinel_spark.operators.dedup import bag_of_words_dedup_groups
+
+    out = bag_of_words_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
+    return out.select(
+        "fp", "keep_id", "copies", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+
+
+@query(
+    "x55_skew_report",
+    """
+    WITH c AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+    r AS (
+      SELECT n, key,
+             ROW_NUMBER() OVER (ORDER BY n ASC, key ASC) AS rk,
+             COUNT(*) OVER () AS nk
+      FROM c)
+    SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(n) AS max_n,
+           MAX(CASE WHEN rk = CAST(CEIL(0.99 * nk) AS BIGINT) THEN n END)
+             AS p_n,
+           CAST(SUM(n) AS BIGINT) / COUNT(*) AS mean_n,
+           MAX(n) * COUNT(*) / CAST(SUM(n) AS BIGINT) AS skew_ratio
+    FROM r
+    """,
+)
+def x55(spark, sf):
+    # Shuffle-key skew diagnosis for orders.o_custkey: max/mean bucket
+    # size + exact nearest-rank p99 over the per-key count frame — the
+    # report that decides whether a join on this key needs salting
+    # (operators/skew.py) before it runs at scale.
+    from stream_sentinel_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf, "orders"), "o_custkey", percentile=0.99)

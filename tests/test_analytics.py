@@ -1,0 +1,220 @@
+"""Semantics tests for operators/analytics.py (funnel, cohorts,
+transitions, EWMA) and the x55 skew report — hand-built fixtures with
+independently computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators.analytics import (
+    event_transitions,
+    ewma,
+    funnel,
+    retention_cohorts,
+)
+from stream_sentinel_spark.operators.skew import skew_report
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, 1, "signup", _ts(0), 0.0),
+        (2, 1, "click", _ts(10), 0.0),
+        (3, 1, "purchase", _ts(20), 0.0),
+        # u2 clicks BEFORE signing up — click must not count
+        (4, 2, "click", _ts(0), 0.0),
+        (5, 2, "signup", _ts(10), 0.0),
+        # u3 signs up only
+        (6, 3, "signup", _ts(0), 0.0),
+        # u4 never signs up
+        (7, 4, "click", _ts(0), 0.0),
+        (8, 4, "purchase", _ts(5), 0.0),
+    ]
+    out = {
+        r["event_type"]: r["users"]
+        for r in funnel(
+            _events(spark, rows), ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"signup": 3, "click": 1, "purchase": 1}
+
+
+def test_funnel_simultaneous_events_do_not_chain(spark):
+    rows = [
+        (1, 1, "signup", _ts(0), 0.0),
+        (2, 1, "click", _ts(0), 0.0),  # same instant: strictly-after fails
+        (3, 2, "signup", _ts(0), 0.0),
+        (4, 2, "click", _ts(1), 0.0),
+    ]
+    out = {
+        r["event_type"]: r["users"]
+        for r in funnel(_events(spark, rows), ["signup", "click"]).collect()
+    }
+    assert out == {"signup": 2, "click": 1}
+
+
+def test_funnel_later_earlier_step_does_not_resurrect(spark):
+    # u1: click at t5 (after signup t0) then purchase at t3 — purchase
+    # precedes the click entry, so step 3 is not reached.
+    rows = [
+        (1, 1, "signup", _ts(0), 0.0),
+        (2, 1, "purchase", _ts(3), 0.0),
+        (3, 1, "click", _ts(5), 0.0),
+    ]
+    out = {
+        r["event_type"]: r["users"]
+        for r in funnel(
+            _events(spark, rows), ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {"signup": 1, "click": 1, "purchase": 0}
+
+
+def test_funnel_requires_steps(spark):
+    with pytest.raises(ValueError):
+        funnel(_events(spark, []), [])
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_retention_cohorts_offsets(spark):
+    wk = 7 * 86_400
+    rows = [
+        # u1 first seen week 0, active weeks 0 and 2
+        (1, 1, "view", _ts(0), 0.0),
+        (2, 1, "view", _ts(2 * wk + 5), 0.0),
+        # duplicate activity in the same week counts once
+        (3, 1, "view", _ts(2 * wk + 9), 0.0),
+        # u2 first seen week 1, active weeks 1 and 2
+        (4, 2, "view", _ts(wk + 1), 0.0),
+        (5, 2, "view", _ts(2 * wk + 1), 0.0),
+    ]
+    out = {
+        (r["cohort_week"] - 2817, r["week_offset"]): r["users"]
+        # 2817 = epoch week of 2024-01-01 (floor(1704067200/604800))
+        for r in retention_cohorts(_events(spark, rows)).collect()
+    }
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# transitions
+# ---------------------------------------------------------------------------
+
+
+def test_event_transitions_counts_and_probs(spark):
+    rows = [
+        (1, 1, "a", _ts(0), 0.0),
+        (2, 1, "b", _ts(1), 0.0),
+        (3, 1, "a", _ts(2), 0.0),
+        (4, 1, "c", _ts(3), 0.0),
+        (5, 2, "a", _ts(0), 0.0),
+        (6, 2, "b", _ts(1), 0.0),
+    ]
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n"], r["prob"])
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    # last event of each user emits no pair
+    assert sum(n for n, _ in out.values()) == 4
+
+
+def test_event_transitions_tie_break_by_event_id(spark):
+    rows = [
+        (2, 1, "b", _ts(0), 0.0),
+        (1, 1, "a", _ts(0), 0.0),  # same ts: event_id orders a before b
+    ]
+    out = {
+        (r["src_type"], r["dst_type"]): r["n"]
+        for r in event_transitions(_events(spark, rows)).collect()
+    }
+    assert out == {("a", "b"): 1}
+
+
+# ---------------------------------------------------------------------------
+# EWMA
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_hand_fold(spark):
+    alpha, window = 0.25, 3
+    vals = [10.0, 20.0, 40.0, 80.0]
+    rows = [(i, 1, "v", _ts(i), v) for i, v in enumerate(vals)]
+    out = {
+        r["event_id"]: (r["n_window"], r["ewma"])
+        for r in ewma(
+            _events(spark, rows), alpha=alpha, window=window
+        ).collect()
+    }
+
+    def expect(tail):
+        k = len(tail)
+        ws = [(1 - alpha) ** (k - 1 - j) for j in range(k)]
+        return round(sum(v * w for v, w in zip(tail, ws)) / sum(ws), 6)
+
+    assert out[0] == (1, expect(vals[:1]))
+    assert out[1] == (2, expect(vals[:2]))
+    assert out[2] == (3, expect(vals[:3]))
+    # window truncates: event 3 sees only the last 3 values
+    assert out[3] == (3, expect(vals[1:]))
+
+
+def test_ewma_newest_dominates(spark):
+    rows = [(i, 1, "v", _ts(i), float(v)) for i, v in enumerate([0, 0, 100])]
+    out = ewma(_events(spark, rows), alpha=0.5, window=8).collect()
+    last = max(out, key=lambda r: r["event_id"])
+    # weights 0.25, 0.5, 1 (normalized): newest carries 4/7 of the mass
+    assert math.isclose(last["ewma"], round(100 * 1 / (0.25 + 0.5 + 1), 6))
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    with pytest.raises(ValueError):
+        ewma(_events(spark, []), alpha=1.0)
+
+
+# ---------------------------------------------------------------------------
+# skew report
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report_exact_values(spark):
+    # 4 keys with bucket sizes 1, 1, 2, 6
+    rows = [("a",)] * 1 + [("b",)] * 1 + [("c",)] * 2 + [("d",)] * 6
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, "k", percentile=0.75).collect()[0]
+    assert (r["n_keys"], r["n_rows"], r["max_n"]) == (4, 10, 6)
+    # nearest-rank p75 over sizes [1,1,2,6]: rank ceil(0.75*4)=3 -> 2
+    assert r["p_n"] == 2
+    assert r["mean_n"] == 2.5
+    assert r["skew_ratio"] == 6 * 4 / 10
+
+
+def test_skew_report_rejects_bad_percentile(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        skew_report(df, "k", percentile=0.0)

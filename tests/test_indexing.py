@@ -1,0 +1,174 @@
+"""Semantics tests for operators/indexing.py (inverted index, PMI
+collocations), dedup.bag_of_words_dedup_groups, and
+curation.temperature_rebalance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from stream_sentinel_spark.operators.curation import temperature_rebalance
+from stream_sentinel_spark.operators.dedup import bag_of_words_dedup_groups
+from stream_sentinel_spark.operators.indexing import inverted_index, pmi_collocations
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index
+# ---------------------------------------------------------------------------
+
+
+def test_inverted_index_counts_and_postings(spark):
+    df = _docs(spark, ["a b a", "b c", "a"])
+    out = {r["token"]: r for r in inverted_index(df, "doc_id", "text").collect()}
+    assert out["a"]["df"] == 2 and out["a"]["tf"] == 3
+    assert out["a"]["postings"] == "0,2"
+    assert out["b"]["df"] == 2 and out["b"]["tf"] == 2
+    assert out["b"]["postings"] == "0,1"
+    assert out["c"]["df"] == 1 and out["c"]["postings"] == "1"
+
+
+def test_inverted_index_cap_and_min_df(spark):
+    df = _docs(spark, ["x"] * 10)
+    row = inverted_index(df, "doc_id", "text", postings_cap=3).collect()[0]
+    # cap bounds the materialized postings, not the exact counts
+    assert row["df"] == 10 and row["postings"] == "0,1,2"
+    df2 = _docs(spark, ["x y", "x"])
+    toks = {
+        r["token"]
+        for r in inverted_index(df2, "doc_id", "text", min_df=2).collect()
+    }
+    assert toks == {"x"}
+
+
+# ---------------------------------------------------------------------------
+# PMI
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_hand_computed(spark):
+    # 4 docs of "a b", 4 of "c d": perfect collocations, N=16, B=8
+    df = _docs(spark, ["a b"] * 4 + ["c d"] * 4)
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(df, "doc_id", "text", min_count=2).collect()
+    }
+    assert set(out) == {("a", "b"), ("c", "d")}
+    r = out[("a", "b")]
+    assert (r["n12"], r["n1"], r["n2"]) == (4, 4, 4)
+    # pmi = ln((4/8) / ((4/16)(4/16))) = ln 8
+    assert math.isclose(r["pmi"], round(math.log(8.0), 6))
+
+
+def test_pmi_min_count_filters(spark):
+    df = _docs(spark, ["a b"] * 4 + ["a c"])
+    pairs = {
+        (r["w1"], r["w2"])
+        for r in pmi_collocations(df, "doc_id", "text", min_count=2).collect()
+    }
+    assert ("a", "c") not in pairs and ("a", "b") in pairs
+
+
+def test_pmi_topk_is_deterministic_total_order(spark):
+    df = _docs(spark, ["a b", "b a", "c d", "d c"] * 3)
+    top = pmi_collocations(df, "doc_id", "text", min_count=2, top_k=2).collect()
+    # all four pairs tie on pmi; (w1, w2) breaks the tie
+    assert [(r["w1"], r["w2"]) for r in top] == [("a", "b"), ("b", "a")]
+
+
+# ---------------------------------------------------------------------------
+# bag-of-words dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bag_of_words_collapses_reordered_copies(spark):
+    df = _docs(spark, ["the cat sat", "sat the cat", "the cat cat"])
+    rows = bag_of_words_dedup_groups(df, "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r for r in rows}
+    assert by_keep[0]["copies"] == 2  # doc 1 is a word-permutation of doc 0
+    assert by_keep[2]["copies"] == 1  # different multiset (cat twice)
+    assert by_keep[0]["n_tokens"] == 3
+
+
+def test_bag_of_words_is_multiset_not_set(spark):
+    df = _docs(spark, ["a a b", "a b"])
+    assert bag_of_words_dedup_groups(df, "doc_id", "text").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# temperature rebalance
+# ---------------------------------------------------------------------------
+
+
+def _grouped_docs(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_temperature_rebalance_targets(spark):
+    df = _grouped_docs(spark, {"en": 400, "de": 100})
+    out = {
+        r["group"]: r
+        for r in temperature_rebalance(
+            df, "doc_id", "lang", alpha=0.5, anchor_target=100
+        ).collect()
+    }
+    assert out["en"]["target"] == 100  # anchor group
+    # (100/400)^0.5 = 0.5 -> target 50 from 100 docs
+    assert out["de"]["target"] == 50
+    assert out["de"]["weight"] == 0.5
+    # sampling respects the rate cap and determinism
+    assert 0 < out["en"]["n_sampled"] <= 400
+    again = {
+        r["group"]: r["n_sampled"]
+        for r in temperature_rebalance(
+            df, "doc_id", "lang", alpha=0.5, anchor_target=100
+        ).collect()
+    }
+    assert again == {g: r["n_sampled"] for g, r in out.items()}
+
+
+def test_temperature_rebalance_alpha_extremes(spark):
+    df = _grouped_docs(spark, {"en": 400, "de": 100})
+    prop = {
+        r["group"]: r["target"]
+        for r in temperature_rebalance(
+            df, "doc_id", "lang", alpha=1.0, anchor_target=100
+        ).collect()
+    }
+    assert prop == {"en": 100, "de": 25}  # alpha=1: proportional
+    flat = {
+        r["group"]: r["target"]
+        for r in temperature_rebalance(
+            df, "doc_id", "lang", alpha=0.0, anchor_target=100
+        ).collect()
+    }
+    assert flat == {"en": 100, "de": 100}  # alpha=0: uniform
+
+
+def test_temperature_rebalance_small_group_keeps_all(spark):
+    df = _grouped_docs(spark, {"en": 1000, "zz": 3})
+    out = {
+        r["group"]: r
+        for r in temperature_rebalance(
+            df, "doc_id", "lang", alpha=0.5, anchor_target=500
+        ).collect()
+    }
+    # target (1000*sqrt(3/1000) ~ 27) exceeds n_docs=3: rate caps at 1
+    assert out["zz"]["n_sampled"] == 3
+
+
+def test_temperature_rebalance_rejects_bad_alpha(spark):
+    df = _grouped_docs(spark, {"en": 1})
+    with pytest.raises(ValueError):
+        temperature_rebalance(df, "doc_id", "lang", alpha=2.0)
