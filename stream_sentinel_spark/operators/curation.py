@@ -754,7 +754,10 @@ def temperature_rebalance(
             F.least(F.lit(1.0), F.col("target") / F.col("n_docs"))
             * F.lit(float(1 << 32))
         ).cast("long").alias("_cutoff"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the group-cardinality plan frame is consumed twice (broadcast
+    # into the decision pass, then the final join); the barrier pins it
+    # so the distribution pass scans the corpus once, not per consumer.
     sampled = (
         docs.select(
             F.col(group_col).alias("group"),

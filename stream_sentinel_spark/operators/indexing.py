@@ -91,13 +91,21 @@ def pmi_collocations(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("toks")
     )
+    # Exactly TWO passes over the corpus (the unigram agg and the
+    # bigram agg); everything downstream — totals, the two count
+    # joins, the top-k — runs on the materialized vocabulary-sized
+    # frames. Without the localCheckpoint barriers Catalyst re-derives
+    # each consumer's lineage from the scan (no ReuseExchange across
+    # DataFrame reuse), which at corpus scale means five full scans
+    # for a dictionary's worth of output.
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     k = F.size("toks")
-    bi = (
+    bi_all = (
         toks.filter(k >= 2)
         .select(
             F.explode(
@@ -109,15 +117,15 @@ def pmi_collocations(
         )
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n12"))
-        .filter(F.col("n12") >= min_count)
+        .localCheckpoint(eager=False)
     )
+    bi = bi_all.filter(F.col("n12") >= min_count)
     totals = F.broadcast(
         uni.agg(F.sum("n").alias("n_total")).crossJoin(
-            # bigram total counts every adjacency, incl. sub-min_count
-            # ones — recompute from token counts, not from `bi`
-            toks.select(
-                F.greatest(k - F.lit(1), F.lit(0)).alias("nb")
-            ).agg(F.sum("nb").alias("b_total"))
+            # every adjacency is a bigram, so the bigram total is the
+            # sum of ALL bigram counts (pre-support-filter) — no third
+            # corpus pass
+            bi_all.agg(F.sum("n12").alias("b_total"))
         )
     )
     scored = (

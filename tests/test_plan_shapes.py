@@ -293,3 +293,79 @@ def test_shard_manifest_single_shuffle(spark):
     assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 2, plan
     assert "HashAggregate" in plan, plan
     assert "Python" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: event analytics, indexing, rebalance, skew report
+# ---------------------------------------------------------------------------
+
+
+def _hash_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def test_funnel_single_event_shuffle(spark):
+    """x47: every funnel step is a conditional window min over ONE user
+    partitioning, and the per-user roll-up reuses it — exactly one
+    hash exchange over the event log no matter how many steps."""
+    df = corpus.queries()["x47_funnel_conversion"](spark, SF_DIR)
+    assert _hash_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_retention_cohorts_single_corpus_shuffle(spark):
+    """x48: one user-key shuffle of the event log (map-side combined
+    collect_set), one tiny roll-up exchange — never a second shuffle
+    of the activity frame."""
+    df = corpus.queries()["x48_retention_cohorts"](spark, SF_DIR)
+    assert _hash_exchanges(df) == 2, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ewma_single_shuffle_no_python(spark):
+    """x53: the weighted fold is codegen'd array arithmetic — one user
+    shuffle, zero Python evals."""
+    df = corpus.queries()["x53_ewma_user_value"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pmi_topk_no_global_sort_two_corpus_passes(spark):
+    """x51: the top-k cut is TakeOrderedAndProject; the corpus is
+    scanned exactly twice (unigram + bigram aggs) — every visible scan
+    beyond the two pinned checkpoints would be a corpus re-read."""
+    df = corpus.queries()["x51_pmi_collocations"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # both corpus passes live behind the localCheckpoint barriers; a
+    # parquet scan in THIS plan means a consumer re-derived the lineage
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_rebalance_broadcasts_plan(spark):
+    """x52: the decision pass joins the corpus against the broadcast
+    group-plan; the distribution pass is pinned — exactly one visible
+    corpus scan."""
+    df = corpus.queries()["x52_language_rebalance"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_bag_of_words_dedup_single_shuffle(spark):
+    """x54: normalized-fingerprint dedup costs the same single hash
+    shuffle as byte-exact dedup."""
+    df = corpus.queries()["x54_bag_of_words_dedup"](spark, SF_DIR)
+    assert _hash_exchanges(df) == 1, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_skew_report_ranks_aggregated_frame_only(spark):
+    """x55: the ranking window runs on the per-key COUNT frame — one
+    hash exchange for the counts; the window's own exchange is the
+    single-partition collapse of |keys| rows, not a second shuffle of
+    the input."""
+    df = corpus.queries()["x55_skew_report"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") >= 1, plan
