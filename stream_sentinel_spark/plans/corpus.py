@@ -121,13 +121,15 @@ _DRIVER_PRIORITY = [
     "q54_tpch_q20_excess_suppliers",
     "q55_tpch_q21_waiting_suppliers",
     "x40_sequence_packing",
-    # --- 4 representatives: the flagship pipeline and the three
-    # operators whose perf-sensitive code changed in the round-2
-    # salting rework (re-proven driver-side every round they change) ---
+    # --- the flagship pipeline (driver-proven every round) plus three
+    # of the newest additions; the salting-rework trio (x08/x09/x19)
+    # earned their driver rows in r1/r2 and rotates back out to make
+    # room. Still awaiting a driver row after this round (locally
+    # oracle-proven, rotate in next): x43-x46 and x48-x55.
     "detect_pipeline",
-    "x08_minhash_lsh_candidates",
-    "x09_simhash_candidates",
-    "x19_minhash_verified_neardups",
+    "x41_boilerplate_removal",
+    "x42_c4_filters",
+    "x47_funnel_conversion",
 ]
 
 
