@@ -214,3 +214,121 @@ def ewma(
         k.alias("n_window"),
         F.round(fold(weighted) / fold(weights), 6).alias("ewma"),
     )
+
+
+_MS_PER_HOUR = 3_600_000
+
+
+def resample_fill(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+    bucket_ms: int = _MS_PER_HOUR,
+) -> DataFrame:
+    """Regularize an irregular per-user series onto a fixed grid with
+    carry-forward fill: one row per (user, bucket) from the user's
+    first to last active bucket, carrying the user's last observed
+    value into silent buckets (the resample → ffill idiom).
+
+    Plan shape: ONE corpus shuffle — the (user, bucket) last-observation
+    aggregation (``max_by`` keeps the in-bucket latest without a window
+    over raw events). The dense grid comes from a per-user
+    ``sequence``/``explode`` over the AGGREGATED frame (grid size is
+    span/bucket per user — time-bounded, never event-bounded), the
+    observations join back on the same (user, bucket) key, and the
+    carry-forward is an ignore-nulls ``last`` over the user
+    partitioning of the grid frame. The grid explode deliberately
+    happens AFTER aggregation: a per-raw-event grid would multiply the
+    corpus by the span.
+
+    Returns (user, bucket_ms bigint, value double, is_gap boolean).
+    """
+    bucket = (
+        F.floor(F.unix_millis(F.col(time_col)) / F.lit(bucket_ms))
+    ).alias("bucket")
+    order_key = F.struct(
+        F.unix_millis(F.col(time_col)).alias("t"),
+        *[F.col(c) for c in order_cols],
+    )
+    obs = (
+        events.select(
+            F.col(user_col).alias("user"), bucket,
+            F.col(value_col).cast("double").alias("v"),
+            order_key.alias("ok"),
+        )
+        .groupBy("user", "bucket")
+        .agg(F.max_by("v", "ok").alias("v"))
+    )
+    span = obs.groupBy("user").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "user", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user", "bucket"], "left")
+        .select(
+            "user",
+            (F.col("bucket") * F.lit(bucket_ms)).alias("bucket_ms"),
+            F.last("v", ignorenulls=True).over(w).alias("value"),
+            F.col("v").isNull().alias("is_gap"),
+        )
+    )
+
+
+def cusum(
+    events: DataFrame,
+    target: float,
+    threshold: float,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM drift detector per user: the classic clamped
+    recursion ``s_i = max(0, s_{i-1} + (x_i − target))``, alarm when
+    ``s_i > threshold`` (Page 1954 — the drift detector the reference's
+    threshold/statistical rules don't cover: it accumulates SMALL
+    persistent shifts that never trip a per-event threshold).
+
+    The recursion looks inherently sequential, but it has the closed
+    form ``s_i = r_i − min(r_0..r_i)`` over the prefix sums
+    ``r_i = Σ(x_k − target)`` (with r_0 = 0) — two CHAINED window
+    aggregates over one user partitioning: a running sum then a
+    running min. No UDF, no iteration, one shuffle.
+
+    All accumulation runs in INTEGERS scaled by ``10^decimal_scale``
+    (values are quantized to that scale on entry, matching the
+    reference's exact-decimal detector semantics — see
+    operators/statistical.py). Integer prefix sums are exact on every
+    engine — decimal window sums are NOT portable (DuckDB's windowed
+    DECIMAL SUM accumulates in double) — so the emitted double and the
+    alarm flag are bit-identical with no rounding guard.
+
+    Returns the input keys plus (cusum double, alarm boolean).
+    """
+    scale = float(10 ** decimal_scale)
+    t_scaled = int(round(target * scale))
+    h_scaled = int(round(threshold * scale))
+    w = Window.partitionBy(user_col).orderBy(time_col, *order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    x = F.round(F.col(value_col) * F.lit(scale), 0).cast("long")
+    r = F.sum(x - F.lit(t_scaled)).over(run)
+    df = events.withColumn("_r", r)
+    # r_0 = 0 enters the prefix-min as least(min(r), 0)
+    low = F.least(F.min("_r").over(run), F.lit(0).cast("long"))
+    df = df.withColumn("_s", F.col("_r") - low)
+    return df.select(
+        *[F.col(c) for c in (user_col, time_col, *order_cols)],
+        F.col(value_col),
+        (F.col("_s").cast("double") / F.lit(scale)).alias("cusum"),
+        (F.col("_s") > F.lit(h_scaled)).alias("alarm"),
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,4 +138,50 @@ def run_checks(df: DataFrame, constraints: list[Constraint]) -> DataFrame:
     return (
         row.select(F.explode(F.array(*entries)).alias("e"))
         .select("e.metric", "e.value", "e.passed")
+    )
+
+
+def benford_profile(
+    df: DataFrame, value_col: str, decimal_scale: int = 2
+) -> DataFrame:
+    """Leading-digit distribution of a positive numeric column vs
+    Benford's law — the classic fabricated-data screen (naturally
+    occurring amounts follow ``P(d) = log10(1 + 1/d)``; synthetic or
+    tampered ones usually don't).
+
+    The leading digit is extracted via exact integer arithmetic, not
+    ``log10``: the value is scaled to an integer at ``decimal_scale``
+    (round-half-up, so 6.55 → 655 even when the double is stored as
+    654.999…), then the first character of its decimal rendering —
+    engine-portable where floating log/pow on boundary values is not.
+
+    One aggregation to the 9-row digit frame; expected shares and the
+    per-digit chi-square contribution ((obs − exp)² / exp, on count
+    scale) are literal arithmetic on that frame. Rows with value ≤ 0
+    are excluded (Benford is defined on positive magnitudes).
+
+    Returns (digit int, n bigint, frac double, benford_p double,
+    chi2_term double, all but n rounded to 6).
+    """
+    scaled = F.round(
+        F.col(value_col) * F.lit(float(10 ** decimal_scale)), 0
+    ).cast("long")
+    digit = F.substring(scaled.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    everything = Window.partitionBy()
+    total = F.sum("n").over(everything)
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    expected = p * total
+    return counts.select(
+        "digit", "n",
+        F.round(F.col("n") / total, 6).alias("frac"),
+        F.round(p, 6).alias("benford_p"),
+        F.round(
+            (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
+        ).alias("chi2_term"),
     )

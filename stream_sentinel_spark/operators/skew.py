@@ -170,3 +170,58 @@ def skew_report(df: DataFrame, key_col: str, percentile: float = 0.99) -> DataFr
             (F.col("max_n") * F.col("n_keys") / F.col("n_rows")).alias("skew_ratio"),
         )
     )
+
+
+def join_size_probe(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> DataFrame:
+    """Exact output size of ``left ⋈ right ON on`` — WITHOUT running the
+    join: aggregate each side to per-key counts and sum the products.
+    The answer a cost-based optimizer estimates from sketches, computed
+    exactly for two aggregations' cost — the pre-flight check before
+    committing a cluster to a pair join that might explode (the
+    ``join_rows`` / ``max_key_rows`` pair tells you both the total and
+    whether ONE hot key dominates it — the x21/salting decision).
+
+    Works for self-joins (pass the same frame twice): ``join_rows`` is
+    then Σ n_k², the size of the pair-candidate blow-up the dedup
+    operators guard against.
+
+    Plan: two key aggregations (the only corpus-sized work), an inner
+    join of the two |keys|-sized count frames, one-row collapse. All
+    outputs are exact integers.
+
+    Returns one row: (left_rows, right_rows, left_keys, right_keys,
+    matching_keys, join_rows, max_key_rows — all bigint).
+    """
+    # each side's count frame is consumed twice (the match join + its
+    # own totals) and both sides coincide for a self-join probe — pin
+    # the |keys|-sized frames so the corpus is aggregated once per
+    # DISTINCT side, not once per consumer
+    lc = (
+        left.groupBy(*[F.col(c) for c in on])
+        .agg(F.count(F.lit(1)).alias("_nl"))
+        .localCheckpoint(eager=False)
+    )
+    rc = (
+        lc.withColumnRenamed("_nl", "_nr")
+        if right is left
+        else right.groupBy(*[F.col(c) for c in on])
+        .agg(F.count(F.lit(1)).alias("_nr"))
+        .localCheckpoint(eager=False)
+    )
+    matched = lc.join(rc, on).select(
+        (F.col("_nl") * F.col("_nr")).alias("_prod")
+    )
+    l_tot = lc.agg(
+        F.sum("_nl").alias("left_rows"), F.count(F.lit(1)).alias("left_keys")
+    )
+    r_tot = rc.agg(
+        F.sum("_nr").alias("right_rows"), F.count(F.lit(1)).alias("right_keys")
+    )
+    m_tot = matched.agg(
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.coalesce(F.sum("_prod"), F.lit(0)).alias("join_rows"),
+        F.coalesce(F.max("_prod"), F.lit(0)).alias("max_key_rows"),
+    )
+    return l_tot.crossJoin(r_tot).crossJoin(m_tot)

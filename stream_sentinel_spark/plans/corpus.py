@@ -4364,3 +4364,135 @@ def x55(spark, sf):
     from stream_sentinel_spark.operators.skew import skew_report
 
     return skew_report(_t(spark, sf, "orders"), "o_custkey", percentile=0.99)
+
+
+# ---------------------------------------------------------------------------
+# x56-x59: join planning, resampling, drift detection, digit profiling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x56_join_size_probe",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS left_rows,
+           (SELECT COUNT(*) FROM c) AS left_keys,
+           (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS right_rows,
+           (SELECT COUNT(*) FROM c) AS right_keys,
+           (SELECT COUNT(*) FROM c) AS matching_keys,
+           (SELECT CAST(SUM(n * n) AS BIGINT) FROM c) AS join_rows,
+           (SELECT CAST(MAX(n * n) AS BIGINT) FROM c) AS max_key_rows
+    """,
+)
+def x56(spark, sf):
+    # Pre-flight size of the events-pair self-join on user_id (the
+    # blow-up every pair-candidate operator guards against), computed
+    # from per-key counts without running the join. Self-join probe
+    # aggregates the corpus ONCE (right is left).
+    from stream_sentinel_spark.operators.skew import join_size_probe
+
+    ev = _t(spark, sf, "events")
+    return join_size_probe(ev, ev, ["user_id"])
+
+
+@query(
+    "x57_resample_fill",
+    """
+    WITH ranked AS (
+      SELECT user_id AS u,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS bucket, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, FLOOR(epoch_ms(ts) / 3600000)
+               ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events),
+    obs AS (SELECT u, bucket, value AS v FROM ranked WHERE rk = 1),
+    span AS (SELECT u, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (SELECT u, unnest(generate_series(lo, hi)) AS bucket FROM span),
+    j AS (
+      SELECT g.u, g.bucket, o.v
+      FROM grid g LEFT JOIN obs o ON o.u = g.u AND o.bucket = g.bucket)
+    SELECT u AS user_id, bucket * 3600000 AS bucket_ms,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY u ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           v IS NULL AS is_gap
+    FROM j
+    """,
+)
+def x57(spark, sf):
+    # Hourly carry-forward resample per user: one (user, bucket)
+    # max_by aggregation over the corpus, grid explode AFTER
+    # aggregation (span-bounded, never event-bounded), ignore-nulls
+    # last for the fill. Carried values are compared raw — the fill
+    # copies bits, no arithmetic.
+    from stream_sentinel_spark.operators.analytics import resample_fill
+
+    out = resample_fill(_t(spark, sf, "events"), bucket_ms=3_600_000)
+    return out.select(
+        F.col("user").alias("user_id"), "bucket_ms", "value", "is_gap"
+    )
+
+
+@query(
+    "x58_cusum_drift",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value,
+             CAST(SUM(CAST(round(value * 100.0, 0) AS BIGINT) - 16000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS rsum
+      FROM events),
+    m AS (
+      SELECT *, least(
+               MIN(rsum) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               CAST(0 AS BIGINT)) AS low
+      FROM r)
+    SELECT event_id, user_id, ts_ms, value,
+           CAST(rsum - low AS DOUBLE) / 100.0 AS cusum,
+           rsum - low > 50000 AS alarm
+    FROM m
+    """,
+)
+def x58(spark, sf):
+    # Page's one-sided CUSUM (clamped recursion) via its closed form:
+    # prefix sum minus running prefix-min — two chained windows over
+    # one user partitioning, all arithmetic in exact DECIMAL, so the
+    # compared double needs no rounding guard. Catches persistent
+    # small drifts the reference's threshold/statistical rules miss.
+    from stream_sentinel_spark.operators.analytics import cusum
+
+    out = cusum(_t(spark, sf, "events"), target=160.0, threshold=500.0)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("ts_ms"), "value", "cusum", "alarm",
+    )
+
+
+@query(
+    "x59_benford_profile",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100.0, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM events WHERE value > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round((n - log10(1.0 + 1.0 / digit) * SUM(n) OVER ())
+                 * (n - log10(1.0 + 1.0 / digit) * SUM(n) OVER ())
+                 / (log10(1.0 + 1.0 / digit) * SUM(n) OVER ()), 6)
+             AS chi2_term
+    FROM c
+    """,
+)
+def x59(spark, sf):
+    # Benford leading-digit screen over event amounts: exact
+    # integer-scaling digit extraction (no log10 on data values —
+    # engine-portable where boundary floats are not), one aggregation
+    # to the 9-row digit frame, literal arithmetic after.
+    from stream_sentinel_spark.operators.quality import benford_profile
+
+    return benford_profile(_t(spark, sf, "events"), "value", decimal_scale=2)

@@ -218,3 +218,92 @@ def test_skew_report_rejects_bad_percentile(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         skew_report(df, "k", percentile=0.0)
+
+
+# ---------------------------------------------------------------------------
+# resample + fill
+# ---------------------------------------------------------------------------
+
+
+def test_resample_fill_carries_forward(spark):
+    from stream_sentinel_spark.operators.analytics import resample_fill
+
+    hr = 3600
+    rows = [
+        (1, 1, "v", _ts(0), 10.0),        # hour 0
+        (2, 1, "v", _ts(3 * hr + 5), 30.0),  # hour 3 — hours 1,2 are gaps
+        (3, 2, "v", _ts(hr), 5.0),        # single-bucket user
+    ]
+    out = {
+        (r["user"], r["bucket_ms"]): (r["value"], r["is_gap"])
+        for r in resample_fill(_events(spark, rows)).collect()
+    }
+    base = 1704067200000  # 2024-01-01 epoch ms
+    assert out[(1, base)] == (10.0, False)
+    assert out[(1, base + 3600_000)] == (10.0, True)   # filled
+    assert out[(1, base + 7200_000)] == (10.0, True)   # filled
+    assert out[(1, base + 10800_000)] == (30.0, False)
+    assert out[(2, base + 3600_000)] == (5.0, False)
+    assert len(out) == 5  # grid is span-bounded per user, no global grid
+
+
+def test_resample_fill_in_bucket_latest_wins(spark):
+    from stream_sentinel_spark.operators.analytics import resample_fill
+
+    rows = [
+        (1, 1, "v", _ts(10), 1.0),
+        (2, 1, "v", _ts(20), 2.0),  # same hour, later ts wins
+    ]
+    out = resample_fill(_events(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_clamped_recursion(spark):
+    from stream_sentinel_spark.operators.analytics import cusum
+
+    target, h = 10.0, 5.0
+    vals = [12.0, 8.0, 14.0, 13.0, 1.0, 11.0]
+    rows = [(i, 1, "v", _ts(i), v) for i, v in enumerate(vals)]
+    out = {
+        r["event_id"]: (r["cusum"], r["alarm"])
+        for r in cusum(
+            _events(spark, rows), target=target, threshold=h
+        ).collect()
+    }
+    s, expect = 0.0, {}
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - target))
+        expect[i] = (s, s > h)
+    assert out == expect
+
+
+def test_cusum_resets_after_deficit(spark):
+    from stream_sentinel_spark.operators.analytics import cusum
+
+    # big deficit then small excesses: the clamp must reset to 0, not
+    # carry the negative balance (that is what distinguishes CUSUM from
+    # a plain running sum)
+    vals = [0.0, 15.0]
+    rows = [(i, 1, "v", _ts(i), v) for i, v in enumerate(vals)]
+    out = {
+        r["event_id"]: r["cusum"]
+        for r in cusum(_events(spark, rows), target=10.0, threshold=99.0).collect()
+    }
+    assert out[0] == 0.0  # clamped, not -10
+    assert out[1] == 5.0  # 0 + (15-10), not -5
+
+
+def test_cusum_is_per_user(spark):
+    from stream_sentinel_spark.operators.analytics import cusum
+
+    rows = [(1, 1, "v", _ts(0), 20.0), (2, 2, "v", _ts(1), 20.0)]
+    out = {
+        r["event_id"]: r["cusum"]
+        for r in cusum(_events(spark, rows), target=10.0, threshold=5.0).collect()
+    }
+    assert out == {1: 10.0, 2: 10.0}

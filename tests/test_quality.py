@@ -71,3 +71,28 @@ def test_single_aggregation_pass(spark):
     plan = dq.run_checks(df, checks)._jdf.queryExecution().optimizedPlan().toString()
     # all constraints fold into one Aggregate node — one scan, one pass
     assert plan.count("Aggregate") == 1
+
+
+def test_benford_profile_exact_digits(spark):
+    from stream_sentinel_spark.operators.quality import benford_profile
+
+    # 6.55 * 100 = 654.999… in IEEE: digit extraction must still say 6
+    df = spark.createDataFrame(
+        [(6.55,), (0.01,), (123.0,), (19.99,), (-5.0,), (0.0,)],
+        "value double",
+    )
+    out = {r["digit"]: r["n"] for r in benford_profile(df, "value").collect()}
+    assert out == {6: 1, 1: 3}  # 0.01→1, 123.0→1, 19.99→1999→1; ≤0 excluded
+
+
+def test_benford_profile_math(spark):
+    import math
+
+    from stream_sentinel_spark.operators.quality import benford_profile
+
+    df = spark.createDataFrame([(float(d),) for d in [1, 1, 1, 2]], "value double")
+    rows = {r["digit"]: r for r in benford_profile(df, "value").collect()}
+    assert rows[1]["frac"] == 0.75
+    assert rows[1]["benford_p"] == round(math.log10(2.0), 6)
+    e = math.log10(2.0) * 4
+    assert rows[1]["chi2_term"] == round((3 - e) ** 2 / e, 6)

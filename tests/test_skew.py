@@ -84,3 +84,38 @@ def test_two_phase_plan_shape(spark, events):
         .toString()
     )
     assert "__ss_salt" in plan
+
+
+def test_join_size_probe_exact(spark):
+    from stream_sentinel_spark.operators.skew import join_size_probe
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string"
+    )
+    right = spark.createDataFrame([("a",)] * 4 + [("b",)], "k string")
+    r = join_size_probe(left, right, ["k"]).collect()[0]
+    assert (r["left_rows"], r["left_keys"]) == (6, 3)
+    assert (r["right_rows"], r["right_keys"]) == (5, 2)
+    assert r["matching_keys"] == 2
+    assert r["join_rows"] == 3 * 4 + 2 * 1  # exact inner-join output size
+    assert r["max_key_rows"] == 12
+    # ground truth
+    assert left.join(right, "k").count() == r["join_rows"]
+
+
+def test_join_size_probe_self_join(spark):
+    from stream_sentinel_spark.operators.skew import join_size_probe
+
+    df = spark.createDataFrame([("a",)] * 3 + [("b",)], "k string")
+    r = join_size_probe(df, df, ["k"]).collect()[0]
+    assert r["join_rows"] == 9 + 1
+    assert r["left_rows"] == r["right_rows"] == 4
+
+
+def test_join_size_probe_disjoint_keys(spark):
+    from stream_sentinel_spark.operators.skew import join_size_probe
+
+    a = spark.createDataFrame([("a",)], "k string")
+    b = spark.createDataFrame([("z",)], "k string")
+    r = join_size_probe(a, b, ["k"]).collect()[0]
+    assert (r["matching_keys"], r["join_rows"], r["max_key_rows"]) == (0, 0, 0)
