@@ -16,6 +16,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
+from stream_sentinel_spark.operators.cusum import compile_cusum
 from stream_sentinel_spark.operators.rate import compile_rate
 from stream_sentinel_spark.operators.statistical import compile_statistical
 from stream_sentinel_spark.operators.threshold import compile_threshold
@@ -27,6 +28,10 @@ RULE_COMPILERS: dict[str, RuleCompiler] = {
     "threshold": compile_threshold,
     "rate": compile_rate,
     "statistical": compile_statistical,
+    # engine extension (validated via rules.EXTENSION_VALIDATORS; the
+    # unknown-type error below keeps the reference's message for types
+    # neither the reference nor an extension provides)
+    "cusum": compile_cusum,
 }
 
 

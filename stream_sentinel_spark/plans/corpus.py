@@ -4496,3 +4496,48 @@ def x59(spark, sf):
     from stream_sentinel_spark.operators.quality import benford_profile
 
     return benford_profile(_t(spark, sf, "events"), "value", decimal_scale=2)
+
+
+@query(
+    "x60_cusum_rule",
+    """
+    WITH valid AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS key,
+             ts, event_id, value AS v,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    r AS (
+      SELECT key, ts, event_id, v,
+             CAST(SUM(cents - 8000) OVER w AS BIGINT) AS rsum
+      FROM valid
+      WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    m AS (
+      SELECT key, ts, v,
+             rsum - least(MIN(rsum) OVER w2, CAST(0 AS BIGINT)) AS s
+      FROM r
+      WINDOW w2 AS (PARTITION BY key ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT key, epoch_ms(ts) AS alert_ts_ms,
+           printf('CUSUM drift: %s=%.2f (cusum=%.2f, target=%.2f, threshold=%.2f)',
+                  'value', v, CAST(s AS DOUBLE) / 100.0, 80.0, 200.0) AS details
+    FROM m WHERE s > 20000
+    """,
+)
+def x60(spark, sf):
+    # The cusum EXTENSION rule end-to-end through the rule compiler —
+    # registry dispatch, extension validation, alert projection,
+    # %.2f details — oracle-checked like the built-in detectors
+    # (q03/q08). Streaming twin proven bit-equal in
+    # test_streaming_parity.py::test_cusum_extension_parity.
+    ev = _t(spark, sf, "events")
+    rule = DetectionRule(
+        name="value_drift", type="cusum", field="value",
+        target=80.0, threshold=200.0,
+    )
+    alerts = compile_rules(
+        ev, [rule], key_field="user_id", time_col="ts", order_cols=("event_id",)
+    )
+    return alerts.select(
+        "key", F.unix_millis("alert_ts").alias("alert_ts_ms"), "details"
+    )

@@ -12,10 +12,18 @@ by :mod:`stream_sentinel_spark.plans.pipeline`.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
 SUPPORTED_TYPES = ("rate", "threshold", "statistical")
+
+#: Engine-extension rule types: type → all-errors validator. Populated
+#: by extension modules at import (e.g. operators/cusum.py registers
+#: "cusum"); the reference trio above never goes through this table, so
+#: reference validation semantics — including the unknown-type error
+#: message — are untouched for configs the reference would accept.
+EXTENSION_VALIDATORS: dict[str, Callable[["DetectionRule"], list[str]]] = {}
 
 # Defaults mirrored from DetectionRule.java:55,58
 DEFAULT_WINDOW_SIZE = 10
@@ -42,7 +50,10 @@ class DetectionRule:
     threshold: float = 0.0
     window_size: int = DEFAULT_WINDOW_SIZE
     deviation_factor: float = DEFAULT_DEVIATION_FACTOR
-    # Engine extension (not in the reference YAML grammar): when set, the
+    # Engine extensions (not in the reference YAML grammar):
+    # reference value for drift detectors (cusum: s += x - target)
+    target: float = 0.0
+    # when set, the
     # statistical detector accumulates window sums in exact fixed-point
     # (values must have at most this many decimals) so results are
     # bit-identical across engines and summation orders — the right mode
@@ -63,6 +74,7 @@ class DetectionRule:
         "threshold": "threshold",
         "windowSize": "window_size",
         "deviationFactor": "deviation_factor",
+        "target": "target",
     }
 
     @classmethod
@@ -110,6 +122,8 @@ class DetectionRule:
                     errors.append(
                         f"Statistical rule '{self.name}' requires 'deviationFactor' > 0"
                     )
+            elif self.type in EXTENSION_VALIDATORS:
+                errors.extend(EXTENSION_VALIDATORS[self.type](self))
             else:
                 errors.append(
                     f"Unknown rule type: '{self.type}'. "

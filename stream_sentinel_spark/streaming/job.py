@@ -29,7 +29,7 @@ from stream_sentinel_spark.rules import DetectionRule
 from stream_sentinel_spark.streaming.sources import INGEST_COL
 from stream_sentinel_spark.streaming.state import stateful_alerts
 
-STATEFUL_TYPES = ("rate", "statistical")
+STATEFUL_TYPES = ("rate", "statistical", "cusum")
 
 
 def compile_rules_streaming(

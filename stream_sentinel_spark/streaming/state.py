@@ -40,6 +40,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 
 from stream_sentinel_spark.functions.alerts import original_event_map
 from stream_sentinel_spark.functions.coercion import key_column, numeric_field
+from stream_sentinel_spark.operators.cusum import DETAILS_FORMAT as CUSUM_FORMAT
 from stream_sentinel_spark.operators.rate import DETAILS_FORMAT as RATE_FORMAT
 from stream_sentinel_spark.operators.statistical import (
     DETAILS_FORMAT as STAT_FORMAT,
@@ -145,6 +146,34 @@ def _eval_statistical(rule_spec: dict, hist: list, v: float) -> str | None:
     return details
 
 
+def _eval_cusum(rule_spec: dict, hist: list, v: float) -> str | None:
+    """operators/cusum.py twin (engine extension): ``s = max(0, s +
+    cents(v) − cents(target))``, fire iff ``s > cents(threshold)``.
+    State is ONE scaled integer — the smallest of any stateful rule —
+    and the arithmetic is the same fixed-point the batch closed form
+    uses, so batch/streaming parity is exact, not approximate."""
+    scale = rule_spec.get("decimal_scale")
+    if scale is None:
+        scale = 2
+    p = 10**scale
+    s = hist[0] if hist else 0
+    s = max(0, s + _cents(v, scale) - _cents(rule_spec["target"], scale))
+    hist[:] = [s]
+    if s > _cents(rule_spec["threshold"], scale):
+        return (
+            CUSUM_FORMAT.replace("%s", "{}")
+            .replace("%.2f", "{}", 4)
+            .format(
+                rule_spec["field"],
+                _java_fmt(v, 2),
+                _java_fmt(s / p, 2),
+                _java_fmt(rule_spec["target"], 2),
+                _java_fmt(rule_spec["threshold"], 2),
+            )
+        )
+    return None
+
+
 def _run_rules_over_batch(
     st: dict,
     pdfs,
@@ -182,7 +211,10 @@ def _run_rules_over_batch(
                 v = val_arr[idx][i]
                 if v is None or (isinstance(v, float) and math.isnan(v)):
                     continue  # skip: window untouched (:83-86)
-                details = _eval_statistical(spec, hist, float(v))
+                if spec["type"] == "cusum":
+                    details = _eval_cusum(spec, hist, float(v))
+                else:
+                    details = _eval_statistical(spec, hist, float(v))
             if details is not None:
                 out["rule_name"].append(spec["name"])
                 out["key"].append(key[0])
@@ -256,9 +288,10 @@ def _prepare_keyed(
             "deviation_factor": float(rule.deviation_factor),
             "decimal_scale": rule.decimal_scale,
         }
-        if rule.type not in ("rate", "statistical"):
+        spec["target"] = float(rule.target)
+        if rule.type not in ("rate", "statistical", "cusum"):
             raise ValueError(f"stateful_alerts got stateless rule type: {rule.type}")
-        if rule.type == "statistical":
+        if rule.type in ("statistical", "cusum"):
             vcol = f"__ss_v{idx}"
             value_cols[idx] = vcol
             cols.append(numeric_field(events, rule.field).alias(vcol))

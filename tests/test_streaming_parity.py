@@ -155,3 +155,22 @@ def test_stateless_branch_stays_native(spark, events_src):
     alerts = compile_rules_streaming(stream, rules, key_field="user_id", time_col="ts")
     plan = alerts._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" not in plan
+
+
+def test_cusum_extension_parity(spark, events_src):
+    """The cusum extension's streaming twin (one scaled integer of
+    state per key) must reproduce the batch closed-form plan exactly —
+    details strings included — alongside the built-in rules in one
+    pipeline."""
+    rules = [
+        DetectionRule(
+            name="value_drift", type="cusum", field="value",
+            target=80.0, threshold=200.0,
+        ),
+        DetectionRule(
+            name="high_value", type="threshold", field="value", threshold=400.0
+        ),
+    ]
+    batch, streamed = _run_both(spark, events_src, rules, "cusum")
+    assert len(batch) > 0, "tune target/threshold: cusum never fired"
+    assert sorted(map(_alert_key, batch)) == sorted(map(_alert_key, streamed))
