@@ -697,9 +697,17 @@ def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     materialized (see :func:`minhash_signatures`) — both join sides
     re-derive it otherwise. Hot (band, bucket) keys are salted
     adaptively (:func:`_hot_salted_self_join`)."""
+    return _hot_salted_self_join(
+        _banded_keys(sig, num_hashes, bands), ["band", "bucket"]
+    ).select("a_id", "b_id")
+
+
+def _banded_keys(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) band-key frame from a (id, sig) frame — the
+    shared banding of the self-join and cross-frame candidate paths."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -712,7 +720,62 @@ def _band_raw_pairs(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    return _hot_salted_self_join(banded, ["band", "bucket"]).select("a_id", "b_id")
+
+
+def _hot_salted_pair_join(
+    a_keyed: DataFrame,
+    b_keyed: DataFrame,
+    keys: list[str],
+    cutoff: int = _HOT_BUCKET_CUTOFF,
+    max_salt: int = _HOT_SALT_MAX,
+) -> DataFrame:
+    """Cross-frame twin of :func:`_hot_salted_self_join`: join two
+    DISTINCT (id, *keys) frames on ``keys``, emitting every (a_id,
+    b_id) combination — no ordering filter, the frames are different
+    populations (e.g. an existing corpus vs an incoming batch).
+
+    Same adaptive regime, probed on the max per-bucket PAIR PRODUCT
+    (n_a·n_b — the actual single-task output bound for a cross join,
+    where the self-join probes n because its bound is C(n,2)): below
+    the cutoff² class the plain equi-join plan; above, the hot buckets
+    broadcast and ONLY their rows salt — the b side replicates to the
+    bucket's chunks, the a side hashes to one chunk. Both inputs should
+    derive from materialized frames (the probe re-derives them
+    otherwise)."""
+    na = a_keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
+    nb = b_keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nb"))
+    prods = na.join(nb, list(keys)).select(
+        *keys, (F.col("_na") * F.col("_nb")).alias("_prod")
+    )
+    bound = cutoff * cutoff
+    max_prod = prods.agg(F.max("_prod")).first()[0]
+    a = a_keyed.select(F.col("id").alias("a_id"), *keys)
+    b = b_keyed.select(F.col("id").alias("b_id"), *keys)
+    if max_prod is None or max_prod <= bound:
+        return a.join(b, list(keys)).drop(*keys)
+    hot = F.broadcast(
+        prods.filter(F.col("_prod") > bound).select(
+            *keys,
+            F.least(
+                F.lit(max_salt).cast("long"),
+                F.ceil(F.col("_prod") / F.lit(bound)).cast("long"),
+            ).alias("_salt"),
+        )
+    )
+    at = a.join(hot, list(keys), "left").withColumn(
+        "_salt", F.coalesce(F.col("_salt"), F.lit(1).cast("long"))
+    )
+    bt = b.join(hot, list(keys), "left").withColumn(
+        "_salt", F.coalesce(F.col("_salt"), F.lit(1).cast("long"))
+    )
+    at = at.withColumn("_chunk", F.pmod(F.xxhash64("a_id"), F.col("_salt")))
+    bt = bt.select(
+        "b_id", *keys,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_salt") - F.lit(1))
+        ).alias("_chunk"),
+    )
+    return at.join(bt, [*keys, "_chunk"]).drop("_chunk", "_salt", *keys)
 
 
 def minhash_lsh_candidates(
@@ -1004,3 +1067,82 @@ def simhash_candidates(
     return pairs.withColumn(
         "hamming", F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
     ).select("a_id", "b_id", "hamming")
+
+
+def minhash_pairs_between(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-frame near-dup pairs: MinHash-LSH candidates between an
+    EXISTING corpus and an INCOMING batch, exact-verified — the
+    incremental operating mode of a production pipeline, where each new
+    batch is deduplicated against everything already ingested rather
+    than re-running the quadratic self-join over the union (the union
+    self-join re-pays old×old forever; this pays old×new once per
+    batch).
+
+    Same one-kernel signature+codes construction as
+    :func:`minhash_verified_pairs` (external-oracle-reproducible);
+    candidates come from joining the two banded frames on (band,
+    bucket) with adaptive hot-bucket salting probed on the per-bucket
+    PAIR PRODUCT (:func:`_hot_salted_pair_join`); verification is the
+    shared exact-Jaccard check over the union of the per-doc code sets.
+    Id spaces must be disjoint (the verify join is id-keyed).
+
+    Returns (a_id ∈ old, b_id ∈ new, shared, a_sz, b_sz, jaccard).
+    """
+    def prep(df: DataFrame) -> DataFrame:
+        sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
+        return (
+            _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+            .select("id", sig_code.alias("_sc"))
+            .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
+            .filter(F.col("sig").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+
+    o, nw = prep(old), prep(new)
+    cands = _hot_salted_pair_join(
+        _banded_keys(o.select("id", "sig"), num_hashes, bands),
+        _banded_keys(nw.select("id", "sig"), num_hashes, bands),
+        ["band", "bucket"],
+    ).distinct()
+    sets_ = (
+        o.select("id", F.col("codes").alias("grams"), "sz")
+        .unionByName(nw.select("id", F.col("codes").alias("grams"), "sz"))
+    )
+    return _exact_verify(cands, sets_, threshold)
+
+
+def incremental_neardups(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Per-NEW-document near-dup report against the existing corpus:
+    how many verified matches, the best Jaccard, and the earliest
+    matching old id (the keep-pointer a dedup-on-ingest pipeline
+    writes). One tiny roll-up over :func:`minhash_pairs_between`.
+
+    Returns (new_id, n_matches bigint, best_jaccard double,
+    first_match bigint) — new docs with NO near-dup in the corpus are
+    absent (anti-join the ids for the admit set)."""
+    pairs = minhash_pairs_between(
+        old, new, id_col, text_col, n, num_hashes, bands, threshold
+    )
+    return pairs.groupBy(F.col("b_id").alias("new_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min("a_id").alias("first_match"),
+    )

@@ -4541,3 +4541,52 @@ def x60(spark, sf):
     return alerts.select(
         "key", F.unix_millis("alert_ts").alias("alert_ts_ms"), "details"
     )
+
+
+def _incremental_neardups_oracle(threshold: float = 0.8) -> str:
+    # the full-corpus banding criterion is identical to banding the two
+    # halves separately and joining across, so the oracle filters the
+    # self-join pair set down to cross-parity pairs and reorients
+    return (
+        "WITH "
+        + _minhash_cte_sql(num_hashes=32, bands=8)
+        + f""",
+    mh_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM mh_codes GROUP BY doc_id),
+    mh_shared AS (
+      SELECT p.a_id, p.b_id, COUNT(*) AS shared
+      FROM mh_pairs p
+      JOIN mh_codes ca ON ca.doc_id = p.a_id
+      JOIN mh_codes cb ON cb.doc_id = p.b_id AND cb.code = ca.code
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT s.a_id, s.b_id,
+             CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jaccard
+      FROM mh_shared s
+      JOIN mh_sizes sa ON sa.doc_id = s.a_id
+      JOIN mh_sizes sb ON sb.doc_id = s.b_id
+      WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= {threshold}),
+    cross_pairs AS (
+      SELECT CASE WHEN a_id % 2 = 0 THEN a_id ELSE b_id END AS old_id,
+             CASE WHEN a_id % 2 = 0 THEN b_id ELSE a_id END AS new_id,
+             jaccard
+      FROM ver WHERE (a_id % 2) <> (b_id % 2))
+    SELECT new_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard,
+           CAST(MIN(old_id) AS BIGINT) AS first_match
+    FROM cross_pairs GROUP BY 1
+    """
+    )
+
+
+@query("x61_incremental_neardups", _incremental_neardups_oracle())
+def x61(spark, sf):
+    # The incremental operating mode: dedup an incoming batch (odd ids)
+    # against the existing corpus (even ids) — old×new candidates only,
+    # never re-paying the old×old self-join. Cross-frame banded join
+    # with pair-product-probed salting; exact verify on candidates;
+    # per-new-doc keep-pointer roll-up.
+    docs = _t(spark, sf, "documents")
+    return dedup.incremental_neardups(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id", "text", num_hashes=32, bands=8, threshold=0.8,
+    )
