@@ -163,22 +163,6 @@ def _encode_shingle_docs(
     return docs, n_vocab
 
 
-def _add_shingle_masks(docs: DataFrame, n_vocab: int) -> tuple[DataFrame, int]:
-    """Add a fixed-width bitmask column (array<long>, one bit per sid) to
-    an encoded doc frame. Only sensible when n_vocab ≤ a few thousand."""
-    nwords = (n_vocab + 63) // 64
-    return docs.withColumn(
-        "mask",
-        # SQL expr: shiftleft by a column is SQL-only (the DSL
-        # wrapper takes a literal bit count)
-        F.expr(
-            f"transform(sequence(0, {nwords - 1}), w -> "
-            f"aggregate(filter(grams, i -> i div 64 = w), 0L, "
-            f"(acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))"
-        ),
-    ), nwords
-
-
 def _materialize_masks(docs: DataFrame, keep_grams: bool = False) -> DataFrame:
     """Materialize the mask frame before a pair join and spread it over
     the cluster's cores.
@@ -253,20 +237,40 @@ def ngram_jaccard_pairs(
     vocabularies (real text, where prefix filtering prunes hard)
     verify via sorted-int array_intersect.
     """
-    docs, n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
-
-    # Regime probe: bitmask all-pairs only when BOTH the vocabulary is
-    # small (bounded mask width) and the document count is bounded
-    # (quadratic pair volume, broadcast build side — see
-    # _ALLPAIRS_MAX_DOCS). The encoded docs frame is pinned BEFORE the
-    # doc-count probe so the count reads materialized blocks instead of
-    # re-running the caller's upstream lineage (df may be an arbitrary
-    # derived frame, not a bare scan); the same pinned frame then feeds
-    # the masks or the prefix/verify path.
+    # Regime probe FIRST, on map-only integer gram codes — no
+    # dictionary: character n-grams pack injectively into int64s
+    # (:func:`_char_code_udf`), so set sizes and intersections equal
+    # the string formulation exactly while the probe's distinct is a
+    # map-side-combined shuffle of ints and the pinned frame holds
+    # compact long arrays, not 5M strings. (The rarest-first dictionary
+    # encode — two corpus-sized string shuffles — was 80% of this
+    # operator's runtime when it ran unconditionally; the bitmask
+    # regime never needs the ORDER, only dense bits, which sorted-vocab
+    # binary search assigns map-only.)
+    # Doc-count guard first: it is one count of the caller's frame and
+    # decides without touching text. A web-scale corpus (docs >
+    # _ALLPAIRS_MAX_DOCS) goes straight to the prefix path — nothing
+    # corpus-sized is ever kernel-coded or pinned for a regime it can't
+    # take. Only a bounded corpus (≤100k docs) pays the code kernel +
+    # checkpoint, and then the vocabulary probe reads pinned blocks.
     use_bitmask = False
-    if n_vocab <= _BITMASK_VOCAB_MAX:
-        docs = docs.localCheckpoint(eager=True)
-        use_bitmask = docs.count() <= _ALLPAIRS_MAX_DOCS
+    vocab_rows: list = []
+    if df.count() <= _ALLPAIRS_MAX_DOCS:
+        sig = _char_code_udf(n)(F.col("_t"))
+        arrays = (
+            _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+            .select("id", sig.alias("_sc"))
+            .select("id", "_sc.codes", "_sc.sz")
+            .filter(F.col("sz") > 0)
+            .localCheckpoint(eager=True)
+        )
+        vocab_rows = (
+            arrays.select(F.explode("codes").alias("g"))
+            .distinct()
+            .limit(_BITMASK_VOCAB_MAX + 1)
+            .collect()
+        )
+        use_bitmask = len(vocab_rows) <= _BITMASK_VOCAB_MAX
     if use_bitmask:
         # DEGENERATE-VOCAB REGIME (repetitive corpora): every shingle is
         # frequent, so prefix filtering prunes almost nothing and the
@@ -275,13 +279,22 @@ def ngram_jaccard_pairs(
         # all pairs under the size-complementarity bound with fixed-width
         # bitmask verification: popcount-of-AND over a few longs per
         # pair, one broadcast nested-loop join, no shuffle, no distinct.
-        docs, nwords = _add_shingle_masks(docs, n_vocab)
-        docs = _materialize_masks(docs)
-        da = docs.select(
+        # codes are always positive (63-bit packing), so plain sort is
+        # unsigned order as _code_mask_udf requires
+        vocab = sorted(r["g"] for r in vocab_rows)
+        nwords = (len(vocab) + 63) // 64
+        masks = _materialize_masks(
+            arrays.select(
+                "id",
+                "sz",
+                _code_mask_udf(vocab, nwords)(F.col("codes")).alias("mask"),
+            )
+        )
+        da = masks.select(
             F.col("id").alias("a_id"), F.col("sz").alias("a_sz"),
             F.col("mask").alias("a_mask"),
         )
-        db = docs.select(
+        db = masks.select(
             F.col("id").alias("b_id"), F.col("sz").alias("b_sz"),
             F.col("mask").alias("b_mask"),
         )
@@ -299,7 +312,10 @@ def ngram_jaccard_pairs(
         )
         shared = _popcount_shared(nwords)
     else:
-        # DIVERSE-VOCAB REGIME (real text): AllPairs prefix filtering.
+        # DIVERSE-VOCAB REGIME (real text): AllPairs prefix filtering
+        # over the rarest-first integer dictionary (the ORDER is what
+        # the prefix needs — built only on this path).
+        docs, _n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
         # prefix length p = sz − ceil(t·sz) + 1 (both-sides prefix is
         # exact: J ≥ t ⇒ overlap ≥ ⌈t/(1+t)·(sa+sb)⌉ ≥ ⌈t·sa⌉, pigeonhole)
         prefix = docs.select(
@@ -498,6 +514,37 @@ def _minhash_min_matrix(
     for row, idx in zip(sig, np.flatnonzero(nonempty)):
         out[idx] = row.tolist()
     return out
+
+
+def _char_code_udf(n: int):
+    """pandas_udf text -> struct(codes: sorted distinct CHARACTER
+    n-gram codes, sz): each n-gram's codepoints packed injectively into
+    one int64 (21 bits per codepoint — Unicode tops out at 0x10FFFF <
+    2^21, so 3·21 = 63 bits, always positive). Injective ⇒ set
+    cardinalities (sizes, intersections) equal the string-gram
+    formulation EXACTLY for any input, while everything downstream
+    moves int64 arrays instead of strings. Map-only; np.unique returns
+    the codes sorted, ready for binary-search mask assignment."""
+    assert n == 3, "codepoint packing written for trigrams"
+
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        codes_out: list[list[int]] = []
+        sizes: list[int] = []
+        for t in texts:
+            if t is None or len(t) < n:
+                codes_out.append([])
+                sizes.append(0)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            c = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+            u = np.unique(c)
+            codes_out.append(u.view(np.int64).tolist())
+            sizes.append(len(u))
+        return pd.DataFrame({"codes": codes_out, "sz": sizes})
+
+    return F.pandas_udf(fn, "struct<codes:array<bigint>, sz:int>")
 
 
 def _shingle_code_arrays(texts: pd.Series, n: int) -> list[np.ndarray]:

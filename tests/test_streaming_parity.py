@@ -174,3 +174,34 @@ def test_cusum_extension_parity(spark, events_src):
     batch, streamed = _run_both(spark, events_src, rules, "cusum")
     assert len(batch) > 0, "tune target/threshold: cusum never fired"
     assert sorted(map(_alert_key, batch)) == sorted(map(_alert_key, streamed))
+
+
+def test_streaming_session_windows_match_batch(spark, events_src):
+    """Session windows (T5) are streaming-native too: complete-mode
+    merge-on-aggregate sessions over a file stream equal the batch
+    session_window aggregation (same gap, same expiry-end timestamps)."""
+    from stream_sentinel_spark.functions.coercion import key_column
+    from stream_sentinel_spark.operators.windows import session_windows
+
+    path, ev = events_src
+    batch = {
+        (r["k"], r["session_start_ms"], r["session_end_ms"]): r["n_events"]
+        for r in session_windows(
+            ev, key_column(ev, "user_id"), "ts", "30 minutes"
+        ).collect()
+    }
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    agg = session_windows(stream, key_column(stream, "user_id"), "ts", "30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["k"], r["session_start_ms"], r["session_end_ms"]): r["n_events"]
+        for r in spark.table("session_stream").collect()
+    }
+    assert streamed == batch and len(batch) > 0
