@@ -70,8 +70,16 @@ def fuzzy_pairs(
     return (
         a.join(b, "variant")
         .filter(F.col("a_id") < F.col("b_id"))
+        # dedup BEFORE the verify: a true pair collides on 2-3 shared
+        # variants (one per deletable difference position) and repeated
+        # characters add distance-2 false collisions, so the raw
+        # collision stream carries each pair ~3x — running the DP-cost
+        # levenshtein on the distinct pairs instead was measured 3x
+        # cheaper at sf0.1 (977k collisions -> ~330k distinct pairs).
+        # The texts ride through the distinct so no re-join is needed.
+        .select("a_id", "b_id", "a_txt", "b_txt")
+        .distinct()
         .withColumn("dist", F.levenshtein("a_txt", "b_txt"))
         .filter(F.col("dist") <= max_distance)
         .select("a_id", "b_id", "dist")
-        .distinct()
     )
