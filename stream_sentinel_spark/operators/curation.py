@@ -777,3 +777,46 @@ def temperature_rebalance(
             F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
         )
     )
+
+
+def shard_column_stats(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    stat_cols: list[str],
+    salt: str = "shard",
+) -> DataFrame:
+    """Per-shard, per-column min/max/null-count — the file-skipping
+    index an export writes next to its shards (the parquet
+    footer-stats / Iceberg manifest role): a reader with a predicate on
+    any stat column prunes whole shards whose [min, max] cannot match.
+
+    Long-form output keeps the schema fixed however many columns are
+    profiled: (shard, column, min_value string, max_value string,
+    n_nulls, n_rows). min/max are computed on the TYPED column (so
+    numeric columns order numerically) and rendered to strings only at
+    the end. One aggregation on the shard key, then a map-only unpivot
+    of the 3·|cols|-wide row — the stats frame never exceeds
+    n_shards × |cols| rows.
+    """
+    sharded = shard_assignment(df, id_col, n_shards, salt)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+    wide = sharded.groupBy("shard").agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__min_{c}").cast("string").alias("min_value"),
+            F.col(f"__max_{c}").cast("string").alias("max_value"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+        )
+        for c in stat_cols
+    ]
+    return wide.select(
+        "shard", F.col("__n").alias("n_rows"), F.explode(F.array(*rows)).alias("s")
+    ).select(
+        "shard", "s.column", "s.min_value", "s.max_value", "s.n_nulls", "n_rows"
+    )

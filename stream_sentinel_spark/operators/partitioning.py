@@ -39,3 +39,79 @@ def spread_pairs(cands: DataFrame) -> DataFrame:
     — noise next to the work it parallelizes."""
     par = cands.sparkSession.sparkContext.defaultParallelism * 2
     return cands.repartition(par)
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two ``bits``-wide non-negative
+    integer columns into one 2·bits-bit locality key — the multi-column
+    clustering layout (Delta/Iceberg ``OPTIMIZE ZORDER BY``): sorting
+    or range-partitioning by the Z value co-locates rows that are close
+    in BOTH dimensions, so per-file min/max stats prune scans on either
+    predicate column, not just the leading sort key.
+
+    Inputs are masked to ``bits`` (callers mod/bucket real keys down
+    first when unbounded). The interleave is a flat sum of shift/mask
+    terms — pure codegen, map-only, and trivially mirrored in SQL for
+    the oracle (:func:`zorder_sql_expr`).
+    """
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    xm = x.bitwiseAND(F.lit(mask))
+    ym = y.bitwiseAND(F.lit(mask))
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def zorder_sql_expr(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """DuckDB/ANSI mirror of :func:`zorder_value` (same shift/mask sum,
+    integer-exact)."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_sql}) & {mask}) // {1 << i}) % 2 * {1 << (2 * i)}")
+        terms.append(f"((({y_sql}) & {mask}) // {1 << i}) % 2 * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout_stats(
+    df, x, y, bits: int = 16, bucket_bits: int = 6
+) -> "DataFrame":
+    """Data-skipping effectiveness report for a Z-order layout: bucket
+    rows by the top ``bucket_bits`` of the Z value (≡ the files an
+    OPTIMIZE-ZORDER write would produce) and emit each bucket's row
+    count and per-dimension min/max — the stats a reader's file-skipping
+    index would hold. Z-bucketing bounds BOTH dimensions per bucket
+    (each bucket is a quadtree cell), which is the whole point vs
+    single-column sorting: predicates on either column prune.
+
+    One map-only Z computation + one hash aggregation on the
+    2^bucket_bits-value key.
+    """
+    from pyspark.sql import functions as F
+
+    z = zorder_value(x, y, bits)
+    bucket = F.shiftright(z, 2 * bits - bucket_bits)
+    return (
+        df.select(
+            bucket.alias("zbucket"),
+            x.cast("long").alias("_x"),
+            y.cast("long").alias("_y"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_x").alias("x_min"),
+            F.max("_x").alias("x_max"),
+            F.min("_y").alias("y_min"),
+            F.max("_y").alias("y_max"),
+        )
+    )

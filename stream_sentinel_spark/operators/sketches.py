@@ -156,8 +156,12 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str) -> DataFr
     return hll_estimate(hll_registers(df, group_cols, value_col), group_cols)
 
 
-def hll_oracle_sql(table: str, group_col: str, value_col: str) -> str:
-    """DuckDB twin of :func:`hll_distinct` (same registers, same branch)."""
+def hll_oracle_sql(
+    table: str, group_col: str, value_col: str, out_name: str | None = None
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same registers, same branch).
+    ``group_col`` may be any SQL expression; ``out_name`` names the
+    emitted group column (defaults to the expression text)."""
     c = repr(_hll_alpha_m2_scaled())
     scale = 1 << (_HLL_SUFFIX_BITS + 1)
     return f"""
@@ -187,7 +191,7 @@ def hll_oracle_sql(table: str, group_col: str, value_col: str) -> str:
                + ({HLL_M} - COUNT(*)) * CAST({scale} AS BIGINT) AS BIGINT)
                AS harmonic_scaled
       FROM regs GROUP BY 1)
-    SELECT g AS {group_col},
+    SELECT g AS {out_name or group_col},
            CAST(CASE WHEN registers_zero > 0
                       AND {c} / harmonic_scaled <= {2.5 * HLL_M}
                      THEN ROUND({HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / registers_zero))

@@ -4590,3 +4590,126 @@ def x61(spark, sf):
         docs.filter(F.col("doc_id") % 2 == 1),
         "doc_id", "text", num_hashes=32, bands=8, threshold=0.8,
     )
+
+
+def _hll_merge_oracle() -> str:
+    from stream_sentinel_spark.operators.sketches import hll_oracle_sql
+
+    day = "CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT)"
+    daily = hll_oracle_sql("events", day, "user_id", out_name="day")
+    merged = hll_oracle_sql("events", "CAST(-1 AS BIGINT)", "user_id", out_name="day")
+    return f"SELECT * FROM ({daily}) UNION ALL SELECT * FROM ({merged})"
+
+
+@query("x62_hll_merge_rollup", _hll_merge_oracle())
+def x62(spark, sf):
+    # THE property that makes sketches the 100 TB distinct-count path:
+    # register tables MERGE. Per-day HLL register tables roll up to the
+    # global estimate with one max() aggregation over 256-row sketches
+    # — no second corpus pass, bit-identical to rebuilding from raw
+    # (the oracle computes the global directly from the rows; the
+    # engine computes it by merging the daily sketches).
+    from stream_sentinel_spark.operators import sketches
+
+    ev = _t(spark, sf, "events").withColumn(
+        "day", F.floor(F.unix_millis(F.col("ts")) / F.lit(86_400_000))
+    )
+    regs = sketches.hll_registers(ev, ["day"], "user_id").localCheckpoint(
+        eager=False
+    )
+    daily = sketches.hll_estimate(regs, ["day"])
+    merged = sketches.hll_estimate(
+        regs.groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .withColumn("day", F.lit(-1).cast("bigint")),
+        ["day"],
+    )
+    return daily.unionByName(merged)
+
+
+def _zorder_oracle() -> str:
+    from stream_sentinel_spark.operators.partitioning import zorder_sql_expr
+
+    x = "o_custkey - (SELECT MIN(o_custkey) FROM orders)"
+    y = ("CAST(FLOOR(epoch_ms(o_orderdate) / 86400000) AS BIGINT)"
+         " - (SELECT CAST(FLOOR(MIN(epoch_ms(o_orderdate)) / 86400000) AS BIGINT)"
+         " FROM orders)")
+    z = zorder_sql_expr(x, y, bits=12)
+    return f"""
+    WITH z AS (
+      SELECT CAST({x} AS BIGINT) AS x, CAST({y} AS BIGINT) AS y,
+             CAST({z} AS BIGINT) // {1 << 18} AS zbucket
+      FROM orders)
+    SELECT zbucket, COUNT(*) AS n,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY 1
+    """
+
+
+@query("x63_zorder_layout", _zorder_oracle())
+def x63(spark, sf):
+    # Z-order (Morton) clustering stats for orders on (custkey,
+    # order-day), both rebased at their corpus minimum so the quadtree
+    # cells tile the OCCUPIED grid: each top-6-bit Z bucket's min/max
+    # bounds BOTH dimensions — the file-skipping property OPTIMIZE
+    # ZORDER buys that single-column sorting cannot. The rebase minima
+    # attach as a one-row broadcast scalar (the standard global-stats
+    # prelude); the interleave is a flat shift/mask sum, pure codegen.
+    from stream_sentinel_spark.operators.partitioning import zorder_layout_stats
+
+    o = _t(spark, sf, "orders")
+    day = F.floor(F.unix_millis(F.col("o_orderdate")) / F.lit(86_400_000)).cast(
+        "long"
+    )
+    mins = F.broadcast(
+        o.agg(
+            F.min("o_custkey").cast("long").alias("_minx"),
+            F.min(day).alias("_miny"),
+        )
+    )
+    rebased = o.crossJoin(mins)
+    return zorder_layout_stats(
+        rebased,
+        F.col("o_custkey").cast("long") - F.col("_minx"),
+        day - F.col("_miny"),
+        bits=12,
+        bucket_bits=6,
+    )
+
+
+@query(
+    "x64_shard_column_stats",
+    """
+    WITH s AS (
+      SELECT *, CAST(CAST(('0x' || substr(md5('shard' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 16 AS INT) AS shard
+      FROM orders),
+    w AS (
+      SELECT shard, COUNT(*) AS n_rows,
+             MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p,
+             COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_p,
+             MIN(o_orderpriority) AS min_o, MAX(o_orderpriority) AS max_o,
+             COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS null_o
+      FROM s GROUP BY 1)
+    SELECT shard, 'o_totalprice' AS "column",
+           CAST(min_p AS VARCHAR) AS min_value, CAST(max_p AS VARCHAR) AS max_value,
+           null_p AS n_nulls, n_rows
+    FROM w
+    UNION ALL
+    SELECT shard, 'o_orderpriority', CAST(min_o AS VARCHAR), CAST(max_o AS VARCHAR),
+           null_o, n_rows
+    FROM w
+    """,
+)
+def x64(spark, sf):
+    # The file-skipping index of a shard export (parquet-footer /
+    # Iceberg-manifest role): per-shard typed min/max/nulls for the
+    # declared stat columns, long-form. One shard-key aggregation +
+    # map-only unpivot; the stats frame is n_shards x |cols| rows.
+    from stream_sentinel_spark.operators.curation import shard_column_stats
+
+    return shard_column_stats(
+        _t(spark, sf, "orders"), "o_orderkey", 16,
+        ["o_totalprice", "o_orderpriority"],
+    )

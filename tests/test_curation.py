@@ -413,3 +413,24 @@ class TestSharding:
         df = _docs(spark, [(1, "x")])
         with pytest.raises(ValueError):
             curation.shard_assignment(df, "doc_id", 0)
+
+
+def test_shard_column_stats_long_form(spark):
+    from stream_sentinel_spark.operators.curation import shard_column_stats
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, None, "b"), (3, 9.0, None), (4, 1.0, "c")],
+        "id long, price double, tag string",
+    )
+    rows = shard_column_stats(df, "id", 2, ["price", "tag"]).collect()
+    by = {(r["shard"], r["column"]): r for r in rows}
+    assert len(rows) == len({r["shard"] for r in rows}) * 2
+    total = sum({r["shard"]: r["n_rows"] for r in rows}.values())
+    assert total == 4
+    # global invariants across shards
+    prices = [by[k] for k in by if k[1] == "price"]
+    assert min(float(r["min_value"]) for r in prices if r["min_value"]) == 1.0
+    assert max(float(r["max_value"]) for r in prices if r["max_value"]) == 9.0
+    assert sum(r["n_nulls"] for r in prices) == 1
+    tags = [by[k] for k in by if k[1] == "tag"]
+    assert sum(r["n_nulls"] for r in tags) == 1

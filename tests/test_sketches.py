@@ -150,3 +150,30 @@ class TestBloom:
         )
         plan = sketches.bloom_prune(li, "l_orderkey", bitmap)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure filter: no shuffle added
+
+
+def test_hll_registers_merge_equals_rebuild(spark):
+    """max-merging per-part register tables gives the IDENTICAL sketch
+    (and therefore estimate) as building from the union — the property
+    that makes HLL the distributed distinct-count path."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 2, f"v{i % 700}") for i in range(5000)], "part int, v string"
+    )
+    merged_regs = (
+        hll_registers(df, ["part"], "v")
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .withColumn("g", F.lit(0))
+    )
+    direct_regs = hll_registers(df.withColumn("g", F.lit(0)), ["g"], "v")
+    merged = hll_estimate(merged_regs, ["g"]).collect()[0]
+    direct = hll_estimate(direct_regs, ["g"]).collect()[0]
+    assert merged["hll_estimate"] == direct["hll_estimate"]
+    assert merged["harmonic_scaled"] == direct["harmonic_scaled"]

@@ -119,3 +119,57 @@ def test_join_size_probe_disjoint_keys(spark):
     b = spark.createDataFrame([("z",)], "k string")
     r = join_size_probe(a, b, ["k"]).collect()[0]
     assert (r["matching_keys"], r["join_rows"], r["max_key_rows"]) == (0, 0, 0)
+
+
+def test_zorder_value_interleaves(spark):
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.partitioning import (
+        zorder_sql_expr,
+        zorder_value,
+    )
+
+    df = spark.createDataFrame(
+        [(x, y) for x in [0, 1, 2, 3, 255] for y in [0, 1, 2, 3, 255]],
+        "x long, y long",
+    )
+    rows = df.select(
+        "x", "y", zorder_value(F.col("x"), F.col("y"), bits=8).alias("z")
+    ).collect()
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"])
+    # SQL mirror agrees (the oracle contract)
+    import duckdb
+
+    for x, y in [(3, 5), (255, 0), (170, 85)]:
+        got = duckdb.sql(
+            f"SELECT {zorder_sql_expr(str(x), str(y), bits=8)}"
+        ).fetchone()[0]
+        assert got == morton(x, y)
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.partitioning import zorder_layout_stats
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x long, y long"
+    )
+    stats = zorder_layout_stats(
+        df, F.col("x"), F.col("y"), bits=6, bucket_bits=4
+    ).collect()
+    assert len(stats) == 16
+    for r in stats:
+        # each top-4-bit bucket is a quadtree cell: a 16x32 (or 32x16)
+        # rectangle — BOTH dims bounded, the skipping property
+        assert (r["x_max"] - r["x_min"] + 1) * (r["y_max"] - r["y_min"] + 1) == 64 * 64 // 16
+        assert r["n"] == 256
