@@ -59,7 +59,6 @@ def funnel(
     w = Window.partitionBy(user_col)
     df = events
     prev: Column | None = None
-    reached: list[Column] = []
     for i, step in enumerate(steps):
         qualifies = F.col(type_col) == F.lit(step)
         if prev is not None:
@@ -67,7 +66,6 @@ def funnel(
         t_k = F.min(F.when(qualifies, F.col(time_col))).over(w)
         df = df.withColumn(f"_t{i}", t_k)
         prev = F.col(f"_t{i}")
-        reached.append(F.col(f"_t{i}"))
     # one surviving row per user is enough to count reach; the window
     # frame already replicated _t* to every row of the user.
     per_user = df.groupBy(user_col).agg(

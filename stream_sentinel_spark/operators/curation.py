@@ -688,14 +688,30 @@ def write_shards(
     computed from the input frame — equal to what a re-scan of the
     export would produce, by the checksum's order-independence.
     """
-    out = shard_assignment(df, id_col, n_shards, salt)
+    out = shard_assignment(df, id_col, n_shards, salt).localCheckpoint(
+        eager=False
+    )
+    # the pinned sharded frame feeds BOTH the write and the manifest —
+    # one scan + one md5 pass, and the manifest provably describes the
+    # rows written (a second derivation from df could diverge if df's
+    # lineage were nondeterministic)
     (
         out.repartition(n_shards, F.col("shard"))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
-    return shard_manifest(df, id_col, n_shards, salt)
+    from stream_sentinel_spark.operators.sampling import _md5_bucket
+
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_md5_bucket(id_col, salt)).alias("checksum"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+    )
 
 
 def temperature_rebalance(

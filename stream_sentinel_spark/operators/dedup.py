@@ -255,7 +255,7 @@ def ngram_jaccard_pairs(
     # checkpoint, and then the vocabulary probe reads pinned blocks.
     use_bitmask = False
     vocab_rows: list = []
-    if df.count() <= _ALLPAIRS_MAX_DOCS:
+    if n <= _CHAR_CODE_MAX_N and df.count() <= _ALLPAIRS_MAX_DOCS:
         sig = _char_code_udf(n)(F.col("_t"))
         arrays = (
             _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
@@ -516,16 +516,21 @@ def _minhash_min_matrix(
     return out
 
 
+_CHAR_CODE_MAX_N = 3  # 21 bits per codepoint, 63-bit packing budget
+
+
 def _char_code_udf(n: int):
     """pandas_udf text -> struct(codes: sorted distinct CHARACTER
     n-gram codes, sz): each n-gram's codepoints packed injectively into
     one int64 (21 bits per codepoint — Unicode tops out at 0x10FFFF <
-    2^21, so 3·21 = 63 bits, always positive). Injective ⇒ set
-    cardinalities (sizes, intersections) equal the string-gram
+    2^21, so n·21 ≤ 63 bits for n ≤ 3, always positive). Injective ⇒
+    set cardinalities (sizes, intersections) equal the string-gram
     formulation EXACTLY for any input, while everything downstream
     moves int64 arrays instead of strings. Map-only; np.unique returns
-    the codes sorted, ready for binary-search mask assignment."""
-    assert n == 3, "codepoint packing written for trigrams"
+    the codes sorted, ready for binary-search mask assignment. Larger n
+    does not fit the packing budget — callers fall back to the
+    string-dictionary prefix path (see ngram_jaccard_pairs)."""
+    assert 1 <= n <= _CHAR_CODE_MAX_N, "codepoint packing budget is 63 bits"
 
     def fn(texts: pd.Series) -> pd.DataFrame:
         codes_out: list[list[int]] = []
@@ -538,7 +543,10 @@ def _char_code_udf(n: int):
             cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
                 np.uint64
             )
-            c = (cp[:-2] << np.uint64(42)) | (cp[1:-1] << np.uint64(21)) | cp[2:]
+            k = len(cp) - n + 1
+            c = np.zeros(k, dtype=np.uint64)
+            for j in range(n):
+                c = (c << np.uint64(21)) | cp[j : k + j]
             u = np.unique(c)
             codes_out.append(u.view(np.int64).tolist())
             sizes.append(len(u))

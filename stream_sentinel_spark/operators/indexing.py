@@ -53,14 +53,18 @@ def inverted_index(
         F.col(id_col).alias("doc_id"),
         F.explode(word_tokens(text_col)).alias("token"),
     )
+    # ONE collect_set serves df (its size) and the capped postings —
+    # a count_distinct alongside it would add an Expand that doubles
+    # the exploded token stream through the shuffle
     agg = toks.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df"),
         F.count(F.lit(1)).alias("tf"),
-        F.array_join(
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, postings_cap),
-            ",",
-        ).alias("postings"),
-    )
+        F.sort_array(F.collect_set("doc_id")).alias("_docs"),
+    ).select(
+        "token",
+        F.size("_docs").cast("long").alias("df"),
+        "tf",
+        F.array_join(F.slice("_docs", 1, postings_cap), ",").alias("postings"),
+    ).select("token", "df", "tf", "postings")
     if min_df > 1:
         agg = agg.filter(F.col("df") >= min_df)
     return agg

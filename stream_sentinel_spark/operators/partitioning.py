@@ -57,8 +57,10 @@ def zorder_value(x, y, bits: int = 16):
     from pyspark.sql import functions as F
 
     mask = (1 << bits) - 1
-    xm = x.bitwiseAND(F.lit(mask))
-    ym = y.bitwiseAND(F.lit(mask))
+    # force 64-bit arithmetic: an IntegerType input would wrap at the
+    # i=15 shiftleft (bit 31) and sign-extend into negative buckets
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i))

@@ -161,14 +161,20 @@ def benford_profile(
     are excluded (Benford is defined on positive magnitudes).
 
     Returns (digit int, n bigint, frac double, benford_p double,
-    chi2_term double, all but n rounded to 6).
+    chi2_term double, all but n rounded to 6). Rows whose value rounds
+    to 0 at ``decimal_scale`` are excluded with the non-positive ones —
+    the digit domain is exactly 1-9.
     """
     scaled = F.round(
         F.col(value_col) * F.lit(float(10 ** decimal_scale)), 0
     ).cast("long")
     digit = F.substring(scaled.cast("string"), 1, 1).cast("int")
     counts = (
-        df.filter(F.col(value_col) > 0)
+        # filter on the SCALED integer: a positive value that rounds to
+        # 0 at this scale (e.g. 0.003 at scale 2) has no leading digit
+        # in [1, 9] and would otherwise emit digit=0 with a division by
+        # zero in the expected share
+        df.filter(scaled > 0)
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -260,9 +260,19 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
         ).alias("bucket"),
     )
     return (
-        sketch.join(F.broadcast(probes), ["depth", "bucket"])
+        # LEFT join from the probe side with counter->0 on miss: a
+        # never-inserted key whose buckets are all untouched must
+        # estimate 0, not vanish from the output (and a key with SOME
+        # empty buckets must min against 0, not only the occupied
+        # counters). The sketch is bounded (depth x width rows) so it
+        # is the broadcast side.
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("counter").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("counter"), F.lit(0).cast("long"))).alias(
+                "cms_estimate"
+            )
+        )
     )
 
 

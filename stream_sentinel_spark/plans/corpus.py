@@ -4476,7 +4476,7 @@ def x58(spark, sf):
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(round(value * 100.0, 0) AS BIGINT)
                          AS VARCHAR), 1, 1) AS INT) AS digit
-      FROM events WHERE value > 0),
+      FROM events WHERE CAST(round(value * 100.0, 0) AS BIGINT) > 0),
     c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1)
     SELECT digit, n,
            round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS frac,

@@ -533,3 +533,20 @@ class TestRandomProjection:
             for b in range(a + 1, 8):
                 dot = sum(x * y for x, y in zip(rows[a], rows[b]))
                 assert abs(dot) <= 24, (a, b, dot)  # |corr| ≤ 0.375
+
+
+def test_ngram_jaccard_bigram_small_corpus(spark):
+    """n != 3 on a bounded corpus must WORK (code-kernel path covers
+    n <= 3; larger n falls back to the prefix path) — regression for
+    the trigram-only assertion."""
+    from stream_sentinel_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "abcabcabc"), (1, "abcabcabd"), (2, "zzzzyyyyxx")],
+        "doc_id long, text string",
+    )
+    for n in (2, 3, 4):
+        rows = ngram_jaccard_pairs(df, "doc_id", "text", n=n, threshold=0.3).collect()
+        pairs = {(r["a_id"], r["b_id"]) for r in rows}
+        assert (0, 1) in pairs, f"n={n}"
+        assert all(r["jaccard"] >= 0.3 for r in rows)

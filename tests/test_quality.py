@@ -96,3 +96,14 @@ def test_benford_profile_math(spark):
     assert rows[1]["benford_p"] == round(math.log10(2.0), 6)
     e = math.log10(2.0) * 4
     assert rows[1]["chi2_term"] == round((3 - e) ** 2 / e, 6)
+
+
+def test_benford_profile_rounds_to_zero_excluded(spark):
+    from stream_sentinel_spark.operators.quality import benford_profile
+
+    # 0.003 is positive but rounds to 0 at scale 2: no digit-0 row, no
+    # division by zero in the expected share
+    df = spark.createDataFrame([(0.003,), (1.0,)], "value double")
+    rows = benford_profile(df, "value").collect()
+    assert {r["digit"] for r in rows} == {1}
+    assert all(r["benford_p"] is not None for r in rows)

@@ -177,3 +177,19 @@ def test_hll_registers_merge_equals_rebuild(spark):
     direct = hll_estimate(direct_regs, ["g"]).collect()[0]
     assert merged["hll_estimate"] == direct["hll_estimate"]
     assert merged["harmonic_scaled"] == direct["harmonic_scaled"]
+
+
+def test_cms_estimate_absent_key_is_zero(spark):
+    """A key never inserted must report estimate 0 (or a collision
+    over-count), not vanish from the output."""
+    from stream_sentinel_spark.operators.sketches import cms_build, cms_estimate
+
+    data = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "k string")
+    sketch = cms_build(data, "k")
+    probes = spark.createDataFrame(
+        [("a",), ("definitely-not-inserted-xyz",)], "k string"
+    )
+    out = {r["k"]: r["cms_estimate"] for r in cms_estimate(sketch, probes, "k").collect()}
+    assert set(out) == {"a", "definitely-not-inserted-xyz"}
+    assert out["a"] >= 5  # one-sided
+    assert out["definitely-not-inserted-xyz"] >= 0

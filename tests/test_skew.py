@@ -173,3 +173,14 @@ def test_zorder_buckets_bound_both_dims(spark):
         # rectangle — BOTH dims bounded, the skipping property
         assert (r["x_max"] - r["x_min"] + 1) * (r["y_max"] - r["y_min"] + 1) == 64 * 64 // 16
         assert r["n"] == 256
+
+
+def test_zorder_value_int_columns_no_overflow(spark):
+    """IntegerType inputs must not wrap at the bit-31 shiftleft."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.partitioning import zorder_value
+
+    df = spark.createDataFrame([(65535, 65535)], "x int, y int")
+    z = df.select(zorder_value(F.col("x"), F.col("y"), bits=16).alias("z")).collect()[0]["z"]
+    assert z == (1 << 32) - 1  # all 32 low bits set, positive
