@@ -968,9 +968,27 @@ def minhash_verified_pairs(
         .localCheckpoint(eager=True)
     )
     cands = _band_raw_pairs(docs.select("id", "sig"), num_hashes, bands).distinct()
-    # regime probe: the complete vocabulary IS the probe — collect at
-    # most cap+1 distinct codes (a dimension-sized pull, same class as
-    # IVF centroids); overflow or a too-large corpus → array-intersect
+    return _adaptive_verify(cands, docs, threshold)
+
+
+def _adaptive_verify(
+    cands: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Regime-probed exact-Jaccard verification of (a_id, b_id)
+    candidates against a MATERIALIZED (id, codes, sz) frame — shared by
+    the self-join and cross-frame minhash operators so both get the
+    degenerate-corpus fast path.
+
+    The probe: the complete vocabulary IS the probe — collect at most
+    cap+1 distinct codes (a dimension-sized pull, same class as IVF
+    centroids); vocab overflow or a too-large corpus → per-pair
+    sorted-int array_intersect; otherwise fixed-width bitmask popcount
+    (on a degenerate corpus LSH buckets collapse and the candidate set
+    explodes toward all-pairs, where popcount-of-AND over a few longs
+    per pair beats array intersection several-fold). The doc-count
+    probe counts the checkpointed frame's pinned blocks — near-free —
+    and bounds by docs-that-have-signatures (the set the quadratic
+    regimes actually touch)."""
     vocab_rows = (
         docs.select(F.explode("codes").alias("c"))
         .distinct()
@@ -978,9 +996,6 @@ def minhash_verified_pairs(
         .collect()
     )
     sets_ = docs.select("id", F.col("codes").alias("grams"), "sz")
-    # doc-count probe against the checkpointed frame: counting pinned
-    # blocks is near-free, and it bounds by docs-that-have-signatures
-    # (the set the quadratic regimes actually touch)
     if len(vocab_rows) > _BITMASK_VOCAB_MAX or docs.count() > _ALLPAIRS_MAX_DOCS:
         return _exact_verify(cands, sets_, threshold)
     # re-spread before the popcount verify — the AQE-coalesced
@@ -1168,11 +1183,10 @@ def minhash_pairs_between(
         _banded_keys(nw.select("id", "sig"), num_hashes, bands),
         ["band", "bucket"],
     ).distinct()
-    sets_ = (
-        o.select("id", F.col("codes").alias("grams"), "sz")
-        .unionByName(nw.select("id", F.col("codes").alias("grams"), "sz"))
+    both = o.select("id", "codes", "sz").unionByName(
+        nw.select("id", "codes", "sz")
     )
-    return _exact_verify(cands, sets_, threshold)
+    return _adaptive_verify(cands, both, threshold)
 
 
 def incremental_neardups(
