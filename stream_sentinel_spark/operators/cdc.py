@@ -88,3 +88,63 @@ def scd2(
         .withColumn("is_current", F.col("valid_to").isNull().cast("int"))
         .select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two table snapshots (the data-reconciliation /
+    regression-diff tool): per key, is the row ``added`` (only in b),
+    ``removed`` (only in a), ``changed`` (in both, any compare column
+    differs null-safely), or ``unchanged``.
+
+    Plan shape: ONE full-outer hash join on the key columns — the only
+    formulation that scales (both sides shuffle once on the same key;
+    no collect, no broadcast requirement). By default ``unchanged``
+    rows are dropped BEFORE anything downstream sees them, so the
+    output is bounded by the churn between snapshots, not the table
+    size — diffing two 100 TB snapshots with 0.1% churn emits 0.1%.
+
+    Returns (*key_cols, status, changed_cols) — ``changed_cols`` is the
+    comma-joined sorted list of differing columns (empty for
+    added/removed/unchanged).
+    """
+    pre_a = a.select(
+        *key_cols, *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_a"),
+    )
+    pre_b = b.select(
+        *key_cols, *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_b"),
+    )
+    joined = pre_a.join(pre_b, key_cols, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}")), F.lit(c)
+                )
+                for c in sorted(compare_cols)
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *key_cols,
+        status.alias("status"),
+        F.when(
+            status == "changed", F.array_join(diffs, ",")
+        ).otherwise(F.lit("")).alias("changed_cols"),
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

@@ -191,3 +191,49 @@ def benford_profile(
             (F.col("n") - expected) * (F.col("n") - expected) / expected, 6
         ).alias("chi2_term"),
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    constraint: str | None = None,
+) -> DataFrame:
+    """Foreign-key audit: how many child rows reference a parent key
+    that does not exist (the Deequ ``isContainedIn``-on-a-table check
+    the one-pass constraint suite can't express — it needs a join).
+
+    Plan shape: the parent side reduces to its DISTINCT keys (one
+    aggregation that map-side collapses to key cardinality) and joins
+    the child on the fk — AQE broadcasts it when dimension-sized,
+    hash-joins co-partitioned otherwise. NULL fks are counted
+    separately and are NOT orphans (SQL FK semantics: NULL references
+    nothing). One row out.
+
+    Returns (constraint, n_rows, n_null_fk, n_orphans, orphan_frac
+    double, passed boolean) — ``orphan_frac`` over the non-null rows,
+    0.0 when there are none; ``passed`` iff no orphans.
+    """
+    name = constraint or f"{fk_col}_references_{pk_col}"
+    keys = parent.select(F.col(pk_col).alias("__pk")).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    joined = child.select(F.col(fk_col).alias("__fk")).join(
+        keys, F.col("__fk") == F.col("__pk"), "left"
+    )
+    return joined.agg(
+        F.lit(name).alias("constraint"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("__fk").isNull(), 1)).alias("n_null_fk"),
+        F.count(
+            F.when(F.col("__fk").isNotNull() & F.col("__hit").isNull(), 1)
+        ).alias("n_orphans"),
+    ).select(
+        "constraint", "n_rows", "n_null_fk", "n_orphans",
+        F.when(
+            F.col("n_rows") > F.col("n_null_fk"),
+            F.col("n_orphans") / (F.col("n_rows") - F.col("n_null_fk")),
+        ).otherwise(F.lit(0.0)).alias("orphan_frac"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    )

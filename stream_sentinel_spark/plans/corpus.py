@@ -4713,3 +4713,103 @@ def x64(spark, sf):
         _t(spark, sf, "orders"), "o_orderkey", 16,
         ["o_totalprice", "o_orderpriority"],
     )
+
+
+@query(
+    "x65_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 7 <> 0),
+    b AS (
+      SELECT o_orderkey,
+             o_totalprice
+               + CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    j AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             a.o_orderkey IS NULL AS only_b, b.o_orderkey IS NULL AS only_a,
+             a.o_totalprice IS DISTINCT FROM b.o_totalprice AS dp,
+             a.o_orderstatus IS DISTINCT FROM b.o_orderstatus AS ds
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN only_b THEN 'added' WHEN only_a THEN 'removed'
+                WHEN dp OR ds THEN 'changed' ELSE 'unchanged' END AS status,
+           CASE WHEN NOT only_b AND NOT only_a AND (dp OR ds)
+                THEN concat_ws(',',
+                       CASE WHEN ds THEN 'o_orderstatus' END,
+                       CASE WHEN dp THEN 'o_totalprice' END)
+                ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (NOT only_b AND NOT only_a AND NOT dp AND NOT ds)
+    """,
+)
+def x65(spark, sf):
+    # Snapshot reconciliation: two deterministic derivations of orders
+    # (rows missing on each side by modulus, a price bump marking
+    # changes) diffed by the one-full-outer-join operator; output is
+    # churn-bounded (unchanged rows never leave the join).
+    from stream_sentinel_spark.operators.cdc import snapshot_diff
+
+    o = _t(spark, sf, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(1.0)).otherwise(0.0)
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(
+        snap_a, snap_b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+@query(
+    "x66_referential_integrity",
+    """
+    WITH k1 AS (SELECT DISTINCT o_orderkey FROM orders),
+    k2 AS (SELECT DISTINCT c_custkey FROM customer),
+    c1 AS (
+      SELECT 'l_orderkey_references_o_orderkey' AS "constraint",
+             COUNT(*) AS n_rows,
+             COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_null_fk,
+             COUNT(CASE WHEN l_orderkey IS NOT NULL AND k1.o_orderkey IS NULL
+                        THEN 1 END) AS n_orphans
+      FROM lineitem LEFT JOIN k1 ON l_orderkey = o_orderkey),
+    c2 AS (
+      SELECT 'o_custkey_references_c_custkey' AS "constraint",
+             COUNT(*) AS n_rows,
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_fk,
+             COUNT(CASE WHEN o_custkey IS NOT NULL AND k2.c_custkey IS NULL
+                        THEN 1 END) AS n_orphans
+      FROM orders LEFT JOIN k2 ON o_custkey = c_custkey)
+    SELECT "constraint", n_rows, n_null_fk, n_orphans,
+           CASE WHEN n_rows > n_null_fk
+                THEN CAST(n_orphans AS DOUBLE) / (n_rows - n_null_fk)
+                ELSE 0.0 END AS orphan_frac,
+           n_orphans = 0 AS passed
+    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    """,
+)
+def x66(spark, sf):
+    # Foreign-key audit across the schema's two main relationships —
+    # the join-shaped constraint the one-pass quality suite (x36) can't
+    # express. Parent sides reduce to distinct keys (AQE broadcasts
+    # when dimension-sized); NULL fks counted separately, not orphans.
+    from stream_sentinel_spark.operators.quality import referential_integrity
+
+    a = referential_integrity(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"),
+        "l_orderkey", "o_orderkey",
+    )
+    b = referential_integrity(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+        "o_custkey", "c_custkey",
+    )
+    return a.unionByName(b)

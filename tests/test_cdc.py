@@ -85,3 +85,33 @@ class TestScd2:
         )
         got = {r["k"]: r["attr"] for r in asof.collect()}
         assert got == {1: "b", 2: "z"}
+
+
+def test_snapshot_diff_statuses(spark):
+    from stream_sentinel_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, "y"), (3, 30.0, None), (4, 40.0, "w")],
+        "k long, price double, tag string",
+    )
+    b = spark.createDataFrame(
+        [(2, 20.0, "y"), (3, 30.0, None), (4, 41.0, "W"), (5, 50.0, "v")],
+        "k long, price double, tag string",
+    )
+    out = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(a, b, ["k"], ["price", "tag"]).collect()
+    }
+    assert out == {
+        1: ("removed", ""),
+        4: ("changed", "price,tag"),
+        5: ("added", ""),
+    }  # 2 identical and 3 (null == null, null-safe) are dropped
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    from stream_sentinel_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    out = snapshot_diff(a, a, ["k"], ["v"], include_unchanged=True).collect()
+    assert [(r["k"], r["status"]) for r in out] == [(1, "unchanged")]

@@ -107,3 +107,25 @@ def test_benford_profile_rounds_to_zero_excluded(spark):
     rows = benford_profile(df, "value").collect()
     assert {r["digit"] for r in rows} == {1}
     assert all(r["benford_p"] is not None for r in rows)
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    from stream_sentinel_spark.operators.quality import referential_integrity
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    r = referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert (r["n_rows"], r["n_null_fk"], r["n_orphans"]) == (5, 1, 1)
+    assert r["orphan_frac"] == 1 / 4  # over non-null rows
+    assert r["passed"] is False
+
+
+def test_referential_integrity_clean_pass(spark):
+    from stream_sentinel_spark.operators.quality import referential_integrity
+
+    parent = spark.createDataFrame([(1,)], "pk long")
+    child = spark.createDataFrame([(1,), (1,)], "fk long")
+    r = referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert r["passed"] is True and r["n_orphans"] == 0
