@@ -112,6 +112,11 @@ def snapshot_diff(
     Returns (*key_cols, status, changed_cols) — ``changed_cols`` is the
     comma-joined sorted list of differing columns (empty for
     added/removed/unchanged).
+
+    PRECONDITION: ``key_cols`` must be unique within each snapshot (the
+    usual snapshot contract). Duplicate keys make the full-outer join
+    emit one row per a×b pairing of that key — a multiplied,
+    self-contradictory diff; dedup or aggregate first if keys repeat.
     """
     pre_a = a.select(
         *key_cols, *[F.col(c).alias(f"__a_{c}") for c in compare_cols],

@@ -640,9 +640,35 @@ def shard_assignment(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return _assign_with_bucket(df, id_col, n_shards, salt).drop("__bucket")
+
+
+def _assign_with_bucket(
+    df: DataFrame, id_col: str, n_shards: int, salt: str
+) -> DataFrame:
+    """shard_assignment keeping the raw 32-bit bucket column
+    (``__bucket``) alongside — the manifest checksum sums it, so
+    carrying it avoids a second md5 evaluation per row."""
     from stream_sentinel_spark.operators.sampling import _md5_bucket
 
-    return df.withColumn("shard", (_md5_bucket(id_col, salt) % n_shards).cast("int"))
+    b = _md5_bucket(id_col, salt)
+    return df.withColumn("__bucket", b).withColumn(
+        "shard", (F.col("__bucket") % n_shards).cast("int")
+    )
+
+
+def _manifest_of(sharded: DataFrame, id_col: str) -> DataFrame:
+    """The ONE definition of the manifest aggregation, over a frame
+    carrying (shard, __bucket): a second copy of the checksum
+    construction anywhere would let write_shards manifests silently
+    desynchronize from shard_manifest re-derivations — defeating the
+    compare-the-checksum contract."""
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__bucket").alias("checksum"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )
 
 
 def shard_manifest(
@@ -657,19 +683,13 @@ def shard_manifest(
     under any partitioning / merge order) and engine-portable, so a
     consumer can re-derive and compare it without replaying the export
     order. One hash-agg shuffle on the shard id; partial aggregation
-    does the heavy lifting map-side.
+    does the heavy lifting map-side; md5 evaluates once per row (the
+    bucket column feeds both the shard id and the checksum).
     """
-    from stream_sentinel_spark.operators.sampling import _md5_bucket
-
-    return (
-        shard_assignment(df, id_col, n_shards, salt)
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(_md5_bucket(id_col, salt)).alias("checksum"),
-            F.min(id_col).alias("min_id"),
-            F.max(id_col).alias("max_id"),
-        )
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    return _manifest_of(
+        _assign_with_bucket(df, id_col, n_shards, salt), id_col
     )
 
 
@@ -685,33 +705,23 @@ def write_shards(
     shard column co-locates each shard's rows so every Hive partition
     directory is written by exactly one task (no small-file explosion:
     files-per-shard = 1, not = upstream partitions). The manifest is
-    computed from the input frame — equal to what a re-scan of the
-    export would produce, by the checksum's order-independence.
+    aggregated from the SAME frame the writer consumed (md5 evaluated
+    once per row, bucket carried), so it provably describes the rows
+    written even if ``df``'s lineage were nondeterministic.
     """
-    out = shard_assignment(df, id_col, n_shards, salt).localCheckpoint(
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    out = _assign_with_bucket(df, id_col, n_shards, salt).localCheckpoint(
         eager=False
     )
-    # the pinned sharded frame feeds BOTH the write and the manifest —
-    # one scan + one md5 pass, and the manifest provably describes the
-    # rows written (a second derivation from df could diverge if df's
-    # lineage were nondeterministic)
     (
-        out.repartition(n_shards, F.col("shard"))
+        out.drop("__bucket")
+        .repartition(n_shards, F.col("shard"))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
-    from stream_sentinel_spark.operators.sampling import _md5_bucket
-
-    return (
-        out.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(_md5_bucket(id_col, salt)).alias("checksum"),
-            F.min(id_col).alias("min_id"),
-            F.max(id_col).alias("max_id"),
-        )
-    )
+    return _manifest_of(out, id_col)
 
 
 def temperature_rebalance(

@@ -989,14 +989,20 @@ def _adaptive_verify(
     probe counts the checkpointed frame's pinned blocks — near-free —
     and bounds by docs-that-have-signatures (the set the quadratic
     regimes actually touch)."""
+    sets_ = docs.select("id", F.col("codes").alias("grams"), "sz")
+    # doc-count guard FIRST: counting the pinned frame is near-free,
+    # and a production-scale corpus (the normal incremental regime)
+    # must not pay the vocabulary probe's explode+distinct pass just to
+    # be routed to array-intersect anyway
+    if docs.count() > _ALLPAIRS_MAX_DOCS:
+        return _exact_verify(cands, sets_, threshold)
     vocab_rows = (
         docs.select(F.explode("codes").alias("c"))
         .distinct()
         .limit(_BITMASK_VOCAB_MAX + 1)
         .collect()
     )
-    sets_ = docs.select("id", F.col("codes").alias("grams"), "sz")
-    if len(vocab_rows) > _BITMASK_VOCAB_MAX or docs.count() > _ALLPAIRS_MAX_DOCS:
+    if len(vocab_rows) > _BITMASK_VOCAB_MAX:
         return _exact_verify(cands, sets_, threshold)
     # re-spread before the popcount verify — the AQE-coalesced
     # post-distinct stage must not serialize it (see

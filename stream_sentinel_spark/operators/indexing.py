@@ -64,7 +64,7 @@ def inverted_index(
         F.size("_docs").cast("long").alias("df"),
         "tf",
         F.array_join(F.slice("_docs", 1, postings_cap), ",").alias("postings"),
-    ).select("token", "df", "tf", "postings")
+    )
     if min_df > 1:
         agg = agg.filter(F.col("df") >= min_df)
     return agg

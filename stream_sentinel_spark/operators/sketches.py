@@ -238,9 +238,10 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
 def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str) -> DataFrame:
     """Point-estimate each key's count: min over the depth rows.
 
-    ``keys`` is dimension-sized and broadcast; the join touches ≤
-    depth·|keys| sketch rows. Estimates are exact-or-over (one-sided
-    error), never under — pinned in tests.
+    The SKETCH is the broadcast side (bounded at depth × width rows),
+    so ``keys`` may be arbitrarily large — each probe row left-joins
+    its depth positions locally. Estimates are exact-or-over
+    (one-sided error), never under — pinned in tests.
     """
     probes = keys.select(
         F.col(key_col),
