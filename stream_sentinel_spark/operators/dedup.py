@@ -1173,26 +1173,34 @@ def minhash_pairs_between(
 
     Returns (a_id ∈ old, b_id ∈ new, shared, a_sz, b_sz, jaccard).
     """
-    def prep(df: DataFrame) -> DataFrame:
-        sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
-        return (
-            _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
-            .select("id", sig_code.alias("_sc"))
-            .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
-            .filter(F.col("sig").isNotNull())
-            .localCheckpoint(eager=True)
+    # ONE kernel pass over the tagged union (not one per frame): both
+    # sides share the spread, the Arrow stage, and the checkpoint; the
+    # per-side frames are then filters over the pinned blocks.
+    tagged = old.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+        F.lit(0).alias("_side"),
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_t"),
+            F.lit(1).alias("_side"),
         )
-
-    o, nw = prep(old), prep(new)
+    )
+    sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
+    both = (
+        _spread(tagged)
+        .select("id", "_side", sig_code.alias("_sc"))
+        .select("id", "_side", "_sc.sig", "_sc.codes", "_sc.sz")
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    o = both.filter(F.col("_side") == 0).drop("_side")
+    nw = both.filter(F.col("_side") == 1).drop("_side")
     cands = _hot_salted_pair_join(
         _banded_keys(o.select("id", "sig"), num_hashes, bands),
         _banded_keys(nw.select("id", "sig"), num_hashes, bands),
         ["band", "bucket"],
     ).distinct()
-    both = o.select("id", "codes", "sz").unionByName(
-        nw.select("id", "codes", "sz")
-    )
-    return _adaptive_verify(cands, both, threshold)
+    return _adaptive_verify(cands, both.select("id", "codes", "sz"), threshold)
 
 
 def incremental_neardups(
