@@ -330,3 +330,89 @@ def cusum(
         (F.col("_s").cast("double") / F.lit(scale)).alias("cusum"),
         (F.col("_s") > F.lit(h_scaled)).alias("alarm"),
     )
+
+
+def linear_trend(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    bucket_ms: int = _MS_PER_HOUR,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Per-key least-squares trend of ``value_col`` over time: slope and
+    intercept of the OLS line through (bucket-offset, value) — the
+    screening regression behind "which keys are drifting and how fast"
+    (CUSUM's :func:`cusum` answers WHEN a drift started; this ranks
+    keys by drift RATE).
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    are sums of INTEGER products — x is the bucket offset from the
+    key's first bucket (small ints), y is the value scaled by
+    ``10^decimal_scale`` — so they are order-insensitive-exact on any
+    engine, and slope/intercept are single IEEE divisions of exact
+    integers. No float accumulation anywhere.
+
+    Plan shape: one hash aggregation per key computing the statistics
+    (map-side combined; the per-key state is five longs however many
+    events the key has), then scalar arithmetic. The x offset needs the
+    key's min bucket, which rides in the same aggregation (min) — the
+    offset is applied algebraically AFTER aggregation (shift x by a
+    constant changes only the intercept: slope is shift-invariant, and
+    intercept_at_min = mean_y − slope·mean_x_shifted), so ONE pass
+    suffices, not a min-then-rescan.
+
+    Returns (user, n bigint, slope double — value units per bucket,
+    intercept double — fitted value at the key's first bucket); keys
+    with a single bucket or zero x-variance emit slope 0.0.
+    """
+    p = 10**decimal_scale
+    bucket = F.floor(F.unix_millis(F.col(time_col)) / F.lit(bucket_ms))
+    cents = (F.col(value_col).cast(f"decimal(18,{decimal_scale})") * p).cast(
+        "long"
+    )
+    per_key = (
+        events.select(
+            F.col(user_col).alias("user"),
+            bucket.alias("x"),
+            cents.alias("y"),
+        )
+        .groupBy("user")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x0"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    # shift x by x0 algebraically: with u = x - x0,
+    #   Σu   = sx - n·x0
+    #   Σu²  = sxx - 2·x0·sx + n·x0²
+    #   Σuy  = sxy - x0·sy
+    su = F.col("sx") - F.col("n") * F.col("x0")
+    suu = (
+        F.col("sxx")
+        - 2 * F.col("x0") * F.col("sx")
+        + F.col("n") * F.col("x0") * F.col("x0")
+    )
+    suy = F.col("sxy") - F.col("x0") * F.col("sy")
+    det = F.col("n") * suu - su * su
+    slope_scaled = F.when(
+        det != 0,
+        (F.col("n") * suy - su * F.col("sy")).cast("double") / det,
+    ).otherwise(F.lit(0.0))
+    return per_key.select(
+        "user",
+        "n",
+        F.round(slope_scaled / p, 6).alias("slope"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope_scaled * (su.cast("double") / F.col("n"))
+            )
+            / p,
+            6,
+        ).alias("intercept"),
+    )

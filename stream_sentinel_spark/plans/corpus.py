@@ -4813,3 +4813,50 @@ def x66(spark, sf):
         "o_custkey", "c_custkey",
     )
     return a.unionByName(b)
+
+
+@query(
+    "x67_linear_trend",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events),
+    k AS (
+      SELECT user_id, COUNT(*) AS n, MIN(x) AS x0,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY 1),
+    m AS (
+      SELECT user_id, n, sy,
+             sx - n * x0 AS su,
+             sxx - 2 * x0 * sx + n * x0 * x0 AS suu,
+             sxy - x0 * sy AS suy
+      FROM k),
+    d AS (
+      SELECT user_id, n, sy, su,
+             CASE WHEN n * suu - su * su <> 0
+                  THEN CAST(n * suy - su * sy AS DOUBLE)
+                       / (n * suu - su * su)
+                  ELSE 0.0 END AS slope_scaled
+      FROM m)
+    SELECT user_id, n,
+           round(slope_scaled / 100, 6) AS slope,
+           round((CAST(sy AS DOUBLE) / n
+                  - slope_scaled * (CAST(su AS DOUBLE) / n)) / 100, 6)
+             AS intercept
+    FROM d
+    """,
+)
+def x67(spark, sf):
+    # Per-key OLS drift rate over hourly buckets: five exact-integer
+    # sufficient statistics in ONE map-side-combined aggregation (the
+    # x-offset is applied algebraically after the agg — no min-then-
+    # rescan), slope/intercept as single divisions of exact integers.
+    # Ranks keys by drift RATE, complementing x58/x60's WHEN (CUSUM).
+    from stream_sentinel_spark.operators.analytics import linear_trend
+
+    out = linear_trend(_t(spark, sf, "events"))
+    return out.select(F.col("user").alias("user_id"), "n", "slope", "intercept")

@@ -307,3 +307,57 @@ def test_cusum_is_per_user(spark):
         for r in cusum(_events(spark, rows), target=10.0, threshold=5.0).collect()
     }
     assert out == {1: 10.0, 2: 10.0}
+
+
+# ---------------------------------------------------------------------------
+# linear trend
+# ---------------------------------------------------------------------------
+
+
+def test_linear_trend_exact_line(spark):
+    from stream_sentinel_spark.operators.analytics import linear_trend
+
+    hr = 3600
+    # y = 2.5 * x + 10 exactly, hourly points
+    rows = [(i, 1, "v", _ts(i * hr), 10.0 + 2.5 * i) for i in range(5)]
+    r = linear_trend(_events(spark, rows)).collect()[0]
+    assert (r["n"], r["slope"], r["intercept"]) == (5, 2.5, 10.0)
+
+
+def test_linear_trend_numpy_parity(spark):
+    import numpy as np
+
+    from stream_sentinel_spark.operators.analytics import linear_trend
+
+    hr = 3600
+    vals = [3.25, 7.5, 2.0, 9.75, 4.5, 8.25]
+    rows = [(i, 1, "v", _ts(i * hr), v) for i, v in enumerate(vals)]
+    r = linear_trend(_events(spark, rows)).collect()[0]
+    slope, intercept = np.polyfit(np.arange(len(vals)), np.array(vals), 1)
+    assert abs(r["slope"] - slope) < 1e-6
+    assert abs(r["intercept"] - intercept) < 1e-6
+
+
+def test_linear_trend_single_bucket_zero_slope(spark):
+    from stream_sentinel_spark.operators.analytics import linear_trend
+
+    rows = [(0, 1, "v", _ts(10), 5.0), (1, 1, "v", _ts(20), 7.0)]  # same hour
+    r = linear_trend(_events(spark, rows)).collect()[0]
+    assert r["slope"] == 0.0  # zero x-variance: no defined trend
+    assert r["intercept"] == 6.0  # mean
+
+
+def test_linear_trend_shift_invariance(spark):
+    """Slope must not depend on the absolute epoch (the algebraic
+    offset shift) — same data a year later gives the same slope."""
+    import datetime as dt
+
+    from stream_sentinel_spark.operators.analytics import linear_trend
+
+    hr = 3600
+    rows1 = [(i, 1, "v", _ts(i * hr), float(i * i)) for i in range(6)]
+    shift = 365 * 24 * 3600
+    rows2 = [(i, 1, "v", _ts(i * hr + shift), float(i * i)) for i in range(6)]
+    r1 = linear_trend(_events(spark, rows1)).collect()[0]
+    r2 = linear_trend(_events(spark, rows2)).collect()[0]
+    assert r1["slope"] == r2["slope"] and r1["intercept"] == r2["intercept"]
