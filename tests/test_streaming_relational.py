@@ -121,3 +121,41 @@ def test_interval_join_schema_flat(spark, impression_click):
     cols = interval_join(imp, clk, "user_id").columns
     assert cols.count("user_id") == 1
     assert "ts_r" in cols and "event_id_r" in cols
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Sketches are streaming-native: the HLL register table is a plain
+    groupBy max-aggregation, so the SAME operator runs on a stream
+    (complete mode) and produces the register-identical sketch — the
+    incremental distinct-count path (merge new batches with max) with
+    zero extra code."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.sketches import hll_registers
+    from stream_sentinel_spark.streaming.sources import read_file_stream
+
+    df = spark.createDataFrame(
+        [(i % 5, f"v{i % 997}") for i in range(4000)], "g int, v string"
+    )
+    path = str(tmp_path / "hll_src")
+    df.write.mode("overwrite").parquet(path)
+
+    batch = {
+        (r["g"], r["register"]): r["max_rho"]
+        for r in hll_registers(df, ["g"], "v").collect()
+    }
+    stream = read_file_stream(spark, path, df.schema, time_col=None, watermark=None)
+    agg = hll_registers(stream, ["g"], "v")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["g"], r["register"]): r["max_rho"]
+        for r in spark.table("hll_stream").collect()
+    }
+    assert streamed == batch and len(batch) > 0
