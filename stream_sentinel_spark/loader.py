@@ -13,7 +13,6 @@ plane concern.
 from __future__ import annotations
 
 import os
-from importlib import resources
 
 import yaml
 

@@ -12,7 +12,7 @@ returning the canonical alert frame.
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
+
 
 from pyspark.sql import DataFrame
 
