@@ -260,10 +260,14 @@ def _prepare_keyed(
     order_cols: Sequence[str],
     rule_indexes: Sequence[int] | None,
     event_columns: Sequence[str] | None,
+    keep_time_col: bool = False,
 ):
     """Shared input prep for both stateful APIs: the keyed projection
     (key, epoch-us timestamp, original-event map, order + value columns)
-    and the pickled rule specs."""
+    and the pickled rule specs. ``keep_time_col`` carries the RAW
+    watermarked timestamp column through the projection — required by
+    the event-time mode (projecting it away severs the watermark the
+    EventTimeTimeout needs)."""
     idxs = list(rule_indexes) if rule_indexes is not None else list(range(len(rules)))
     specs: list[dict] = []
     value_cols: dict[int, str] = {}
@@ -275,6 +279,8 @@ def _prepare_keyed(
         ).alias(_EVMAP),
         *(F.col(c) for c in order_cols),
     ]
+    if keep_time_col:
+        cols.append(F.col(time_col))
     for rule, idx in zip(rules, idxs):
         rule.validate()
         spec = {
@@ -448,6 +454,111 @@ def stateful_alerts_tws(
         outputStructType=ALERT_SCHEMA,
         outputMode="Append",
         timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
+    )
+    return alerts.select(
+        "rule_name",
+        "key",
+        F.timestamp_micros(F.col("alert_ts_us")).alias("alert_ts"),
+        "details",
+        "original_event",
+        "rule_index",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time ordered mode (the upgrade the reference cannot do)
+# ---------------------------------------------------------------------------
+
+def _make_event_time_processor(
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+):
+    """Per-key processor for EVENT-TIME ordered detection: buffer
+    arriving rows, and on each watermark advance evaluate the buffered
+    prefix with ``ts ≤ watermark`` in (ts, *order_cols) order.
+
+    The reference processes in ARRIVAL order (AnomalyProcessFunction
+    consumes the Flink stream as delivered; SURVEY §2.5 T3) — shuffled
+    delivery changes its rate/statistical windows. This mode makes
+    detection results INVARIANT to delivery order up to the watermark
+    bound: any permutation of arrivals within the allowed lateness
+    yields identical alerts (pinned against the batch plans, which are
+    event-time ordered by construction, in
+    test_streaming_event_time.py).
+
+    Mechanics (applyInPandasWithState + EventTimeTimeout): the per-key
+    state blob carries the detector state AND the pending-row buffer
+    (bounded by events-per-key within the out-of-orderness window);
+    flush on input AND on an event-time timeout re-armed at wm+1
+    whenever rows stay pending, so a key with no further traffic still
+    flushes when OTHER keys' events advance the watermark. Rows later
+    than the watermark (true stragglers) are evaluated on arrival — the
+    same best-effort policy every watermark system ends at.
+    """
+    import pandas as pd
+
+    buf_cols = [_TSUS, _EVMAP, *order_cols, *value_cols.values()]
+
+    def process(key, pdfs: Iterator, state) -> Iterator:
+        wm_ms = state.getCurrentWatermarkMs()
+        blob = state.get[0] if state.exists else None
+        st: dict = json.loads(blob) if blob else {"det": {}, "buf": []}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                st["buf"].extend(pdf[buf_cols].to_dict("records"))
+        ready = [r for r in st["buf"] if r[_TSUS] // 1000 <= wm_ms]
+        pending = [r for r in st["buf"] if r[_TSUS] // 1000 > wm_ms]
+        st["buf"] = pending
+        out = None
+        if ready:
+            out = _run_rules_over_batch(
+                st["det"], [pd.DataFrame(ready, columns=buf_cols)], key,
+                rule_specs, value_cols, order_cols,
+            )
+        state.update((json.dumps(st),))
+        if pending:
+            # re-arm: fires as soon as the watermark moves again
+            state.setTimeoutTimestamp(wm_ms + 1)
+        if out and out["rule_name"]:
+            yield pd.DataFrame(out)
+
+    return process
+
+
+def stateful_alerts_event_time(
+    events: DataFrame,
+    rules: Sequence[DetectionRule],
+    *,
+    key_field: str,
+    time_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    rule_indexes: Sequence[int] | None = None,
+    event_columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """:func:`stateful_alerts` in EVENT-TIME order: detection windows
+    see events ordered by ``(time_col, *order_cols)`` regardless of
+    arrival order, up to the stream's watermark bound. ``events`` MUST
+    carry ``withWatermark(time_col, ...)`` — the watermark is both the
+    reorder buffer bound and the flush clock. Emission is delayed by
+    the watermark (alerts for an event appear once the watermark passes
+    it), the inherent price of ordering; the arrival-order backends
+    (:func:`stateful_alerts` / :func:`stateful_alerts_tws`) keep the
+    reference's immediate-emission behavior.
+
+    Runs on the dependency-free applyInPandasWithState backend with
+    EventTimeTimeout; same keyed projection and evaluation function as
+    the other backends, so per-flush semantics cannot diverge."""
+    keyed, specs, value_cols = _prepare_keyed(
+        events, rules, key_field, time_col, order_cols, rule_indexes,
+        event_columns, keep_time_col=True,
+    )
+    alerts = keyed.groupBy(_KEY).applyInPandasWithState(
+        _make_event_time_processor(specs, value_cols, tuple(order_cols)),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return alerts.select(
         "rule_name",

@@ -1,0 +1,200 @@
+"""Event-time ordered streaming mode: detection results must be
+INVARIANT to arrival order up to the watermark bound, and equal the
+batch plans (which are event-time ordered by construction).
+
+The fixture deliberately delivers events SHUFFLED within two time
+blocks across micro-batches (maxFilesPerTrigger=1) with sentinel
+events advancing the watermark between and after the blocks — the
+arrival-order backends would evaluate the shuffled windows and
+produce different rate/statistical alerts; the event-time mode must
+reproduce the batch alert set exactly."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from stream_sentinel_spark.plans.pipeline import compile_rules
+from stream_sentinel_spark.rules import DetectionRule
+from stream_sentinel_spark.streaming.sources import read_file_stream
+from stream_sentinel_spark.streaming.state import stateful_alerts_event_time
+
+BASE = dt.datetime(2024, 1, 1)
+SENTINEL_USER = 9999
+DELAY = "150 seconds"  # must cover the disorder span (one 120 s block)
+
+RULES = [
+    DetectionRule(
+        name="r_rate", type="rate", key_field="user_id",
+        window_seconds=30, threshold=3,
+    ),
+    DetectionRule(
+        name="r_stat", type="statistical", field="value", window_size=5,
+        deviation_factor=1.5, decimal_scale=2,
+    ),
+]
+
+
+def _mk_events():
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    # block 1: seconds 0..119; block 2: seconds 122..241 (2s gap at the
+    # split so the mid-sentinel watermark lands between the blocks)
+    for block_start in (0, 122):
+        for s in range(120):
+            for u in (1, 2, 3):
+                if (s + u) % 2 == 0:
+                    rows.append(
+                        dict(
+                            event_id=eid,
+                            user_id=u,
+                            value=float((s * 7 + u * 13) % 300),
+                            ts=BASE + dt.timedelta(seconds=block_start + s),
+                        )
+                    )
+                    eid += 1
+    b1 = [r for r in rows if r["ts"] < BASE + dt.timedelta(seconds=121)]
+    b2 = [r for r in rows if r["ts"] >= BASE + dt.timedelta(seconds=121)]
+    rng.shuffle(b1)
+    rng.shuffle(b2)
+
+    def split3(rows_):
+        # SHUFFLED rows split across three files: the disorder now spans
+        # MICRO-BATCHES, not just within one (each batch is event-time
+        # sorted internally by _run_rules_over_batch, so single-file
+        # disorder is invisible to the arrival-order backend)
+        k = (len(rows_) + 2) // 3
+        return [rows_[i : i + k] for i in range(0, len(rows_), k)]
+    # sentinels: own key, NULL value (invisible to value rules; rate
+    # threshold 3 never fires on single events)
+    def sentinel(eid_, secs):
+        return dict(
+            event_id=eid_, user_id=SENTINEL_USER, value=None,
+            ts=BASE + dt.timedelta(seconds=secs),
+        )
+
+    # mid sentinel: wm = ts - 150s must cover block 1 (>119) and not
+    # reach block 2 (<122): ts = 271s -> wm 121s
+    s1 = sentinel(100_000, 271)
+    # end sentinel: wm past block 2 (241): ts = 393s -> wm 243s
+    s2 = sentinel(100_001, 393)
+    # final kick: the end sentinel's watermark takes effect one batch
+    # later; this batch carries it
+    s3 = sentinel(100_002, 420)
+    return rows, [*split3(b1), [s1], *split3(b2), [s2], [s3]]
+
+
+@pytest.fixture(scope="module")
+def event_time_fixture(spark, tmp_path_factory):
+    all_rows, file_groups = _mk_events()
+    schema = "event_id long, user_id long, value double, ts timestamp"
+    path = str(tmp_path_factory.mktemp("evt") / "src")
+    for i, grp in enumerate(file_groups):
+        spark.createDataFrame(
+            [(r["event_id"], r["user_id"], r["value"], r["ts"]) for r in grp],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+    full = spark.createDataFrame(
+        [
+            (r["event_id"], r["user_id"], r["value"], r["ts"])
+            for grp in file_groups
+            for r in grp
+        ],
+        schema,
+    )
+    return path, full
+
+
+def _key(row):
+    return (row["rule_name"], row["key"], row["alert_ts"], row["details"], row["rule_index"])
+
+
+def test_event_time_mode_matches_batch_despite_shuffled_arrival(
+    spark, event_time_fixture
+):
+    path, full = event_time_fixture
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = [
+            r
+            for r in compile_rules(
+                full, RULES, key_field="user_id", time_col="ts",
+                order_cols=("event_id",),
+            ).collect()
+            if r["key"] != str(SENTINEL_USER)
+        ]
+        assert len(batch) > 0, "fixture must fire alerts"
+
+        stream = read_file_stream(
+            spark, path, full.schema, time_col="ts", watermark=DELAY,
+            max_files_per_trigger=1,
+        )
+        alerts = stateful_alerts_event_time(
+            stream, RULES, key_field="user_id", time_col="ts",
+            order_cols=("event_id",),
+        )
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("evt_mode")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = [
+            r
+            for r in spark.table("evt_mode").collect()
+            if r["key"] != str(SENTINEL_USER)
+        ]
+        assert sorted(map(_key, streamed)) == sorted(map(_key, batch))
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_arrival_order_backend_differs_on_shuffled_input(
+    spark, event_time_fixture
+):
+    """The contrast that makes the mode matter: the reference-parity
+    arrival-order backend evaluates the SAME shuffled delivery in
+    arrival order and produces a DIFFERENT alert set (deterministically,
+    fixed shuffle seed) — event-time ordering is a real semantic
+    upgrade, not a formality."""
+    from stream_sentinel_spark.streaming.state import stateful_alerts
+
+    path, full = event_time_fixture
+    batch = {
+        _key(r)
+        for r in compile_rules(
+            full, RULES, key_field="user_id", time_col="ts",
+            order_cols=("event_id",),
+        ).collect()
+        if r["key"] != str(SENTINEL_USER)
+    }
+    stream = read_file_stream(
+        spark, path, full.schema, time_col="ts", watermark=DELAY,
+        max_files_per_trigger=1,
+    )
+    alerts = stateful_alerts(
+        stream, RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",),
+    )
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("arrival_mode")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        _key(r)
+        for r in spark.table("arrival_mode").collect()
+        if r["key"] != str(SENTINEL_USER)
+    }
+    assert streamed != batch
