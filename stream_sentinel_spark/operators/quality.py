@@ -237,3 +237,85 @@ def referential_integrity(
         ).otherwise(F.lit(0.0)).alias("orphan_frac"),
         (F.col("n_orphans") == 0).alias("passed"),
     )
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], top_k: int = 5
+) -> DataFrame:
+    """Per-column value profile: distinct count, null count, Shannon
+    entropy of the value distribution, and the top-k most frequent
+    values — the table-profiling report (pandas-profiling / Deequ
+    ``Analyzer`` role) that drives schema review and quality-rule
+    tuning.
+
+    Plan shape: per column, one hash aggregation to the (column, value)
+    count frame — at 100 TB this is the column's value cardinality, the
+    same class as any GROUP BY on it — then entropy and top-k run on
+    the AGGREGATED frame (a window rank over counts, TakeOrdered-sized
+    per column). Columns profile independently and union; values render
+    to strings so one long-form schema fits every column type.
+
+    Entropy is ``-Σ p·ln p`` in nats over non-null values, rounded to 6
+    (cross-engine float-sum-order guard). Returns one row per column:
+    (column, n_rows, n_nulls, n_distinct, entropy, top_values — the
+    top-k as 'value:count' joined by ',', count-desc then value-asc).
+    """
+    frames = []
+    for c in cols:
+        counts = (
+            df.select(F.col(c).cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # NULL ranks last regardless of frequency: it must not consume
+        # a top-k slot (its count is reported separately)
+        w = Window.orderBy(
+            F.col("v").isNull(), F.col("n").desc(), F.col("v").asc()
+        )
+        nn = F.sum(F.when(F.col("v").isNotNull(), F.col("n"))).over(
+            Window.partitionBy()
+        )
+        ranked = counts.select(
+            "v", "n",
+            F.row_number().over(w).alias("rk"),
+            nn.alias("_nn"),
+        )
+        p_ = F.col("n") / F.col("_nn")
+        frames.append(
+            ranked.agg(
+                F.lit(c).alias("column"),
+                F.sum("n").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("v").isNull(), F.col("n"))), F.lit(0)
+                ).alias("n_nulls"),
+                F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
+                F.round(
+                    -F.coalesce(
+                        F.sum(
+                            F.when(F.col("v").isNotNull(), p_ * F.log(p_))
+                        ),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("entropy"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("v").isNotNull()
+                                    & (F.col("rk") <= top_k),
+                                    F.struct("rk", "v", "n"),
+                                )
+                            )
+                        ),
+                        lambda s: F.concat_ws(":", s["v"], s["n"].cast("string")),
+                    ),
+                    ",",
+                ).alias("top_values"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out

@@ -4860,3 +4860,47 @@ def x67(spark, sf):
 
     out = linear_trend(_t(spark, sf, "events"))
     return out.select(F.col("user").alias("user_id"), "n", "slope", "intercept")
+
+
+def _column_profile_oracle(table: str, cols: list[str], top_k: int = 5) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+    SELECT * FROM (
+      WITH counts_{c} AS (
+        SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS n FROM {table} GROUP BY 1),
+      r_{c} AS (
+        SELECT v, n,
+               ROW_NUMBER() OVER (ORDER BY (v IS NULL), n DESC, v ASC) AS rk,
+               SUM(CASE WHEN v IS NOT NULL THEN n END) OVER () AS nn
+        FROM counts_{c})
+      SELECT '{c}' AS "column",
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0) AS BIGINT)
+               AS n_nulls,
+             COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+             round(-COALESCE(SUM(CASE WHEN v IS NOT NULL
+                                      THEN (n / nn) * ln(n / nn) END), 0.0), 6)
+               AS entropy,
+             COALESCE(string_agg(
+               CASE WHEN v IS NOT NULL AND rk <= {top_k}
+                    THEN v || ':' || CAST(n AS VARCHAR) END,
+               ',' ORDER BY rk), '') AS top_values
+      FROM r_{c})""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "x68_column_profile",
+    _column_profile_oracle("events", ["event_type", "user_id", "value"]),
+)
+def x68(spark, sf):
+    # Table-profiling report (the pandas-profiling / Deequ Analyzer
+    # role): per column, one value-cardinality aggregation, then
+    # entropy + top-k on the AGGREGATED frame only. Long-form
+    # string-rendered output keeps one schema for every column type.
+    from stream_sentinel_spark.operators.quality import column_profile
+
+    return column_profile(
+        _t(spark, sf, "events"), ["event_type", "user_id", "value"], top_k=5
+    )

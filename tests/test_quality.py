@@ -129,3 +129,30 @@ def test_referential_integrity_clean_pass(spark):
     child = spark.createDataFrame([(1,), (1,)], "fk long")
     r = referential_integrity(child, parent, "fk", "pk").collect()[0]
     assert r["passed"] is True and r["n_orphans"] == 0
+
+
+def test_column_profile_values(spark):
+    import math
+
+    from stream_sentinel_spark.operators.quality import column_profile
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,), (None,)], "c string"
+    )
+    r = column_profile(df, ["c"], top_k=1).collect()[0]
+    assert (r["n_rows"], r["n_nulls"], r["n_distinct"]) == (6, 3, 2)
+    # entropy over non-null distribution {a: 2/3, b: 1/3}
+    want = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert r["entropy"] == round(want, 6)
+    # NULL outnumbers everything but must not take the top-k slot
+    assert r["top_values"] == "a:2"
+
+
+def test_column_profile_topk_order_and_ties(spark):
+    from stream_sentinel_spark.operators.quality import column_profile
+
+    df = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 3 + [("z",)] * 1, "c string"
+    )
+    r = column_profile(df, ["c"], top_k=2).collect()[0]
+    assert r["top_values"] == "x:3,y:3"  # count desc, value asc on ties
