@@ -4904,3 +4904,82 @@ def x68(spark, sf):
     return column_profile(
         _t(spark, sf, "events"), ["event_type", "user_id", "value"], top_k=5
     )
+
+
+@query(
+    "x69_corpus_datasheet",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text, lang,
+             CAST(md5(text) AS VARCHAR) AS fp,
+             len(string_split(text, ' ')) AS toks,
+             length(text) AS chars,
+             length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS punct
+      FROM documents),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(chars) AS BIGINT) AS total_chars,
+             CAST(SUM(punct) AS BIGINT) AS total_punct,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT fp) AS n_distinct_docs
+      FROM d)
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
+    UNION ALL SELECT 'mean_doc_tokens',
+      CAST(total_tokens AS DOUBLE) / n_docs FROM agg
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'exact_dup_rate',
+      CAST(n_docs - n_distinct_docs AS DOUBLE) / n_docs FROM agg
+    UNION ALL SELECT 'punct_char_ratio',
+      CAST(total_punct AS DOUBLE) / total_chars FROM agg
+    """,
+)
+def x69(spark, sf):
+    # The dataset "datasheet" capstone: corpus-level facts a training
+    # run records next to its shards — sizes, token totals, language
+    # breadth, exact-duplication rate, punctuation density. ONE scan
+    # collapsing map-side to a single row (the two COUNT(DISTINCT)s are
+    # the only Expand; at 100 TB swap them for the HLL registers of
+    # x32/x62 — same report, sketch-accurate), then literal arithmetic
+    # unpivoted long-form. Every value is a count or one division of
+    # exact integers — no rounding needed.
+    ev = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(punct).alias("total_punct"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_docs"),
+    )
+    rows = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("total_tokens", F.col("total_tokens").cast("double")),
+        (
+            "mean_doc_tokens",
+            F.col("total_tokens").cast("double") / F.col("n_docs"),
+        ),
+        ("n_langs", F.col("n_langs").cast("double")),
+        (
+            "exact_dup_rate",
+            (F.col("n_docs") - F.col("n_distinct_docs")).cast("double")
+            / F.col("n_docs"),
+        ),
+        (
+            "punct_char_ratio",
+            F.col("total_punct").cast("double") / F.col("total_chars"),
+        ),
+    ]
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("metric"), v.alias("value"))
+                    for m, v in rows
+                ]
+            )
+        ).alias("r")
+    ).select("r.metric", "r.value")
