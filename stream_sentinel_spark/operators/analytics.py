@@ -347,11 +347,13 @@ def linear_trend(
     keys by drift RATE).
 
     Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
-    are sums of INTEGER products — x is the bucket offset from the
-    key's first bucket (small ints), y is the value scaled by
-    ``10^decimal_scale`` — so they are order-insensitive-exact on any
-    engine, and slope/intercept are single IEEE divisions of exact
-    integers. No float accumulation anywhere.
+    accumulate in DECIMAL(38,0) — exact and order-insensitive on any
+    engine (the HUGEINT mirror in the oracle), with the 38-digit
+    budget covering raw epoch buckets times decimal(18,s) values
+    (int64 accumulators overflowed on large values: x·y ~ 5e21 at
+    epoch-hour × 1e16 cents). The final slope/intercept are divisions
+    taken in double precision — exact for all realistic magnitudes
+    (< 2^53), and the only non-integer step.
 
     Plan shape: one hash aggregation per key computing the statistics
     (map-side combined; the per-key state is five longs however many
@@ -367,6 +369,7 @@ def linear_trend(
     with a single bucket or zero x-variance emit slope 0.0.
     """
     p = 10**decimal_scale
+    dec = "decimal(38,0)"
     bucket = F.floor(F.unix_millis(F.col(time_col)) / F.lit(bucket_ms))
     cents = (F.col(value_col).cast(f"decimal(18,{decimal_scale})") * p).cast(
         "long"
@@ -381,27 +384,25 @@ def linear_trend(
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("x").alias("x0"),
-            F.sum("x").alias("sx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x").cast(dec)).alias("sx"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
         )
     )
     # shift x by x0 algebraically: with u = x - x0,
     #   Σu   = sx - n·x0
     #   Σu²  = sxx - 2·x0·sx + n·x0²
     #   Σuy  = sxy - x0·sy
-    su = F.col("sx") - F.col("n") * F.col("x0")
-    suu = (
-        F.col("sxx")
-        - 2 * F.col("x0") * F.col("sx")
-        + F.col("n") * F.col("x0") * F.col("x0")
-    )
-    suy = F.col("sxy") - F.col("x0") * F.col("sy")
-    det = F.col("n") * suu - su * su
+    dec_of = lambda c: c.cast(dec)  # noqa: E731 — local plan fragment
+    n_, x0 = dec_of(F.col("n")), dec_of(F.col("x0"))
+    su = F.col("sx") - n_ * x0
+    suu = F.col("sxx") - 2 * x0 * F.col("sx") + n_ * x0 * x0
+    suy = F.col("sxy") - x0 * F.col("sy")
+    det = (n_ * suu - su * su).cast("double")
     slope_scaled = F.when(
         det != 0,
-        (F.col("n") * suy - su * F.col("sy")).cast("double") / det,
+        (n_ * suy - su * F.col("sy")).cast("double") / det,
     ).otherwise(F.lit(0.0))
     return per_key.select(
         "user",

@@ -1220,7 +1220,13 @@ def incremental_neardups(
 
     Returns (new_id, n_matches bigint, best_jaccard double,
     first_match bigint) — new docs with NO near-dup in the corpus are
-    absent (anti-join the ids for the admit set)."""
+    absent (anti-join the ids for the admit set).
+
+    PRECONDITION (inherited from :func:`minhash_pairs_between`): the
+    two frames' id spaces must be DISJOINT — the verify join is
+    id-keyed, so an id shared across frames would join the wrong
+    side's shingle sets. Prefix or offset one side's ids when both
+    number from zero."""
     pairs = minhash_pairs_between(
         old, new, id_col, text_col, n, num_hashes, bands, threshold
     )

@@ -250,15 +250,21 @@ def column_profile(
 
     Plan shape: per column, one hash aggregation to the (column, value)
     count frame — at 100 TB this is the column's value cardinality, the
-    same class as any GROUP BY on it — then entropy and top-k run on
-    the AGGREGATED frame (a window rank over counts, TakeOrdered-sized
-    per column). Columns profile independently and union; values render
-    to strings so one long-form schema fits every column type.
+    same class as any GROUP BY on it — then TWO bounded follow-ons over
+    that frame, both distributed: a one-row scalar aggregation (counts
+    + the entropy sums) and a ``TakeOrderedAndProject`` top-k (ORDER BY
+    + LIMIT — per-partition heaps, never a global sort; the previous
+    single-partition ranking window was exactly the 100 TB choke this
+    module exists to avoid). Columns profile independently and union;
+    values render to strings so one long-form schema fits every type.
 
-    Entropy is ``-Σ p·ln p`` in nats over non-null values, rounded to 6
-    (cross-engine float-sum-order guard). Returns one row per column:
-    (column, n_rows, n_nulls, n_distinct, entropy, top_values — the
-    top-k as 'value:count' joined by ',', count-desc then value-asc).
+    Entropy uses the sum-decomposed form ``ln(nn) − (Σ n·ln n)/nn``
+    (algebraically equal to ``−Σ p·ln p``) so it needs no per-row
+    knowledge of the total — one pass, rounded to 6 (cross-engine
+    float-sum-order guard). Returns one row per column: (column,
+    n_rows, n_nulls, n_distinct, entropy, top_values — the top-k as
+    'value:count' joined by ',', count-desc then value-asc; NULL is
+    reported in n_nulls and never takes a top-k slot).
     """
     frames = []
     for c in cols:
@@ -266,53 +272,63 @@ def column_profile(
             df.select(F.col(c).cast("string").alias("v"))
             .groupBy("v")
             .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=False)
         )
-        # NULL ranks last regardless of frequency: it must not consume
-        # a top-k slot (its count is reported separately)
-        w = Window.orderBy(
-            F.col("v").isNull(), F.col("n").desc(), F.col("v").asc()
+        scalars = counts.agg(
+            F.lit(c).alias("column"),
+            F.sum("n").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("n"))), F.lit(0)
+            ).alias("n_nulls"),
+            F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
+            F.sum(F.when(F.col("v").isNotNull(), F.col("n"))).alias("_nn"),
+            F.sum(
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.col("n") * F.log(F.col("n").cast("double")),
+                )
+            ).alias("_snln"),
         )
-        nn = F.sum(F.when(F.col("v").isNotNull(), F.col("n"))).over(
-            Window.partitionBy()
-        )
-        ranked = counts.select(
-            "v", "n",
-            F.row_number().over(w).alias("rk"),
-            nn.alias("_nn"),
-        )
-        p_ = F.col("n") / F.col("_nn")
-        frames.append(
-            ranked.agg(
-                F.lit(c).alias("column"),
-                F.sum("n").alias("n_rows"),
+        top = (
+            counts.filter(F.col("v").isNotNull())
+            .orderBy(F.col("n").desc(), F.col("v").asc())
+            .limit(top_k)
+            .agg(
                 F.coalesce(
-                    F.sum(F.when(F.col("v").isNull(), F.col("n"))), F.lit(0)
-                ).alias("n_nulls"),
-                F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
-                F.round(
-                    -F.coalesce(
-                        F.sum(
-                            F.when(F.col("v").isNotNull(), p_ * F.log(p_))
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    # sort key: count desc (negated), value asc
+                                    F.struct(
+                                        (-F.col("n")).alias("_neg"),
+                                        F.col("v").alias("v"),
+                                        F.col("n").alias("n"),
+                                    )
+                                )
+                            ),
+                            lambda s_: F.concat_ws(
+                                ":", s_["v"], s_["n"].cast("string")
+                            ),
                         ),
+                        ",",
+                    ),
+                    F.lit(""),
+                ).alias("top_values")
+            )
+        )
+        frames.append(
+            scalars.crossJoin(F.broadcast(top)).select(
+                "column", "n_rows", "n_nulls", "n_distinct",
+                F.round(
+                    F.coalesce(
+                        F.log(F.col("_nn").cast("double"))
+                        - F.col("_snln") / F.col("_nn"),
                         F.lit(0.0),
                     ),
                     6,
                 ).alias("entropy"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("v").isNotNull()
-                                    & (F.col("rk") <= top_k),
-                                    F.struct("rk", "v", "n"),
-                                )
-                            )
-                        ),
-                        lambda s: F.concat_ws(":", s["v"], s["n"].cast("string")),
-                    ),
-                    ",",
-                ).alias("top_values"),
+                "top_values",
             )
         )
     out = frames[0]

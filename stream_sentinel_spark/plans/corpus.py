@@ -4825,27 +4825,28 @@ def x66(spark, sf):
       FROM events),
     k AS (
       SELECT user_id, COUNT(*) AS n, MIN(x) AS x0,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM e GROUP BY 1),
     m AS (
       SELECT user_id, n, sy,
-             sx - n * x0 AS su,
-             sxx - 2 * x0 * sx + n * x0 * x0 AS suu,
-             sxy - x0 * sy AS suy
+             sx - CAST(n AS HUGEINT) * x0 AS su,
+             sxx - 2 * CAST(x0 AS HUGEINT) * sx
+               + CAST(n AS HUGEINT) * x0 * x0 AS suu,
+             sxy - CAST(x0 AS HUGEINT) * sy AS suy
       FROM k),
     d AS (
       SELECT user_id, n, sy, su,
-             CASE WHEN n * suu - su * su <> 0
-                  THEN CAST(n * suy - su * sy AS DOUBLE)
-                       / (n * suu - su * su)
-                  ELSE 0.0 END AS slope_scaled
+             CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE) AS det,
+             CAST(CAST(n AS HUGEINT) * suy - su * sy AS DOUBLE) AS num
       FROM m)
     SELECT user_id, n,
-           round(slope_scaled / 100, 6) AS slope,
+           round(CASE WHEN det <> 0 THEN num / det ELSE 0.0 END / 100, 6)
+             AS slope,
            round((CAST(sy AS DOUBLE) / n
-                  - slope_scaled * (CAST(su AS DOUBLE) / n)) / 100, 6)
+                  - (CASE WHEN det <> 0 THEN num / det ELSE 0.0 END)
+                    * (CAST(su AS DOUBLE) / n)) / 100, 6)
              AS intercept
     FROM d
     """,
@@ -4869,24 +4870,26 @@ def _column_profile_oracle(table: str, cols: list[str], top_k: int = 5) -> str:
     SELECT * FROM (
       WITH counts_{c} AS (
         SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS n FROM {table} GROUP BY 1),
-      r_{c} AS (
-        SELECT v, n,
-               ROW_NUMBER() OVER (ORDER BY (v IS NULL), n DESC, v ASC) AS rk,
-               SUM(CASE WHEN v IS NOT NULL THEN n END) OVER () AS nn
-        FROM counts_{c})
-      SELECT '{c}' AS "column",
-             CAST(SUM(n) AS BIGINT) AS n_rows,
-             CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0) AS BIGINT)
-               AS n_nulls,
-             COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
-             round(-COALESCE(SUM(CASE WHEN v IS NOT NULL
-                                      THEN (n / nn) * ln(n / nn) END), 0.0), 6)
+      sc_{c} AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN n END), 0) AS BIGINT)
+                 AS n_nulls,
+               COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+               CAST(SUM(CASE WHEN v IS NOT NULL THEN n END) AS BIGINT) AS nn,
+               SUM(CASE WHEN v IS NOT NULL
+                        THEN n * ln(CAST(n AS DOUBLE)) END) AS snln
+        FROM counts_{c}),
+      tk_{c} AS (
+        SELECT COALESCE(
+                 string_agg(v || ':' || CAST(n AS VARCHAR), ','
+                            ORDER BY n DESC, v ASC), '') AS top_values
+        FROM (SELECT v, n FROM counts_{c} WHERE v IS NOT NULL
+              ORDER BY n DESC, v ASC LIMIT {top_k}))
+      SELECT '{c}' AS "column", n_rows, n_nulls, n_distinct,
+             round(COALESCE(ln(CAST(nn AS DOUBLE)) - snln / nn, 0.0), 6)
                AS entropy,
-             COALESCE(string_agg(
-               CASE WHEN v IS NOT NULL AND rk <= {top_k}
-                    THEN v || ':' || CAST(n AS VARCHAR) END,
-               ',' ORDER BY rk), '') AS top_values
-      FROM r_{c})""")
+             top_values
+      FROM sc_{c}, tk_{c})""")
     return " UNION ALL ".join(parts)
 
 

@@ -492,9 +492,13 @@ def _make_event_time_processor(
     (bounded by events-per-key within the out-of-orderness window);
     flush on input AND on an event-time timeout re-armed at wm+1
     whenever rows stay pending, so a key with no further traffic still
-    flushes when OTHER keys' events advance the watermark. Rows later
-    than the watermark (true stragglers) are evaluated on arrival — the
-    same best-effort policy every watermark system ends at.
+    flushes when OTHER keys' events advance the watermark. Rows LATER
+    than the watermark (true stragglers) never reach this processor:
+    with EventTimeTimeout, Spark drops older-than-watermark input rows
+    before the stateful operator — the standard watermark contract
+    (allowed lateness = the watermark delay, then drop). That is the
+    one semantic difference vs the batch plans, which evaluate every
+    row; size the watermark to the real disorder bound.
     """
     import pandas as pd
 
@@ -542,9 +546,12 @@ def stateful_alerts_event_time(
     carry ``withWatermark(time_col, ...)`` — the watermark is both the
     reorder buffer bound and the flush clock. Emission is delayed by
     the watermark (alerts for an event appear once the watermark passes
-    it), the inherent price of ordering; the arrival-order backends
-    (:func:`stateful_alerts` / :func:`stateful_alerts_tws`) keep the
-    reference's immediate-emission behavior.
+    it), and rows arriving LATER than the watermark are dropped by the
+    engine before the processor (the standard watermark lateness
+    contract) — the two inherent prices of ordering; the arrival-order
+    backends (:func:`stateful_alerts` / :func:`stateful_alerts_tws`)
+    keep the reference's immediate-emission, evaluate-everything
+    behavior.
 
     Runs on the dependency-free applyInPandasWithState backend with
     EventTimeTimeout; same keyed projection and evaluation function as

@@ -361,3 +361,15 @@ def test_linear_trend_shift_invariance(spark):
     r1 = linear_trend(_events(spark, rows1)).collect()[0]
     r2 = linear_trend(_events(spark, rows2)).collect()[0]
     assert r1["slope"] == r2["slope"] and r1["intercept"] == r2["intercept"]
+
+
+def test_linear_trend_huge_values_no_overflow(spark):
+    """Regression: raw epoch-hour x times decimal(18,2)-max-scale values
+    overflowed int64 accumulators (ANSI ARITHMETIC_OVERFLOW); the
+    decimal(38,0) statistics must survive the full documented domain."""
+    from stream_sentinel_spark.operators.analytics import linear_trend
+
+    hr = 3600
+    rows = [(i, 1, "v", _ts(i * hr), 1e14 * i) for i in range(5)]
+    r = linear_trend(_events(spark, rows)).collect()[0]
+    assert r["n"] == 5 and r["slope"] == 1e14

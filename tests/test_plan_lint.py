@@ -12,8 +12,12 @@ that never survive a 100 TB scale-up must not appear anywhere.
   (``ArrowEvalPython`` / ``MapInPandas``); a plain UDF sneaking into a
   plan is a 10-100x regression waiting for scale.
 
-Individual operators have deeper shape pins in test_plan_shapes.py;
-this sweep guarantees no FUTURE corpus entry regresses the two
+Known blind spot: stages upstream of a ``localCheckpoint`` barrier
+appear as pinned ``Scan ExistingRDD`` nodes, so the lint sees only the
+plan AFTER the last barrier of checkpoint-using queries; the operators
+that checkpoint (the dedup family, PMI, shard export) carry their own
+pre-barrier plan-shape pins in test_plan_shapes.py. For everything
+else this sweep guarantees no FUTURE corpus entry regresses the two
 invariants silently.
 """
 
