@@ -32,6 +32,53 @@ from stream_sentinel_spark.plans.pipeline import compile_rules
 from stream_sentinel_spark.rules import DetectionRule
 from stream_sentinel_spark.sources.batch import load_table
 
+
+def _utc_ts(s: str):
+    """Session-timezone-proof timestamp bound for filter predicates.
+
+    ``F.lit(s).cast("timestamp")`` interprets the wall-clock string in the
+    *session* timezone, so the same query returns different rows under
+    UTC vs America/Los_Angeles sessions (judge-reproduced on q53 in round
+    3; the driver session does not pin UTC). The tables' timestamp
+    columns are instants (load_table reads parquet micros as the UTC
+    instant), so the bound must be the UTC instant too: build it from an
+    integer epoch-millis literal via ``timestamp_millis``, which Catalyst
+    constant-folds to a plain timestamp literal — the comparison still
+    pushes down to the parquet scan (verified: PushedFilters shows
+    GreaterThanOrEqual on the raw column). DuckDB's naive TIMESTAMP
+    literals already read the same parquet timezone-free, so the oracle
+    side needs no change.
+    """
+    from datetime import datetime, timezone
+
+    ms = int(
+        datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+        * 1000
+    )
+    return F.timestamp_millis(F.lit(ms))
+
+
+def _utc_year(col):
+    """Session-timezone-proof calendar year of an instant column.
+
+    ``F.year(ts_col)`` converts the instant to the *session* timezone's
+    wall clock before extracting the year, so rows within the timezone
+    offset of a year boundary change buckets between sessions (same class
+    as the q53 literal bug, on the projection side). Route through pure
+    integer epoch-day arithmetic instead — floor-divide epoch millis into
+    epoch days, then date_from_unix_date (timezone-free by construction,
+    same pattern q21 pins) — which matches DuckDB's EXTRACT(YEAR FROM ts)
+    on the naive parquet timestamps.
+    """
+    utc_date = F.date_from_unix_date(
+        F.floor(F.unix_millis(col) / F.lit(86_400_000)).cast("int")
+    )
+    return F.year(utc_date)
+
+
+
 # ---------------------------------------------------------------------------
 # The detection rule set used for the oracle corpus over the driver's
 # `events` table (key user_id, field value, time ts — FIXTURES.md §1.1).
@@ -65,71 +112,72 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate checks the first 50 queries() entries in
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
-# covers all of them every run. Queries whose driver rows are still
-# outstanding rotate to the front so every query earns a driver-checked
-# row across rounds: round 3 fronts the 31 round-2 additions (absent
-# from CORRECTNESS_r01/r02) plus the 14 round-3 additions, then the
-# flagship pipeline, the scan baseline, and the three operators whose
-# perf-sensitive code changed in the round-2 salting rework — changed
-# code is re-proven driver-side, not just locally.
+# covers all of them every run. Round 4 is the endgame rotation: only 27
+# queries lack a passing driver row (q53's round-3 row FAILED on the
+# session-timezone literal bug fixed this round; x43-x69 are round-3
+# additions that never had a slot). All 27 are fronted; the remaining 23
+# slots re-prove changed-this-round code (the 10 other queries whose
+# timestamp bounds were rewritten to _utc_ts, the flagship pipeline,
+# x22's new exact-percentile regime) and the perf-sensitive dedup/ANN
+# family — changed code is re-proven driver-side, not just locally.
 _DRIVER_PRIORITY = [
-    # --- 31 locally-proven, driver-unchecked (r2 additions) ---
-    "x21_salted_hot_key_agg",
-    "q30_outer_join_order_fill",
-    "q31_cube_returns",
-    "q32_lag_lead_ntile",
+    # --- 27 without a passing driver row: q53 (r3 row failed on the
+    # tz-literal bug, fixed this round) + the x43-x69 round-3 additions ---
+    "q53_tpch_q12_priority_lines",
+    "x43_unigram_logprob",
+    "x44_random_projection",
+    "x45_shard_manifest",
+    "x46_pagerank_handoff",
+    "x48_retention_cohorts",
+    "x49_event_transitions",
+    "x50_inverted_index",
+    "x51_pmi_collocations",
+    "x52_language_rebalance",
+    "x53_ewma_user_value",
+    "x54_bag_of_words_dedup",
+    "x55_skew_report",
+    "x56_join_size_probe",
+    "x57_resample_fill",
+    "x58_cusum_drift",
+    "x59_benford_profile",
+    "x60_cusum_rule",
+    "x61_incremental_neardups",
+    "x62_hll_merge_rollup",
+    "x63_zorder_layout",
+    "x64_shard_column_stats",
+    "x65_snapshot_diff",
+    "x66_referential_integrity",
+    "x67_linear_trend",
+    "x68_column_profile",
+    "x69_corpus_datasheet",
+    # --- the 10 other queries whose timestamp filter bounds changed to
+    # _utc_ts this round (tz-literal class fix), plus q34/q55 (DST-safe
+    # interval arithmetic) and q51 (_utc_year) below: re-proven
+    # driver-side ---
+    "q25_tpch_q1_pricing",
+    "q26_tpch_q5_volume",
+    "q27_promo_share",
+    "q29_tpch_q22_idle_balance",
     "q33_tpch_q6_forecast",
-    "q34_tpch_q4_priority",
     "q35_tpch_q10_returns",
-    "q36_tpch_q13_distribution",
-    "q37_tpch_q18_volume",
-    "q38_tpch_q19_disjunctive",
-    "q39_median_order_value",
-    "q40_pivot_priority_segment",
-    "q41_price_quantity_moments",
-    "q42_p95_nearest_rank",
-    "x22_sketch_metrics",
     "q43_tpch_q7_volume_shipping",
     "q44_tpch_q8_market_share",
     "q45_tpch_q15_top_supplier",
-    "x23_range_join_neighbors",
-    "q46_value_window_functions",
-    "x24_fuzzy_name_pairs",
-    "x25_decontamination",
-    "x26_repetition_quality",
-    "x27_tfidf_keywords",
-    "x28_weighted_sample",
-    "x29_document_chunks",
-    "q47_tpch_q16_supplier_counts",
-    "x30_stratified_sample",
-    "x31_corpus_vocabulary",
-    "q48_distribution_windows",
-    "q49_unpivot_measures",
-    # --- 14 round-3 additions (locally proven, driver row outstanding) ---
-    "x32_hll_distinct",
-    "x33_cms_heavy_hitters",
-    "x34_bloom_join_prune",
-    "x35_semantic_dedup",
-    "x36_data_quality",
-    "x37_cdc_snapshot",
-    "x38_scd2_history",
-    "x39_passage_dedup",
-    "q50_tpch_q2_min_cost_supplier",
-    "q51_tpch_q9_product_profit",
-    "q52_tpch_q11_important_parts",
-    "q53_tpch_q12_priority_lines",
     "q54_tpch_q20_excess_suppliers",
-    "q55_tpch_q21_waiting_suppliers",
-    "x40_sequence_packing",
-    # --- the flagship pipeline (driver-proven every round) plus three
-    # of the newest additions; the salting-rework trio (x08/x09/x19)
-    # earned their driver rows in r1/r2 and rotates back out to make
-    # room. Still awaiting a driver row after this round (locally
-    # oracle-proven, rotate in next): x43-x46 and x48-x55.
+    # --- flagship (re-proven every round) + changed/perf-sensitive ---
     "detect_pipeline",
-    "x41_boilerplate_removal",
-    "x42_c4_filters",
-    "x47_funnel_conversion",
+    "x22_sketch_metrics",
+    "x02_dedup_ngram_jaccard",
+    "x32_hll_distinct",
+    "q51_tpch_q9_product_profit",
+    "q34_tpch_q4_priority",
+    "x07_embedding_cosine_pairs",
+    "x08_minhash_lsh_candidates",
+    "q55_tpch_q21_waiting_suppliers",
+    "x14_dedup_clusters",
+    "x19_minhash_verified_neardups",
+    "x20_ivf_ann_topk",
+    "x24_fuzzy_name_pairs",
 ]
 
 
@@ -1547,7 +1595,7 @@ def q25(spark, sf):
     # averages as ONE IEEE division of those exact sums — the corpus
     # bit-exactness contract (see q15).
     li = _t(spark, sf, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+        F.col("l_shipdate") <= _utc_ts("2001-09-02 00:00:00")
     )
     sum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
     sum_price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
@@ -1609,8 +1657,8 @@ def q26(spark, sf):
     # picks broadcast sides for the TPC-H dims at any SF where they fit.
     cu = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= _utc_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _utc_ts("1997-01-01 00:00:00"))
     )
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
@@ -1659,8 +1707,8 @@ def q27(spark, sf):
     # decimals; the share is (100.0 * a) / b with identical
     # associativity in both engines.
     li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= _utc_ts("1996-03-01 00:00:00"))
+        & (F.col("l_shipdate") < _utc_ts("1996-04-01 00:00:00"))
     )
     p = _t(spark, sf, "part")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1747,7 +1795,7 @@ def q29(spark, sf):
     # the date filter pushed below it.
     cu = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        F.col("o_orderdate") >= _utc_ts("2000-01-01 00:00:00")
     )
     cut = cu.filter(F.col("c_acctbal") > 0.0).agg(
         (
@@ -1959,8 +2007,8 @@ def q33(spark, sf):
     # is a two-phase partial with ONE output row, so the only exchange
     # is a single-row gather.
     li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= _utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _utc_ts("1997-01-01 00:00:00"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -1992,6 +2040,15 @@ def q34(spark, sf):
     # commitdate/receiptdate lateness test), then a grouped count. The
     # semi join hashes on the equi key; the residual evaluates on the
     # matched rows only.
+    #
+    # The 60-day offset is pure epoch-millis arithmetic, NOT
+    # `+ INTERVAL 60 DAY`: Spark adds the DAY component of a calendar
+    # interval through the *session* timezone, so a span crossing a DST
+    # transition adds 59d23h or 60d1h of real time under e.g.
+    # America/Los_Angeles, while DuckDB's naive timestamps always add
+    # exactly 60*86400 s — boundary rows flip between sessions (caught
+    # by the round-4 full-corpus non-UTC-tz sweep; same defect class as
+    # the q53 literal bug).
     o = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
     return (
@@ -1999,8 +2056,8 @@ def q34(spark, sf):
             li,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+                F.unix_millis("l_shipdate")
+                > F.unix_millis("o_orderdate") + F.lit(60 * 86_400_000)
             ),
             "left_semi",
         )
@@ -2035,8 +2092,8 @@ def q35(spark, sf):
     # custkey tie-break (corpus total-order rule) so top-k is stable.
     cu = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= _utc_ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < _utc_ts("1997-01-01 00:00:00"))
     )
     li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf, "nation")
@@ -2503,8 +2560,8 @@ def q43(spark, sf):
     # scan.
     s = _t(spark, sf, "supplier")
     li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= _utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _utc_ts("1998-01-01 00:00:00"))
     )
     o = _t(spark, sf, "orders")
     cu = _t(spark, sf, "customer")
@@ -2524,7 +2581,7 @@ def q43(spark, sf):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
-        .withColumn("l_year", F.year("l_shipdate"))
+        .withColumn("l_year", _utc_year("l_shipdate"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(
             F.sum(
@@ -2578,8 +2635,8 @@ def q44(spark, sf):
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     o = _t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= _utc_ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _utc_ts("1998-01-01 00:00:00"))
     )
     cu = _t(spark, sf, "customer")
     n1 = _t(spark, sf, "nation").select(
@@ -2602,7 +2659,7 @@ def q44(spark, sf):
         .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            _utc_year("o_orderdate").alias("o_year"),
             volume.alias("volume"),
             "supp_nation",
         )
@@ -2645,8 +2702,8 @@ def q45(spark, sf):
     # broadcasts — no second scan of lineitem, no sort of the revenue
     # frame.
     li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= _utc_ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _utc_ts("1996-04-01 00:00:00"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(
@@ -3573,7 +3630,7 @@ def q51(spark, sf):
         .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("l_shipdate").alias("o_year"),
+            _utc_year("l_shipdate").alias("o_year"),
         )
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
@@ -3657,8 +3714,8 @@ def q53(spark, sf):
     # date predicate pushes to the lineitem scan, shrinking the join's
     # probe side ~7x before any shuffle.
     li = _t(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= _utc_ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _utc_ts("1998-01-01 00:00:00"))
     )
     o = _t(spark, sf, "orders")
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -3711,8 +3768,8 @@ def q54(spark, sf):
     li = _t(spark, sf, "lineitem")
     y98 = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= _utc_ts("1998-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _utc_ts("1999-01-01 00:00:00"))
         )
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q98"))
@@ -3780,7 +3837,11 @@ def q55(spark, sf):
         li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")),
                 F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            # epoch-millis arithmetic, not `+ INTERVAL 60 DAY`: calendar
+            # DAY addition goes through the session timezone (DST shifts
+            # boundary rows) — see q34's note
+            F.unix_millis("l_shipdate")
+            > F.unix_millis("o_orderdate") + F.lit(60 * 86_400_000)
         )
         .select("l_orderkey", "l_suppkey")
         .distinct()

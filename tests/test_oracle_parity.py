@@ -52,10 +52,15 @@ def test_every_oracle_has_a_query():
 
 def test_driver_priority_rotation():
     """The driver gate covers the first 50 queries() entries. Data-driven
-    invariant: apart from the flagship pipeline (re-proven every round),
-    every gate slot must hold a query with NO row in any recorded
-    CORRECTNESS_r*.json yet — slots spent on already-proven queries are
-    wasted proof opportunities."""
+    invariant: every query WITHOUT a passing driver row in any recorded
+    CORRECTNESS_r*.json must occupy a gate slot — an unproven query left
+    outside the gate is a wasted proof opportunity. (A row counts as
+    passing only if rows/schema matched, the hash didn't mismatch, and no
+    error was recorded — q53's round-3 row failed and so stays in the
+    gate.) Once fewer unproven queries remain than slots, the surplus
+    slots may re-prove already-proven queries (changed or perf-sensitive
+    code), so the old "no proven query in the gate" check no longer
+    applies."""
     import glob
     import json
 
@@ -67,13 +72,23 @@ def test_driver_priority_rotation():
     assert first50 == corpus._DRIVER_PRIORITY
 
     proven: set[str] = set()
+    seen_any = False
     for path in glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")):
+        seen_any = True
         with open(path) as fh:
-            proven |= set(json.load(fh))
-    if not proven:  # fresh clone without driver artifacts: nothing to check
+            for name, row in json.load(fh).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match") is not False
+                    and row.get("err") is None
+                ):
+                    proven.add(name)
+    if not seen_any:  # fresh clone without driver artifacts: nothing to check
         return
-    wasted = (set(first50) & proven) - {"detect_pipeline"}
-    assert not wasted, f"gate slots wasted on driver-proven queries: {sorted(wasted)}"
+    unproven = set(QUERIES) - proven
+    missing = unproven - set(first50)
+    assert not missing, f"unproven queries left outside the driver gate: {sorted(missing)}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
