@@ -3,14 +3,19 @@
 
 Runs the full declared query corpus (``__spark_entry__.queries()``) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]`` and prints JSON lines::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two stdout lines: first the full payload (all 125 per-query timings,
+loadavgs, streaming detail), then a compact summary whose headline keys
+repeat the full payload's — the summary is LAST so a bounded tail
+capture (the driver keeps ~2,000 chars) always contains it intact.
 
 Each query is materialized with the ``noop`` sink (full execution, no
 driver collect, no disk write) — the number measured is the distributed
 plan's wall clock, which is what scales to a cluster. Progress goes to
-stderr; stdout carries exactly the one JSON line.
+stderr; stdout carries exactly the two JSON lines.
 """
 
 from __future__ import annotations
@@ -312,6 +317,38 @@ def main() -> None:
                 "calibration_sec": {"pre": calib_pre, "post": calib_post},
                 "loadavg": {"pre": load_pre, "post": load_post},
                 "query_loadavg_1m": query_load,
+            }
+        ),
+        flush=True,
+    )
+    # The driver records only the last ~2,000 chars of stdout, which the
+    # full payload above (125-entry per-query map) overflows — all three
+    # r1–r3 BENCH records came back `parsed: null`. Emit a compact
+    # summary as the FINAL line so the headline numbers always land
+    # inside the tail; the full per-query payload stays above for humans
+    # and the repo's own bench_sf01*.json archives.
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v == v),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "streaming_events_per_sec": (
+                    streaming.get("events_per_sec")
+                    if isinstance(streaming, dict)
+                    else None
+                ),
+                "calibration_sec": {"pre": calib_pre, "post": calib_post},
+                "queries": slowest,
             }
         ),
         flush=True,
