@@ -58,6 +58,78 @@ def latency_percentiles(df: DataFrame, ms_col: str) -> DataFrame:
     )
 
 
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple[float, ...] = (0.50, 0.95, 0.99),
+    *,
+    exact_max_rows_per_group: int = 10_000_000,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group p50/p95/p99 with an explicit exact/approx regime switch.
+
+    The approx path (``percentile_approx``, mergeable GK summary) is only
+    nearest-rank-EXACT while the summary retains every sample — i.e. up
+    to ``approx_accuracy`` rows per group; beyond that it compresses and
+    the value legitimately departs from DuckDB's ``quantile_disc``. So
+    the regime is chosen by a group-size probe (one map-combined count
+    aggregate collapsed to a single max — dimension-sized collect, the
+    same probe pattern as dedup's regime guards) instead of by
+    accuracy-parameter luck:
+
+    - max group ≤ ``exact_max_rows_per_group``: exact nearest-rank via a
+      per-group sort — ``row_number`` over (group, value) and a
+      ``max(when(rn == ceil(p·n)))`` collapse. One Exchange on the group
+      key; the follow-up groupBy reuses the window's partitioning (no
+      second shuffle), and the distributed sort spills, so 10M-row
+      groups are fine on executors. Values are actual data points, so
+      they are bit-exact across engines (matches ``quantile_disc``).
+    - above the cutoff (the 100 TB regime — billions of rows per group):
+      the GK sketch path, single pass, fixed memory, no sort.
+
+    Output: ``group_col, n_events, p{50,95,99}_{value_col}``.
+    """
+    from pyspark.sql import Window
+
+    probe = df.groupBy(group_col).count().agg(F.max("count")).first()
+    max_n = probe[0] or 0
+    if max_n <= exact_max_rows_per_group:
+        w = Window.partitionBy(group_col).orderBy(value_col)
+        wn = Window.partitionBy(group_col)
+        ranked = df.select(
+            group_col,
+            value_col,
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        return ranked.groupBy(group_col).agg(
+            F.max("_n").alias("n_events"),
+            *[
+                F.max(
+                    F.when(
+                        F.col("_rn")
+                        == F.ceil(F.lit(p) * F.col("_n")).cast("long"),
+                        F.col(value_col),
+                    )
+                ).alias(f"p{int(p * 100)}_{value_col}")
+                for p in ps
+            ],
+        )
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.percentile_approx(value_col, list(ps), approx_accuracy).alias("_pcts"),
+    )
+    return agg.select(
+        group_col,
+        "n_events",
+        *[
+            F.col("_pcts")[i].alias(f"p{int(p * 100)}_{value_col}")
+            for i, p in enumerate(ps)
+        ],
+    )
+
+
 class SentinelMetricsListener(StreamingQueryListener):
     """Streaming metrics harvester.
 

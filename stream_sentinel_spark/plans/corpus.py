@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from stream_sentinel_spark import metrics
 from stream_sentinel_spark.functions.coercion import key_column
 from stream_sentinel_spark.operators import dedup, multimodal, similarity, sketches, text
 from stream_sentinel_spark.plans.pipeline import compile_rules
@@ -2476,48 +2477,48 @@ def q42(spark, sf):
     """,
 )
 def x22(spark, sf):
-    # The scale path for W4/W5-style operational metrics: one pass, fixed
-    # memory. approx_count_distinct is a mergeable HLL++ sketch (map-side
-    # partial merges, no shuffle of raw values — COUNT(DISTINCT) at 100 TB
-    # expands rows per distinct key; the sketch is O(kilobytes) per
-    # partition), and percentile_approx is a mergeable GK quantile summary
-    # — the same fixed-size-reservoir idea as the reference's 350-sample
-    # DescriptiveStatisticsHistogram (SentinelMetrics.java:35-38) but with
-    # error bounds. The compared columns are DETERMINISTIC: at accuracy
-    # 10 000 the GK summary retains every sample below 10k rows/group —
-    # covering the correctness SFs (≤2k rows/group at sf0.01) — so the
-    # percentile IS the exact nearest-rank value (ceil(p·n) — DuckDB's
-    # quantile_disc, verified rank rule); the HLL estimate is compared as
-    # its 3·rsd accuracy bound against the exact distinct count (sketch
-    # bits are engine-specific; the BOUND is the cross-engine contract,
-    # and its exact-count twin here is correctness-gate-only work).
-    # Accuracy deliberately stays at 10k: a 50k-sample summary made the
-    # sf0.1 bench pay 12s of summary-merge work for zero extra proof.
+    # The scale path for W4/W5-style operational metrics with an
+    # explicit exactness regime. approx_count_distinct is a mergeable
+    # HLL++ sketch (map-side partial merges, no shuffle of raw values —
+    # COUNT(DISTINCT) at 100 TB expands rows per distinct key; the
+    # sketch is O(kilobytes) per partition) — the same
+    # fixed-memory-summary idea as the reference's 350-sample
+    # DescriptiveStatisticsHistogram (SentinelMetrics.java:35-38) but
+    # with error bounds. The HLL estimate is compared as its 3·rsd
+    # accuracy bound against the exact distinct count (sketch bits are
+    # engine-specific; the BOUND is the cross-engine contract, and its
+    # exact-count twin here is correctness-gate-only work).
+    #
+    # Percentiles route through metrics.grouped_percentiles, which
+    # probes the max group size and picks the regime explicitly: exact
+    # nearest-rank (bit-equal to DuckDB's quantile_disc at EVERY SF, not
+    # just while percentile_approx's accuracy parameter happens to
+    # retain all samples) for groups up to 10M rows, the mergeable GK
+    # sketch beyond — so the corpus entry is exact wherever the oracle
+    # runs and still has a declared fixed-memory path at 100 TB.
+    #
     # The exact distinct count lives in its OWN aggregation joined back
     # on the (tiny) group key: a COUNT(DISTINCT) in the same groupBy
-    # makes Catalyst Expand every input row for the distinct path, and
-    # the percentile summaries then merge over the doubled row stream
+    # makes Catalyst Expand every input row for the distinct path
     # (measured 8× slower fused than split at sf0.1).
     ev = _t(spark, sf, "events")
+    pcts = metrics.grouped_percentiles(ev, "event_type", "value")
     sketch = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id", 0.01).alias("_hll"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("_pcts"),
     )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("_exact")
     )
     return (
-        sketch.join(F.broadcast(exact), "event_type")
+        pcts.join(F.broadcast(sketch), "event_type")
+        .join(F.broadcast(exact), "event_type")
         .select(
             "event_type", "n_events",
             (
                 F.abs(F.col("_hll") - F.col("_exact"))
                 <= 3 * 0.01 * F.col("_exact")
             ).alias("approx_users_ok"),
-            F.col("_pcts")[0].alias("p50_value"),
-            F.col("_pcts")[1].alias("p95_value"),
-            F.col("_pcts")[2].alias("p99_value"),
+            "p50_value", "p95_value", "p99_value",
         )
         .orderBy("event_type")
     )
