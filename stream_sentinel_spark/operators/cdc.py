@@ -117,16 +117,37 @@ def snapshot_diff(
     usual snapshot contract). Duplicate keys make the full-outer join
     emit one row per a×b pairing of that key — a multiplied,
     self-contradictory diff; dedup or aggregate first if keys repeat.
+
+    NULL key values are matched null-safely (``eqNullSafe`` — still an
+    equi-join key for Spark, so the single-shuffle hash-join shape is
+    unchanged): a row whose key contains NULL and exists in both
+    snapshots diffs as one row, instead of surfacing twice as a
+    contradictory added+removed pair.
     """
     pre_a = a.select(
-        *key_cols, *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
+        *[F.col(c).alias(f"__ka_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__a_{c}") for c in compare_cols],
         F.lit(1).alias("__in_a"),
     )
     pre_b = b.select(
-        *key_cols, *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        *[F.col(c).alias(f"__kb_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
         F.lit(1).alias("__in_b"),
     )
-    joined = pre_a.join(pre_b, key_cols, "full_outer")
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"__ka_{k}").eqNullSafe(F.col(f"__kb_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = pre_a.join(pre_b, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"__ka_{k}"), F.col(f"__kb_{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[F.col(f"__a_{c}") for c in compare_cols],
+        *[F.col(f"__b_{c}") for c in compare_cols],
+        "__in_a",
+        "__in_b",
+    )
     diffs = F.array_compact(
         F.array(
             *[

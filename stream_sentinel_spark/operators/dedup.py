@@ -254,6 +254,7 @@ def ngram_jaccard_pairs(
     # take. Only a bounded corpus (≤100k docs) pays the code kernel +
     # checkpoint, and then the vocabulary probe reads pinned blocks.
     use_bitmask = False
+    arrays = None
     vocab_rows: list = []
     if n <= _CHAR_CODE_MAX_N and df.count() <= _ALLPAIRS_MAX_DOCS:
         sig = _char_code_udf(n)(F.col("_t"))
@@ -315,7 +316,32 @@ def ngram_jaccard_pairs(
         # DIVERSE-VOCAB REGIME (real text): AllPairs prefix filtering
         # over the rarest-first integer dictionary (the ORDER is what
         # the prefix needs — built only on this path).
-        docs, _n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
+        if arrays is not None:
+            # Small-but-diverse corpus: the probe overflowed the bitmask
+            # budget AFTER the code kernel ran and was pinned. The codes
+            # are an injective gram encoding, so ranking THEM
+            # rarest-first yields the same prefix/verify results as the
+            # string dictionary — reuse the checkpointed arrays instead
+            # of throwing the kernel pass away and re-shingling the
+            # corpus from strings (the re-encode was ~80% of this
+            # operator's cost on exactly the corpora that take this
+            # branch).
+            ids = arrays.select("id", F.explode("codes").alias("code"))
+            freq = ids.groupBy("code").agg(F.count(F.lit(1)).alias("df_"))
+            vocab_dim = freq.select(
+                "code",
+                (F.row_number().over(Window.orderBy("df_", "code")) - 1).alias(
+                    "sid"
+                ),
+            ).localCheckpoint(eager=True)
+            docs = (
+                ids.join(F.broadcast(vocab_dim), "code")
+                .groupBy("id")
+                .agg(F.sort_array(F.collect_set("sid")).alias("grams"))
+                .withColumn("sz", F.size("grams"))
+            )
+        else:
+            docs, _n_vocab = _encode_shingle_docs(df, id_col, text_col, n)
         # prefix length p = sz − ceil(t·sz) + 1 (both-sides prefix is
         # exact: J ≥ t ⇒ overlap ≥ ⌈t/(1+t)·(sa+sb)⌉ ≥ ⌈t·sa⌉, pigeonhole)
         prefix = docs.select(

@@ -161,7 +161,14 @@ def hll_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`hll_distinct` (same registers, same branch).
     ``group_col`` may be any SQL expression; ``out_name`` names the
-    emitted group column (defaults to the expression text)."""
+    emitted group column. It defaults to the expression text, which is
+    only valid SQL for a bare identifier — so a non-identifier
+    expression REQUIRES ``out_name`` (asserted here rather than letting
+    DuckDB fail on ``SELECT g AS <expression>``)."""
+    assert out_name or group_col.isidentifier(), (
+        f"group_col {group_col!r} is an expression: pass out_name to name "
+        "the emitted group column"
+    )
     c = repr(_hll_alpha_m2_scaled())
     scale = 1 << (_HLL_SUFFIX_BITS + 1)
     return f"""

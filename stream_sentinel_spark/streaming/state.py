@@ -510,20 +510,36 @@ def _make_event_time_processor(
         st: dict = json.loads(blob) if blob else {"det": {}, "buf": []}
         if not state.hasTimedOut:
             for pdf in pdfs:
-                st["buf"].extend(pdf[buf_cols].to_dict("records"))
+                for r in pdf[buf_cols].to_dict("records"):
+                    # the original-event map is by far the widest buffer
+                    # field and is only READ at flush time — encode it
+                    # once on arrival so each batch's state re-dump
+                    # escapes one flat string per pending row instead of
+                    # re-walking a nested dict per row per batch
+                    r[_EVMAP] = json.dumps(r[_EVMAP])
+                    st["buf"].append(r)
         ready = [r for r in st["buf"] if r[_TSUS] // 1000 <= wm_ms]
         pending = [r for r in st["buf"] if r[_TSUS] // 1000 > wm_ms]
         st["buf"] = pending
         out = None
         if ready:
+            for r in ready:
+                r[_EVMAP] = json.loads(r[_EVMAP])
             out = _run_rules_over_batch(
                 st["det"], [pd.DataFrame(ready, columns=buf_cols)], key,
                 rule_specs, value_cols, order_cols,
             )
-        state.update((json.dumps(st),))
-        if pending:
-            # re-arm: fires as soon as the watermark moves again
-            state.setTimeoutTimestamp(wm_ms + 1)
+        if not pending and not any(st["det"].values()):
+            # nothing buffered and no detector window holds history
+            # (e.g. rules evaluated but never accumulated) — drop the
+            # key's state entirely instead of persisting an empty blob
+            # forever; the key restarts fresh if it speaks again
+            state.remove()
+        else:
+            state.update((json.dumps(st),))
+            if pending:
+                # re-arm: fires as soon as the watermark moves again
+                state.setTimeoutTimestamp(wm_ms + 1)
         if out and out["rule_name"]:
             yield pd.DataFrame(out)
 

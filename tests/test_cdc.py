@@ -109,6 +109,24 @@ def test_snapshot_diff_statuses(spark):
     }  # 2 identical and 3 (null == null, null-safe) are dropped
 
 
+def test_snapshot_diff_null_keys(spark):
+    """A NULL-keyed row present in both snapshots must diff as ONE row
+    (null-safe key match), not as a contradictory added+removed pair."""
+    from stream_sentinel_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(None, 1.0), (1, 10.0)], "k long, v double"
+    )
+    b = spark.createDataFrame(
+        [(None, 2.0), (1, 10.0)], "k long, v double"
+    )
+    rows = snapshot_diff(a, b, ["k"], ["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["k"] is None
+    assert rows[0]["status"] == "changed"
+    assert rows[0]["changed_cols"] == "v"
+
+
 def test_snapshot_diff_include_unchanged(spark):
     from stream_sentinel_spark.operators.cdc import snapshot_diff
 
