@@ -19,6 +19,10 @@ from stream_sentinel_spark.streaming.sources import (
     read_file_stream,
     read_kafka_stream,
 )
+from stream_sentinel_spark.streaming.exactly_once import (
+    kafka_publisher,
+    write_alerts_exactly_once,
+)
 from stream_sentinel_spark.streaming.relational import dedup_events, interval_join
 from stream_sentinel_spark.streaming.state import stateful_alerts
 
@@ -28,11 +32,13 @@ __all__ = [
     "compile_rules_streaming",
     "dedup_events",
     "interval_join",
+    "kafka_publisher",
     "parse_events",
     "read_file_stream",
     "read_kafka_stream",
     "run_available_now",
     "stateful_alerts",
+    "write_alerts_exactly_once",
     "write_alerts_files",
     "write_alerts_kafka",
 ]

@@ -9,9 +9,11 @@ shuffle, on the same key the reference's keyBy uses.
 
 Checkpointing (T4): every writer takes ``checkpoint_location``;
 Structured Streaming's offset/state checkpointing gives exactly-once
-state + at-least-once Kafka publish (the reference claims exactly-once
-end-to-end via Flink, StreamSentinelJob.java:154-165 — delta documented
-in SURVEY §7.4.6).
+state. The built-in Kafka writer below is at-least-once; for parity
+with the reference's EXACTLY_ONCE sink (StreamSentinelJob.java:154-165)
+use :mod:`stream_sentinel_spark.streaming.exactly_once` —
+``write_alerts_exactly_once`` + ``kafka_publisher`` (idempotent keys +
+epoch commit log; restart-replay proven in tests/test_exactly_once.py).
 """
 
 from __future__ import annotations
@@ -105,7 +107,9 @@ def compile_rules_streaming(
 def write_alerts_kafka(
     alerts: DataFrame, config: EngineConfig, *, query_name: str = "sentinel-alerts"
 ) -> StreamingQuery:
-    """S5 — serialized alerts to the alert topic with checkpointing."""
+    """S5 — serialized alerts to the alert topic with checkpointing
+    (at-least-once; see ``exactly_once.write_alerts_exactly_once`` for
+    the exactly-once delivery regime)."""
     return (
         serialize_alerts(alerts)
         .writeStream.format("kafka")
