@@ -1,0 +1,116 @@
+"""Skewed-corpus validation of the dedup family's scale machinery
+(VERDICT r3 item 4) — the in-suite twin of tools/dedup_scale_stress.py.
+
+The generator plants a hot near-dup cluster (single-bucket pair
+explosion) and scattered near-dup pairs with analytically-known ground
+truth; these tests pin, at every-run speed, the claims the recorded
+50k-doc stress (STRESS_r04.json) makes at scale: complete recall on the
+skewed shape, salted-plan result equivalence, and cross-frame recall.
+Set SS_STRESS=1 to run the full 50k stress through pytest.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators.dedup import (
+    _banded_keys,
+    _hot_salted_self_join,
+    minhash_pairs_between,
+    minhash_signatures,
+    minhash_verified_pairs,
+)
+from stream_sentinel_spark.testing import make_skewed_corpus
+
+HOT, PLANTED, N = 200, 150, 2_000
+TRUTH = HOT * (HOT - 1) // 2 + PLANTED
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = make_skewed_corpus(
+        spark, n_docs=N, hot_cluster=HOT, planted_pairs=PLANTED, seed=11
+    )
+    c.docs.localCheckpoint(eager=True)
+    return c
+
+
+def test_x19_complete_recall_on_skewed_corpus(spark, corpus):
+    """Every true pair — the full C(hot,2) cluster plus every planted
+    pair — must come back; nothing from the random background may."""
+    v = minhash_verified_pairs(corpus.docs, "doc_id", "text", threshold=0.8)
+    found = v.localCheckpoint(eager=True)
+    assert found.count() == TRUTH
+    assert found.join(corpus.planted, ["a_id", "b_id"]).count() == PLANTED
+    lo, hi = corpus.hot_ids
+    assert (
+        found.filter((F.col("a_id") >= lo) & (F.col("b_id") < hi)).count()
+        == HOT * (HOT - 1) // 2
+    )
+    # jaccard floor: the generator's max perturbation keeps >= 0.8
+    assert found.agg(F.min("jaccard")).first()[0] >= 0.8
+
+
+def test_salted_self_join_equals_plain_on_hot_buckets(spark, corpus):
+    """Forcing the salted regime (cutoff far below the hot cluster size)
+    must emit the identical distinct pair set as the zero-overhead
+    plan — salting may never add or lose a pair."""
+    sig = minhash_signatures(corpus.docs, "doc_id", "text")
+    keyed = _banded_keys(sig, 64, 16)
+    plain = (
+        _hot_salted_self_join(keyed, ["band", "bucket"])
+        .select("a_id", "b_id").distinct().localCheckpoint(eager=True)
+    )
+    salted = (
+        _hot_salted_self_join(keyed, ["band", "bucket"], cutoff=64)
+        .select("a_id", "b_id").distinct().localCheckpoint(eager=True)
+    )
+    assert plain.join(salted, ["a_id", "b_id"], "left_anti").count() == 0
+    assert salted.join(plain, ["a_id", "b_id"], "left_anti").count() == 0
+
+
+def test_cross_frame_recall_on_skewed_corpus(spark, corpus):
+    """x61 shape: old x new split of the skewed corpus recovers exactly
+    the true cross pairs (hot pairs straddling the split + planted pairs
+    straddling it), never a within-frame pair."""
+    old = corpus.docs.filter(F.col("doc_id") % 5 != 0).localCheckpoint(eager=True)
+    new = corpus.docs.filter(F.col("doc_id") % 5 == 0).localCheckpoint(eager=True)
+    cross = minhash_pairs_between(old, new, "doc_id", "text", threshold=0.8)
+    got = cross.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+    ).localCheckpoint(eager=True)
+
+    planted_cross = corpus.planted.filter(
+        (F.col("a_id") % 5 == 0) != (F.col("b_id") % 5 == 0)
+    )
+    hot_new = HOT // 5
+    truth = hot_new * (HOT - hot_new) + planted_cross.count()
+    # exact verification makes false positives impossible (got ⊆ truth);
+    # recall is probabilistic LSH (16 bands x 4 rows misses a 0.82-ish
+    # Jaccard pair with p ~ 1e-4), so pin a bound, not equality
+    n_got = got.count()
+    assert n_got <= truth
+    assert n_got >= 0.995 * truth, f"cross recall {n_got}/{truth}"
+    n_planted = planted_cross.count()
+    assert got.join(planted_cross, ["a_id", "b_id"]).count() >= n_planted - 1
+    # no within-frame pair: both sides of every emitted pair differ mod 5
+    assert got.filter(
+        (F.col("a_id") % 5 == 0) == (F.col("b_id") % 5 == 0)
+    ).count() == 0
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SS_STRESS"), reason="full 50k stress: set SS_STRESS=1"
+)
+def test_full_scale_stress(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dedup_scale_stress import run
+
+    rec = run(full=False, out_path=str(tmp_path / "stress.json"))
+    assert rec["all_assertions_pass"]
