@@ -275,7 +275,17 @@ def lsh_candidates(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-neighbor candidate pairs: equal signature chunk in ≥1 band."""
+    """Near-neighbor candidate pairs: equal signature chunk in ≥1 band.
+
+    The self-join reuses the dedup family's adaptive hot-bucket salting
+    (:func:`~stream_sentinel_spark.operators.dedup._hot_salted_self_join`
+    — identical shape: a giant embedding cluster concentrates its rows
+    in one (band, chunk-value) bucket, and a bucket of n rows emits
+    C(n,2) pairs from ONE task; cold corpora probe once and keep the
+    zero-overhead plan). The band-key frame is materialized first so the
+    probe and both join sides don't re-derive the signatures."""
+    from stream_sentinel_spark.operators.dedup import _hot_salted_self_join
+
     sig = lsh_signatures(df, id_col, vec_col, bits, dim, seed)
     width = bits // bands
     mask = (1 << width) - 1
@@ -290,14 +300,13 @@ def lsh_candidates(
             for c in range(bands)
         ]
     )
-    chunked = sig.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", "bb.band", "bb.val"
+    chunked = (
+        sig.select("id", F.explode(band_structs).alias("bb"))
+        .select("id", "bb.band", "bb.val")
+        .localCheckpoint(eager=True)
     )
-    a = chunked.select(F.col("id").alias("a_id"), "band", "val")
-    b = chunked.select(F.col("id").alias("b_id"), "band", "val")
     return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        _hot_salted_self_join(chunked, ["band", "val"])
         .select("a_id", "b_id")
         .distinct()
     )

@@ -103,6 +103,74 @@ def test_cross_frame_recall_on_skewed_corpus(spark, corpus):
     ).count() == 0
 
 
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from stream_sentinel_spark.testing import make_skewed_embeddings
+
+    e = make_skewed_embeddings(
+        spark, n_vecs=1_500, hot_cluster=150, planted_pairs=100,
+        n_queries=60, seed=13,
+    )
+    e.vectors.localCheckpoint(eager=True)
+    return e
+
+
+def test_embedding_generator_truth_floor(spark, embeddings):
+    """Every generated true pair must sit above the 0.9 threshold with
+    margin (the analytic floor the stress relies on), and the clustered
+    background must stay below it — checked with the EXACT quadratic
+    operator at a scale where it is affordable."""
+    from stream_sentinel_spark.operators.similarity import cosine_pairs
+
+    exact = cosine_pairs(
+        embeddings.vectors, "vec_id", "embedding", threshold=0.9
+    ).localCheckpoint(eager=True)
+    hot = embeddings.hot_ids[1]
+    truth = hot * (hot - 1) // 2 + 100
+    assert exact.count() == truth, "exact pairs == analytic truth"
+    assert exact.join(embeddings.planted, ["a_id", "b_id"]).count() == 100
+    assert exact.agg(F.min("cos")).first()[0] >= embeddings.min_true_cos
+
+
+def test_lsh_cosine_recall_on_skewed_embeddings(spark, embeddings):
+    """The sign-LSH scale path (x07's regime at scale parameters) must
+    recover nearly all true pairs and never a false one."""
+    from stream_sentinel_spark.operators.similarity import cosine_pairs_lsh
+
+    got = cosine_pairs_lsh(
+        embeddings.vectors, "vec_id", "embedding",
+        threshold=0.9, bits=64, bands=8,
+    ).localCheckpoint(eager=True)
+    hot = embeddings.hot_ids[1]
+    truth = hot * (hot - 1) // 2 + 100
+    n = got.count()
+    assert n <= truth
+    assert n >= 0.98 * truth, f"LSH recall {n}/{truth}"
+    assert got.agg(F.min("cos")).first()[0] >= 0.9
+
+
+def test_ivf_recall_on_clustered_embeddings(spark, embeddings):
+    """x20's IVF path at scale parameters: recall@5 vs exact brute force
+    on held-out queries, with the hot cluster occupying one cell."""
+    from stream_sentinel_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    exact = brute_force_topk(
+        embeddings.vectors, embeddings.queries, "vec_id", "embedding", k=5
+    ).localCheckpoint(eager=True)
+    approx = ivf_topk(
+        embeddings.vectors, embeddings.queries, "vec_id", "embedding",
+        k=5, n_cells=16, nprobe=4,
+    ).localCheckpoint(eager=True)
+    n_exact = exact.count()
+    overlap = approx.select("q_id", "n_id").join(
+        exact.select("q_id", "n_id"), ["q_id", "n_id"]
+    ).count()
+    assert overlap / n_exact >= 0.9, f"IVF recall@5 {overlap}/{n_exact}"
+
+
 @pytest.mark.skipif(
     not os.environ.get("SS_STRESS"), reason="full 50k stress: set SS_STRESS=1"
 )
@@ -110,7 +178,8 @@ def test_full_scale_stress(tmp_path):
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from dedup_scale_stress import run
+    from dedup_scale_stress import run as run_dedup
+    from ann_scale_stress import run as run_ann
 
-    rec = run(full=False, out_path=str(tmp_path / "stress.json"))
-    assert rec["all_assertions_pass"]
+    assert run_dedup(full=False, out_path=str(tmp_path / "s.json"))["all_assertions_pass"]
+    assert run_ann(out_path=str(tmp_path / "sa.json"))["all_assertions_pass"]
