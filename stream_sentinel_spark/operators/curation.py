@@ -87,15 +87,19 @@ def decontaminate(
     forced: at real scale BOTH sides are large, and AQE picks broadcast
     on its own when the test set is small.
     """
+    from stream_sentinel_spark.operators.partitioning import spread_small
+
+    # spread both sides before the gram explosion: dimension-sized
+    # inputs scan as ONE partition and would serialize the tokenize +
+    # n-gram fan-out onto a single core (at-scale inputs pass through)
     t_grams = (
-        test.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_ngrams(text_col, n)).alias("gram"),
-        )
+        spread_small(test.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", F.explode(word_ngrams(text_col, n)).alias("gram"))
         .distinct()
     )
     corpus = (
-        train.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        spread_small(train.select(F.col(text_col)))
+        .select(F.explode(word_ngrams(text_col, n)).alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -547,7 +551,15 @@ def boilerplate_removal(
     reuses the shuffle, and reconstruction re-aggregates by doc_id.
     Corpus-size-linear, no driver pulls.
     """
-    p = df.select(F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("idx", "line"))
+    from stream_sentinel_spark.operators.partitioning import spread_small
+
+    # evaluate the (caller-supplied, possibly expensive) lines expression
+    # ONCE, and spread the dimension-sized scan before the line fan-out —
+    # every x41 stage ran single-task otherwise (see spread_small)
+    src = spread_small(
+        df.select(F.col(id_col).alias("doc_id"), lines.alias("_lines"))
+    )
+    p = src.select("doc_id", F.posexplode("_lines").alias("idx", "line"))
     common = (
         p.groupBy("line")
         .agg(F.count_distinct("doc_id").alias("docfreq"))
@@ -568,8 +580,8 @@ def boilerplate_removal(
             ).alias("cleaned_text"),
         )
     )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"), F.size(lines).cast("bigint").alias("n_lines")
+    totals = src.select(
+        "doc_id", F.size("_lines").cast("bigint").alias("n_lines")
     )
     return totals.join(kept, "doc_id", "left").select(
         "doc_id",

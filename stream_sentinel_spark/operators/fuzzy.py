@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stream_sentinel_spark.operators.partitioning import spread_pairs, spread_small
+
 
 def deletion_variants(text: F.Column | str) -> F.Column:
     """array<string>: the string itself + every single-char deletion,
@@ -57,7 +59,13 @@ def fuzzy_pairs(
             "symmetric-delete blocking implemented for max_distance=1; "
             "use n-gram Jaccard for coarser matching"
         )
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    # spread before the explode: a dimension-sized input scans as one
+    # partition and would serialize the variant fan-out, the collision
+    # join AND the levenshtein verify onto one core (measured at sf0.1:
+    # every x24 stage ran (0+1)/1 — 5.0 s single-task vs 1.9 s spread)
+    base = spread_small(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    )
     variants = base.select(
         "id", "txt", F.explode(deletion_variants(F.col("txt"))).alias("variant")
     )
@@ -79,6 +87,10 @@ def fuzzy_pairs(
         # The texts ride through the distinct so no re-join is needed.
         .select("a_id", "b_id", "a_txt", "b_txt")
         .distinct()
+        # re-spread after the distinct: AQE coalesces that exchange by
+        # BYTES, which would run the DP-cost levenshtein single-task
+        # (same layout fix as the minhash/cosine verify stages)
+        .transform(spread_pairs)
         .withColumn("dist", F.levenshtein("a_txt", "b_txt"))
         .filter(F.col("dist") <= max_distance)
         .select("a_id", "b_id", "dist")
