@@ -14,8 +14,11 @@ capture (the driver keeps ~2,000 chars) always contains it intact.
 
 Each query is materialized with the ``noop`` sink (full execution, no
 driver collect, no disk write) — the number measured is the distributed
-plan's wall clock, which is what scales to a cluster. Progress goes to
-stderr; stdout carries exactly the two JSON lines.
+plan's wall clock, which is what scales to a cluster. An UNTIMED warm
+pass over the whole corpus at sf0.001 precedes the timed loop (round 4)
+so per-query numbers measure steady state, independent of the
+driver-gate rotation order (see the warm-pass comment in main()).
+Progress goes to stderr; stdout carries exactly the two JSON lines.
 """
 
 from __future__ import annotations
@@ -255,6 +258,32 @@ def main() -> None:
     log(f"calibration_pre: {calib_pre}s loadavg={load_pre}")
 
     qmap = entry_mod.queries()
+
+    # Untimed JIT/Arrow warm pass over the WHOLE corpus at sf0.001
+    # before anything is measured — same rationale as the streaming
+    # leg's warm-up stream. Without it, whichever queries run first at
+    # the timed SF absorb the one-time codegen/kernel-compile cost, and
+    # since the corpus iterates in driver-gate rotation order, every
+    # rotation RESHUFFLES that bias (measured: x61 15.9 s JIT-cold vs
+    # 4.7 s steady-state — a 2.4x swing on the same plan). Steady-state
+    # throughput is the metric; the warm pass makes per-query numbers
+    # comparable across rounds regardless of gate order.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    warm_sec = None
+    if warm_dir and os.path.isdir(warm_dir):
+        t0 = time.perf_counter()
+        for name, fn in qmap.items():
+            try:
+                materialize(fn(spark, warm_dir))
+            except Exception as exc:
+                log(f"warm FAIL {name}: {exc}")
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        warm_sec = round(time.perf_counter() - t0, 1)
+        log(f"corpus warm pass: {warm_sec}s (untimed)")
+
     timings: dict[str, float] = {}
     # 1-min loadavg sampled as each query STARTS: a spiked row (e.g. a
     # 3x session-window time that every clean run measures at 0.4 s) is
@@ -314,6 +343,7 @@ def main() -> None:
                 "cpus": cpus,
                 "spark": spark.version,
                 "streaming": streaming,
+                "warm_pass_sec": warm_sec,
                 "calibration_sec": {"pre": calib_pre, "post": calib_post},
                 "loadavg": {"pre": load_pre, "post": load_post},
                 "query_loadavg_1m": query_load,
