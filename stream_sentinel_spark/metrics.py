@@ -95,6 +95,12 @@ def grouped_percentiles(
     probe = df.groupBy(group_col).count().agg(F.max("count")).first()
     max_n = probe[0] or 0
     if max_n <= exact_max_rows_per_group:
+        # NULL discipline must match the approx regime (and DuckDB's
+        # quantile_disc): percentiles over the NON-NULL values only,
+        # n_events over all rows. Ascending sort puts the NULL rows
+        # first (ranks 1.._n-_nv), so the non-null nearest-rank target
+        # is offset by the group's null count instead of filtered out —
+        # same single window pass, no extra shuffle.
         w = Window.partitionBy(group_col).orderBy(value_col)
         wn = Window.partitionBy(group_col)
         ranked = df.select(
@@ -102,6 +108,7 @@ def grouped_percentiles(
             value_col,
             F.row_number().over(w).alias("_rn"),
             F.count(F.lit(1)).over(wn).alias("_n"),
+            F.count(value_col).over(wn).alias("_nv"),
         )
         return ranked.groupBy(group_col).agg(
             F.max("_n").alias("n_events"),
@@ -109,7 +116,8 @@ def grouped_percentiles(
                 F.max(
                     F.when(
                         F.col("_rn")
-                        == F.ceil(F.lit(p) * F.col("_n")).cast("long"),
+                        == (F.col("_n") - F.col("_nv"))
+                        + F.ceil(F.lit(p) * F.col("_nv")).cast("long"),
                         F.col(value_col),
                     )
                 ).alias(f"p{int(p * 100)}_{value_col}")

@@ -102,11 +102,22 @@ def is_epoch_committed(spark: SparkSession, commit_log_dir: str, epoch_id: int) 
     return fs.exists(path)
 
 
+#: Markers older than this many epochs behind the newest are pruned.
+#: Structured Streaming replays at most the one in-flight batch, so any
+#: retention ≥ 1 is semantically safe; a generous window keeps the log
+#: inspectable. Pruning runs every _PRUNE_EVERY commits to amortize the
+#: directory listing.
+_MARKER_RETENTION = 1_000
+_PRUNE_EVERY = 64
+
+
 def commit_epoch(spark: SparkSession, commit_log_dir: str, epoch_id: int) -> None:
     """Atomically record the epoch as fully acknowledged: write a temp
     marker, then rename — rename is the atomicity primitive on HDFS and
     the local FS (the same one Structured Streaming's own commit log
-    relies on)."""
+    relies on). Old markers are pruned periodically (Structured
+    Streaming's own commit log expires entries the same way); without
+    pruning a 10 s trigger writes ~8.6k files/day forever."""
     fs, final = _marker(spark, commit_log_dir, epoch_id)
     fs.mkdirs(final.getParent())
     tmp = final.suffix(".tmp")
@@ -117,6 +128,34 @@ def commit_epoch(spark: SparkSession, commit_log_dir: str, epoch_id: int) -> Non
         out.close()
     if not fs.rename(tmp, final):  # pragma: no cover - FS race
         raise IOError(f"could not commit epoch marker {final}")
+    if int(epoch_id) % _PRUNE_EVERY == 0:
+        prune_markers(spark, commit_log_dir, int(epoch_id) - _MARKER_RETENTION)
+
+
+def prune_markers(
+    spark: SparkSession, commit_log_dir: str, older_than_epoch: int
+) -> int:
+    """Delete epoch markers below ``older_than_epoch``; returns the
+    number removed. Safe at any point: only epochs the streaming engine
+    can never replay again (all < the latest committed) are eligible."""
+    if older_than_epoch <= 0:
+        return 0
+    fs, dirpath = _hadoop_fs(spark, commit_log_dir)
+    if not fs.exists(dirpath):
+        return 0
+    removed = 0
+    for status in fs.listStatus(dirpath):
+        name = status.getPath().getName()
+        if not name.startswith("epoch-"):
+            continue
+        try:
+            epoch = int(name.removeprefix("epoch-"))
+        except ValueError:
+            continue
+        if epoch < older_than_epoch:
+            fs.delete(status.getPath(), False)
+            removed += 1
+    return removed
 
 
 def make_exactly_once_batch_fn(

@@ -524,7 +524,12 @@ def _make_event_time_processor(
         out = None
         if ready:
             for r in ready:
-                r[_EVMAP] = json.loads(r[_EVMAP])
+                # str = current blob format (encoded on arrival above);
+                # dict = a blob written by the pre-encoding version of
+                # this processor — a checkpoint upgraded in place must
+                # keep flushing, not poison every retry with TypeError
+                if isinstance(r[_EVMAP], str):
+                    r[_EVMAP] = json.loads(r[_EVMAP])
             out = _run_rules_over_batch(
                 st["det"], [pd.DataFrame(ready, columns=buf_cols)], key,
                 rule_specs, value_cols, order_cols,

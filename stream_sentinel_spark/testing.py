@@ -42,6 +42,21 @@ _ALPHABET = np.array(list("abcdefghijklmnopqrstuvwxyz"))
 QUERY_ID_OFFSET = 1_000_000_000
 
 
+def stress_session() -> SparkSession:
+    """The one session config both stress tools run under — shared so
+    the dedup and ANN families are always benchmarked under identical
+    settings (same partition count, memory, GC cadence)."""
+    return (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 @dataclass(frozen=True)
 class SkewedCorpus:
     """The generated corpus plus its ground truth handles."""

@@ -160,3 +160,27 @@ def test_filter_is_still_jvm_side(spark):
     alerts = compile_rule(ev, RULE, key_field="user_id", time_col="ts", rule_index=0)
     plan = stamp_alert_uids(serialize_alerts(alerts), 0)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_marker_pruning_bounds_the_commit_log(spark, tmp_path):
+    """The commit log must not grow forever: committing an epoch prunes
+    markers older than the retention window, and pruned epochs read as
+    uncommitted (safe — the engine can never replay that far back)."""
+    from stream_sentinel_spark.streaming import exactly_once as eo
+
+    log_dir = str(tmp_path / "commits")
+    for epoch in (1, 2, 3):
+        eo.commit_epoch(spark, log_dir, epoch)
+    assert all(eo.is_epoch_committed(spark, log_dir, e) for e in (1, 2, 3))
+
+    removed = eo.prune_markers(spark, log_dir, 3)
+    assert removed == 2
+    assert not eo.is_epoch_committed(spark, log_dir, 1)
+    assert eo.is_epoch_committed(spark, log_dir, 3)
+
+    # the periodic hook: a commit at a prune boundary, far enough ahead
+    # that the retention window has passed epoch 3, trims the tail
+    boundary = ((eo._MARKER_RETENTION // eo._PRUNE_EVERY) + 2) * eo._PRUNE_EVERY
+    eo.commit_epoch(spark, log_dir, boundary)
+    assert not eo.is_epoch_committed(spark, log_dir, 3)
+    assert eo.is_epoch_committed(spark, log_dir, boundary)

@@ -154,3 +154,45 @@ def test_metrics_prometheus_exposition():
         assert 'quantile="count"' not in body and "nan" not in body
     finally:
         srv.stop()
+
+
+def test_grouped_percentiles_null_discipline_matches_across_regimes(spark):
+    """NULL values must be excluded from the percentile (the approx
+    regime's percentile_approx and DuckDB's quantile_disc both skip
+    them) while n_events counts every row — in BOTH regimes, so
+    crossing the 10M-row exact/approx cutoff can never change answers
+    on nullable columns."""
+    import duckdb
+
+    from stream_sentinel_spark.metrics import grouped_percentiles
+
+    rows = [("a", float(v)) for v in range(1, 91)] + [("a", None)] * 10
+    rows += [("b", 5.0), ("b", None)]
+    rows += [("c", None), ("c", None)]  # all-null group -> NULL pcts
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    exact = {
+        r["g"]: (r["n_events"], r["p50_v"], r["p95_v"], r["p99_v"])
+        for r in grouped_percentiles(df, "g", "v").collect()
+    }
+    approx = {
+        r["g"]: (r["n_events"], r["p50_v"], r["p95_v"], r["p99_v"])
+        for r in grouped_percentiles(
+            df, "g", "v", exact_max_rows_per_group=0
+        ).collect()
+    }
+    assert exact == approx
+
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT g, count(*), quantile_disc(v, 0.50), "
+            "quantile_disc(v, 0.95), quantile_disc(v, 0.99) "
+            "FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert exact == want
+    assert exact["a"] == (100, 45.0, 86.0, 90.0)
+    assert exact["c"][1] is None

@@ -198,3 +198,51 @@ def test_arrival_order_backend_differs_on_shuffled_input(
         if r["key"] != str(SENTINEL_USER)
     }
     assert streamed != batch
+
+
+def test_processor_tolerates_pre_encoding_state_blob():
+    """A checkpoint written before the encode-on-arrival change stores
+    each buffered row's original-event map as a DICT; the flush path
+    must process both that and the current string encoding instead of
+    poisoning every retry with a TypeError (in-place upgrade safety)."""
+    import json
+
+    from stream_sentinel_spark.streaming import state as S
+
+    spec = {
+        "rule_index": 0, "name": "high_rate", "type": "rate", "field": None,
+        "threshold": 0.0, "window_seconds": 60, "window_size": 0,
+        "deviation_factor": 0.0, "decimal_scale": None, "target": 0.0,
+    }
+    process = S._make_event_time_processor([spec], {}, ())
+
+    old_row = {S._TSUS: 1_000_000, S._EVMAP: {"user_id": "u1", "value": "9.0"}}
+    new_row = {S._TSUS: 2_000_000, S._EVMAP: json.dumps({"user_id": "u1"})}
+    blob = json.dumps({"det": {}, "buf": [old_row, new_row]})
+
+    class FakeState:
+        hasTimedOut = False
+        exists = True
+        get = (blob,)
+
+        def __init__(self):
+            self.updated = None
+            self.removed = False
+
+        def getCurrentWatermarkMs(self):
+            return 10_000  # both buffered rows are ready
+
+        def update(self, t):
+            self.updated = t
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    st = FakeState()
+    out = list(process(("u1",), iter([]), st))
+    assert len(out) == 1 and len(out[0]) == 2, "both formats flushed"
+    assert all(isinstance(ev, dict) for ev in out[0]["original_event"])
+    assert {ev.get("user_id") for ev in out[0]["original_event"]} == {"u1"}

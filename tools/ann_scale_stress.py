@@ -32,20 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-
-
-def _session() -> SparkSession:
-    return (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "24g")
-        .config("spark.cleaner.periodicGC.interval", "1min")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
 
 
 def run(out_path: str) -> dict:
@@ -54,9 +41,9 @@ def run(out_path: str) -> dict:
         cosine_pairs_lsh,
         ivf_topk,
     )
-    from stream_sentinel_spark.testing import make_skewed_embeddings
+    from stream_sentinel_spark.testing import make_skewed_embeddings, stress_session
 
-    spark = _session()
+    spark = stress_session()
     rec: dict = {"sf01_vecs": 2000}
 
     # --- x07 scale path at 20k --------------------------------------------
@@ -77,7 +64,10 @@ def run(out_path: str) -> dict:
     rec["x07_truth_20k"] = truth
     rec["x07_recall_20k"] = round(found / truth, 6)
     rec["x07_planted_recall"] = round(planted_hit / 1_000, 6)
-    rec["x07_min_found_cos"] = round(pairs.agg(F.min("cos")).first()[0], 6)
+    min_cos = pairs.agg(F.min("cos")).first()[0]  # None iff zero pairs —
+    # keep the number informative so a recall collapse fails on the
+    # recall assertion below, not on round(None)
+    rec["x07_min_found_cos"] = round(min_cos, 6) if min_cos is not None else None
     rec["x07_min_true_cos_floor"] = round(e20.min_true_cos, 6)
     print(
         f"x07 at 20k: {found}/{truth} pairs ({rec['x07_recall_20k']}) "

@@ -39,20 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
-
-
-def _session() -> SparkSession:
-    return (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "24g")
-        .config("spark.cleaner.periodicGC.interval", "1min")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
 
 
 def truth_size(hot: int, planted: int) -> int:
@@ -69,9 +56,9 @@ def run(full: bool, out_path: str) -> dict:
         minhash_signatures,
         ngram_jaccard_pairs,
     )
-    from stream_sentinel_spark.testing import make_skewed_corpus
+    from stream_sentinel_spark.testing import make_skewed_corpus, stress_session
 
-    spark = _session()
+    spark = stress_session()
     rec: dict = {"scales": [], "sf01_docs": 5000}
 
     corpora = {}
