@@ -323,6 +323,16 @@ def stateful_alerts(
     so the union with stateless branches keeps reference emission order
     (SURVEY §3.2).
 
+    OPERATIONAL NOTE: with ``state_ttl_ms`` set, the query uses
+    ProcessingTime timeouts, and Spark's ``availableNow``/drain triggers
+    never self-terminate under that time mode — the engine keeps
+    scheduling empty micro-batches to service (even absent) future
+    timers (observed: state fully evicted to 0 rows, 300+ empty batches
+    and counting). TTL is for CONTINUOUS jobs; batch-drain/replay runs
+    (``run_available_now``, availableNow triggers) should leave
+    ``state_ttl_ms=None``. tools/streaming_scale_stress.py drives the
+    TTL leg with a continuous trigger + explicit stop for this reason.
+
     ``state_ttl_ms`` enables idle-key state eviction via processing-time
     timeout: a key with no events for the TTL has its detector state
     dropped (re-created fresh on its next event, exactly like a brand-new

@@ -184,3 +184,84 @@ def test_marker_pruning_bounds_the_commit_log(spark, tmp_path):
     eo.commit_epoch(spark, log_dir, boundary)
     assert not eo.is_epoch_committed(spark, log_dir, 3)
     assert eo.is_epoch_committed(spark, log_dir, boundary)
+
+
+def test_multi_epoch_crash_with_stateful_branch(spark, tmp_path):
+    """The harder shape: several micro-batches (maxFilesPerTrigger=1), a
+    STATEFUL rule in the pipeline (keyed state must replay consistently
+    with the alert stream), and a crash at a MIDDLE epoch. After
+    restart, keyed dedup over the whole wire equals a clean run's
+    alerts: earlier committed epochs are never re-produced, the crashed
+    epoch re-produces identical keys, later epochs produce once."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.streaming import compile_rules_streaming
+
+    rules = [
+        RULE,
+        DetectionRule(
+            name="high_rate", type="rate", key_field="user_id",
+            window_seconds=86_400, threshold=4,
+        ),
+    ]
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev")
+    # deterministic 3-file split -> 3 micro-batches
+    ev.withColumn("_b", F.pmod(F.xxhash64("event_id"), F.lit(3))).write.partitionBy(
+        "_b"
+    ).parquet(src)
+
+    def start(publisher, checkpoint):
+        stream = read_file_stream(
+            spark, src, ev.schema, time_col="ts", watermark=None,
+            max_files_per_trigger=1,
+        )
+        alerts = compile_rules_streaming(
+            stream, rules, key_field="user_id", time_col="ts",
+            order_cols=("event_id",),
+        )
+        return write_alerts_exactly_once(
+            alerts, publish=publisher,
+            checkpoint_location=checkpoint, available_now=True,
+        )
+
+    # clean reference run
+    clean = RecordingPublisher(str(tmp_path / "wire_clean"))
+    q = start(clean, str(tmp_path / "ckpt_clean"))
+    q.awaitTermination()
+    clean_values = sorted(v for _, v in clean.rows())
+    n_epochs = len({p.split("/")[-1].split("-")[0] for p in
+                    __import__("glob").glob(f"{tmp_path}/wire_clean/*.tsv")})
+    assert n_epochs >= 2, "fixture must produce multiple micro-batches"
+
+    # crash run: epoch 0 commits cleanly, the crash lands on epoch 1 —
+    # after its produce, before its marker
+    class CrashSecondEpoch(RecordingPublisher):
+        def __call__(self, keyed, epoch_id):
+            super().__call__(keyed, epoch_id)
+            if epoch_id == 1 and not os.path.exists(
+                os.path.join(self.out_dir, "crashed")
+            ):
+                open(os.path.join(self.out_dir, "crashed"), "w").close()
+                raise RuntimeError("injected crash at epoch 1")
+
+    pub2 = CrashSecondEpoch(str(tmp_path / "wire2"))
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = start(pub2, ckpt2)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    epoch0_attempts = len(pub2.attempts(0))
+    assert epoch0_attempts == 1
+
+    q = start(pub2, ckpt2)
+    q.awaitTermination()
+    # epoch 0 was committed before the crash: never re-produced
+    assert len(pub2.attempts(0)) == 1
+    # epoch 1 was replayed: two attempts, identical key+value sets
+    a1 = pub2.rows(1)
+    n1 = len(a1) // 2
+    assert sorted(a1[:n1]) == sorted(a1[n1:])
+    # delivery contract: keyed dedup over the whole wire == clean run
+    delivered = {k: v for k, v in pub2.rows()}
+    assert sorted(delivered.values()) == clean_values
