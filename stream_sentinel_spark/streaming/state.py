@@ -207,9 +207,23 @@ def _run_rules_over_batch(
     # (ts, *order_cols) is identical.
     ts_np = pdf[_TSUS].to_numpy()
     if order_cols:
-        order = np.lexsort(
-            (*[pdf[c].to_numpy() for c in reversed(order_cols)], ts_np)
-        )
+        # null-safe per-column keys: pandas sort_values puts NA LAST
+        # (na_position default); a raw object-array lexsort would
+        # instead raise TypeError on None-vs-str comparison. Each
+        # column contributes (value-with-filler, is-null) with is-null
+        # the more significant of the two — identical ordering to the
+        # old pandas sort, null-tolerant.
+        keys: list = []
+        for c in reversed(order_cols):
+            col = pdf[c].to_numpy()
+            isnull = pd.isna(col)
+            if isnull.any():
+                filler = 0.0 if col.dtype.kind == "f" else ""
+                keys.append(np.where(isnull, filler, col))
+                keys.append(isnull)
+            else:
+                keys.append(col)
+        order = np.lexsort((*keys, ts_np))
     else:
         order = np.argsort(ts_np, kind="stable")
     ts_arr = ts_np[order]

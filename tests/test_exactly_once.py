@@ -232,7 +232,7 @@ def test_multi_epoch_crash_with_stateful_branch(spark, tmp_path):
     q.awaitTermination()
     clean_values = sorted(v for _, v in clean.rows())
     n_epochs = len({p.split("/")[-1].split("-")[0] for p in
-                    __import__("glob").glob(f"{tmp_path}/wire_clean/*.tsv")})
+                    glob.glob(f"{tmp_path}/wire_clean/*.tsv")})
     assert n_epochs >= 2, "fixture must produce multiple micro-batches"
 
     # crash run: epoch 0 commits cleanly, the crash lands on epoch 1 —
@@ -258,9 +258,13 @@ def test_multi_epoch_crash_with_stateful_branch(spark, tmp_path):
     q.awaitTermination()
     # epoch 0 was committed before the crash: never re-produced
     assert len(pub2.attempts(0)) == 1
-    # epoch 1 was replayed: two attempts, identical key+value sets
+    # epoch 1 was replayed: two attempts, identical key+value sets.
+    # Guard against a vacuously-empty epoch — the replay-determinism
+    # property needs actual alerts to compare.
     a1 = pub2.rows(1)
+    assert a1, "fixture must fire alerts in the crashed epoch"
     n1 = len(a1) // 2
+    assert len(a1) == 2 * n1
     assert sorted(a1[:n1]) == sorted(a1[n1:])
     # delivery contract: keyed dedup over the whole wire == clean run
     delivered = {k: v for k, v in pub2.rows()}

@@ -205,3 +205,35 @@ def test_streaming_session_windows_match_batch(spark, events_src):
         for r in spark.table("session_stream").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_null_order_value_sorts_last_like_pandas():
+    """A NULL tie-break value must sort LAST within its timestamp group
+    (the pandas na_position='last' semantics the numpy rework replaced)
+    and must not crash the processor. CUSUM makes the order observable:
+    evaluating the small value first means only the second (null-order)
+    event crosses the threshold — one alert; the reverse order would
+    fire twice."""
+    import pandas as pd
+
+    from stream_sentinel_spark.streaming.state import _run_rules_over_batch
+
+    spec = {
+        "rule_index": 0, "name": "drift", "type": "cusum", "field": "value",
+        "threshold": 50.0, "window_seconds": 0, "window_size": 0,
+        "deviation_factor": 0.0, "decimal_scale": 2, "target": 0.0,
+    }
+    pdf = pd.DataFrame(
+        {
+            "__ss_ts_us": [1_000_000, 1_000_000],
+            "__ss_event": [{"which": "null-order"}, {"which": "a-order"}],
+            "event_id": [None, "a"],
+            "__ss_v0": [100.0, 1.0],
+        }
+    )
+    st: dict = {}
+    out = _run_rules_over_batch(
+        st, iter([pdf]), ("k",), [spec], {0: "__ss_v0"}, ("event_id",)
+    )
+    assert out["rule_name"] == ["drift"], "exactly one alert => 'a' ran first"
+    assert out["original_event"] == [{"which": "null-order"}]

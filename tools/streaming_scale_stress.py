@@ -5,10 +5,10 @@ The bench protocol streams the sf0.1 events table: 100k events over
 1,500 keys. A 100 TB deployment's pain point is KEY CARDINALITY — state
 rows, not event volume — so this synthesizes a churn-shaped stream
 (most keys appear in exactly one micro-batch, a small hot set recurs
-and actually fires the rules) at 100x the bench's key count, runs the
+and actually fires the rules) at ~200x the bench's key count, runs the
 full 3-rule pipeline on the RocksDB state store, and measures:
 
-- throughput + micro-batch latencies at 600k events / 150k+ distinct
+- throughput + micro-batch latencies at 300k events / ~295k distinct
   keys across 6 micro-batches;
 - state growth WITHOUT TTL: numRowsTotal == every key ever seen (the
   unbounded-by-default reality, reported from the engine's own
@@ -41,7 +41,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 N_EVENTS = 300_000
 N_BATCHES = 6
-HOT_KEYS = 1_000           # recurring keys that actually fire rules
+HOT_KEYS = 100             # recurring keys that actually fire rules
 CHURN_SHARE = 64           # 1 of every CHURN_SHARE rows goes to a hot key
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -69,16 +69,21 @@ class ProgressCapture(StreamingQueryListener):
 
 
 def _make_stream_files(spark, src: str) -> None:
-    """6 parquet files, written in batch order. Row id -> batch b =
-    id // 100k. Key: hot (recurring, fires rate+statistical) for 1/64
-    of rows, else a batch-unique churn key seen exactly once ever."""
+    """6 parquet files, written in batch order. Key: hot (recurring,
+    fires threshold+rate) for 1/CHURN_SHARE of rows, else a row-unique
+    churn key seen exactly once ever. The hot index cycles through the
+    hot-row SEQUENCE (id // CHURN_SHARE), not the raw id — `id %
+    HOT_KEYS` over multiples of 64 would alias to gcd(64, HOT_KEYS)
+    residues and silently shrink the hot set."""
     per_batch = N_EVENTS // N_BATCHES
     base = spark.range(N_EVENTS).select(
         F.col("id"),
         F.concat(F.lit("e"), F.col("id")).alias("event_id"),
         F.when(
             F.col("id") % CHURN_SHARE == 0,
-            F.concat(F.lit("hot"), (F.col("id") % HOT_KEYS)).cast("string"),
+            F.concat(
+                F.lit("hot"), ((F.col("id") / CHURN_SHARE).cast("long") % HOT_KEYS)
+            ).cast("string"),
         )
         .otherwise(F.concat(F.lit("churn"), F.col("id")))
         .alias("user_id"),
@@ -105,6 +110,8 @@ def _make_stream_files(spark, src: str) -> None:
 def _run(spark, src, schema, ttl_ms):
     from stream_sentinel_spark.plans.corpus import DEFAULT_RULES
     from stream_sentinel_spark.streaming import compile_rules_streaming, read_file_stream
+
+    import shutil
 
     cap = ProgressCapture()
     spark.streams.addListener(cap)
@@ -181,6 +188,7 @@ def _run(spark, src, schema, ttl_ms):
         }
     finally:
         spark.streams.removeListener(cap)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run(out_path: str) -> dict:
