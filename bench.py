@@ -7,7 +7,7 @@ Runs the full declared query corpus (``__spark_entry__.queries()``) at
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Two stdout lines: first the full payload (all 125 per-query timings,
+Two stdout lines: first the full payload (every per-query timing,
 loadavgs, streaming detail), then a compact summary whose headline keys
 repeat the full payload's — the summary is LAST so a bounded tail
 capture (the driver keeps ~2,000 chars) always contains it intact.

@@ -161,6 +161,46 @@ def event_transitions(
     )
 
 
+def collapse_runs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Consecutive-duplicate compaction report: per key, how many events
+    repeat the PREVIOUS event's type (a "run" continuation) vs start a
+    new run. Keep-first-of-run is the classic telemetry/CDC compaction
+    — heartbeats, repeated status posts, duplicated sensor readings —
+    where only transitions carry information; this operator measures
+    exactly what that compaction would drop, per key.
+
+    An event is collapsed iff ``lag(type) over (key order by time,
+    order_cols) = type`` — NULL-lag (the key's first event) never
+    compares equal, so every key keeps ≥1 event. Deterministic given a
+    unique (time, order_cols) ordering per key.
+
+    Plan: ONE shuffle for the per-key lag window, then a hash-agg on
+    the same key — AQE reuses the partitioning, so the agg is
+    exchange-free. Scales as a keyed sort, no driver state.
+
+    Returns (user_col, n_events, n_collapsed, n_kept).
+    """
+    w = Window.partitionBy(user_col).orderBy(time_col, *order_cols)
+    is_dup = F.when(
+        F.lag(type_col).over(w) == F.col(type_col), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("_dup", is_dup)
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_dup").alias("n_collapsed"),
+            (F.count(F.lit(1)) - F.sum("_dup")).alias("n_kept"),
+        )
+    )
+
+
 def ewma(
     events: DataFrame,
     value_col: str = "value",

@@ -636,6 +636,107 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram language-model quality score — the order-2 companion to
+    :func:`unigram_logprob`: per-document mean negative conditional
+    log-likelihood ``nll = mean_i( -ln p(w_{i+1}|w_i) )`` with
+    ``p(w2|w1) = count(w1,w2) / count(w1,·)`` estimated from the corpus
+    itself. Unigram nll only sees word RARITY; the bigram score sees
+    word ORDER — shuffled or templated text that reuses common words in
+    improbable sequences scores high here while passing the unigram
+    filter, which is why LM-based curation (CCNet-style) conditions on
+    context.
+
+    Output: ``(doc_id, n_bigrams, nll)`` — docs with fewer than two
+    tokens have no bigram and are absent, mirroring the SQL oracle.
+    ``nll`` is rounded like x43's: ``ln`` is the only transcendental
+    and the round gives ~7 orders of margin over sum-order wobble.
+
+    Scale shape: adjacent-pair explode is codegen (transform over a
+    sequence — no UDF, no self-join on position), then one hash-agg for
+    the pair table, one re-agg of IT for the prefix totals (touches the
+    pair-vocab-sized frame, not the corpus), and one pair equi-join
+    back (AQE broadcasts when the pair vocab is small; both sides key
+    on (w1,w2) otherwise). No driver-side state.
+    """
+    l = F.col("_l")
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size(l) - 1),
+        lambda i: F.struct(
+            F.element_at(l, i).alias("w1"), F.element_at(l, i + 1).alias("w2")
+        ),
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("_l"))
+        .filter(F.size("_l") >= 2)
+        .select("doc_id", F.explode(pair).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    fc = pc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        pairs.join(pc, ["w1", "w2"])
+        .join(fc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log("c1") - F.log("c2")).alias("_m"),
+        )
+        .select("doc_id", "n_bigrams", F.round("_m", round_to).alias("nll"))
+    )
+
+
+def quality_tiles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    tiles: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group quality-quantile selection report — the "keep the top
+    deciles per language" curation step (the RefinedWeb/FineWeb shape:
+    quality thresholds are set per language, not globally, because
+    heuristic scores aren't comparable across languages). Scores every
+    doc with :func:`text.quality_features`'s composite, NTILEs within
+    each group ordered (score DESC, id) — the id tie-break makes tile
+    assignment deterministic for the heavily-tied heuristic scores —
+    and reports each (group, tile)'s size and score stats; a caller
+    keeps tiles 1..k by filtering the scored frame the same way.
+
+    Plan: map-only scoring, one keyed sort for the per-group window
+    (NTILE needs a total order within group only — scales as a keyed
+    sort, the same cost class as x16/x17's rank quotas), then a
+    hash-agg on the (group, tile) key. mean_score is rounded: the
+    thirds in the composite make per-doc scores exact IEEE, but the
+    group SUM's order differs across engines at 1e-16.
+
+    Returns (group_col, tile, n_docs, mean_score, min_score).
+    """
+    from stream_sentinel_spark.operators import text as _text
+
+    scored = _text.quality_features(df, id_col, text_col).select(
+        id_col, "quality_score"
+    ).join(df.select(id_col, group_col), id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("tile", F.ntile(tiles).over(w))
+        .groupBy(group_col, "tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), round_to).alias("mean_score"),
+            F.round(F.min("quality_score"), round_to).alias("min_score"),
+        )
+    )
+
+
 def shard_assignment(
     df: DataFrame,
     id_col: str,

@@ -151,6 +151,12 @@ _DRIVER_PRIORITY = [
     "x67_linear_trend",
     "x68_column_profile",
     "x69_corpus_datasheet",
+    # --- new this round (no driver row yet): containment dedup, bigram
+    # LM filter, run compaction, per-language quality deciles ---
+    "x70_containment_neardups",
+    "x71_bigram_logprob",
+    "x72_collapse_consecutive",
+    "x73_quality_tiles",
     # --- the 10 other queries whose timestamp filter bounds changed to
     # _utc_ts this round (tz-literal class fix), plus q34/q55 (DST-safe
     # interval arithmetic) and q51 (_utc_year) below: re-proven
@@ -165,19 +171,17 @@ _DRIVER_PRIORITY = [
     "q44_tpch_q8_market_share",
     "q45_tpch_q15_top_supplier",
     "q54_tpch_q20_excess_suppliers",
-    # --- flagship (re-proven every round) + changed/perf-sensitive ---
+    # --- flagship (re-proven every round) + changed/perf-sensitive
+    # (x08/x14/x20/x32 rotated out this round to make room for the four
+    # new queries: proven in r01/r03 and untouched since) ---
     "detect_pipeline",
     "x22_sketch_metrics",
     "x02_dedup_ngram_jaccard",
-    "x32_hll_distinct",
     "q51_tpch_q9_product_profit",
     "q34_tpch_q4_priority",
     "x07_embedding_cosine_pairs",
-    "x08_minhash_lsh_candidates",
     "q55_tpch_q21_waiting_suppliers",
-    "x14_dedup_clusters",
     "x19_minhash_verified_neardups",
-    "x20_ivf_ann_topk",
     "x24_fuzzy_name_pairs",
 ]
 
@@ -5048,3 +5052,141 @@ def x69(spark, sf):
             )
         ).alias("r")
     ).select("r.metric", "r.value")
+
+
+@query(
+    "x70_containment_neardups",
+    """
+    WITH sh0 AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(
+               [substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]
+             )) AS shingle
+      FROM documents),
+    dfreq AS (SELECT shingle, COUNT(*) AS d FROM sh0 GROUP BY 1),
+    ranked AS (
+      SELECT shingle, d,
+             ROW_NUMBER() OVER (ORDER BY d) AS r,
+             COUNT(*) OVER () AS nv
+      FROM dfreq),
+    cap AS (
+      SELECT MAX(d) AS c FROM ranked
+      WHERE r <= greatest(1, CAST(ceil(0.2 * nv) AS BIGINT))),
+    sh AS (SELECT id, shingle FROM sh0 JOIN dfreq USING (shingle), cap
+           WHERE d <= c),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    shared AS (
+      SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS shared
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2)
+    SELECT a_id, b_id, shared, sa.sz AS a_sz, sb.sz AS b_sz,
+           CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.id = a_id
+    JOIN sizes sb ON sb.id = b_id
+    WHERE CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+    """,
+)
+def x70(spark, sf):
+    # The dedup family's missing axis: asymmetric CONTAINMENT
+    # |A∩B|/min(|A|,|B|) catches near-subset duplication (a doc quoted
+    # whole inside a longer one) that Jaccard (x02/x19) structurally
+    # under-scores. Scale guard is rare-feature blocking — prefix
+    # filtering has no containment analogue — joining only on the
+    # rarest 20% of the vocabulary by document frequency (exact integer
+    # rank rule, mirrored in the oracle's ROW_NUMBER cutoff), which the
+    # fixture's df distribution showed is the only cutoff family that
+    # stays non-vacuous as df scales with corpus size. Score is int/int
+    # division — bit-identical cross-engine. See
+    # dedup.containment_pairs.
+    return dedup.containment_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        n=3, threshold=0.9, rare_frac=0.2,
+    )
+
+
+@query(
+    "x71_bigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(l[1:len(l)-1]) AS w1,
+             unnest(l[2:len(l)]) AS w2
+      FROM toks WHERE len(l) >= 2),
+    pc AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+    fc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pc GROUP BY 1),
+    d AS (
+      SELECT p.doc_id, COUNT(*) AS n_bigrams,
+             AVG(ln(fc.c1) - ln(pc.c2)) AS m
+      FROM pairs p JOIN pc USING (w1, w2) JOIN fc USING (w1)
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams, round(m, 6) AS nll FROM d
+    """,
+)
+def x71(spark, sf):
+    # Order-2 LM filter (x43's contextual companion): mean
+    # -ln p(w2|w1) per doc from corpus bigram/prefix counts — catches
+    # common-words-in-improbable-order text the unigram score passes.
+    # Pair explode is codegen transform/sequence; counts are two
+    # hash-aggs; the join back is AQE-broadcast for small pair vocabs.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.bigram_logprob(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query(
+    "x72_collapse_consecutive",
+    """
+    WITH o AS (
+      SELECT user_id,
+             CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       = event_type THEN 1 ELSE 0 END AS is_dup
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(is_dup) AS BIGINT) AS n_collapsed,
+           COUNT(*) - CAST(SUM(is_dup) AS BIGINT) AS n_kept
+    FROM o GROUP BY 1
+    """,
+)
+def x72(spark, sf):
+    # Consecutive-duplicate compaction (keep-first-of-run — the
+    # telemetry/CDC heartbeat-collapse shape): per key, events whose
+    # type repeats the previous event vs run starts. One lag-window
+    # shuffle; the same-key agg reuses its partitioning. NULL-lag never
+    # equals, so every key keeps >= 1 event; (ts, event_id) is unique
+    # per key (FIXTURES §1.1), making the lag deterministic.
+    from stream_sentinel_spark.operators import analytics
+
+    return analytics.collapse_runs(_t(spark, sf, "events"))
+
+
+_X73_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+tiled AS (
+  SELECT d.lang, q.quality_score,
+         NTILE(10) OVER (PARTITION BY d.lang
+                         ORDER BY q.quality_score DESC, q.doc_id) AS tile
+  FROM q JOIN documents d ON d.doc_id = q.doc_id)
+SELECT lang, tile, COUNT(*) AS n_docs,
+       round(AVG(quality_score), 6) AS mean_score,
+       round(MIN(quality_score), 6) AS min_score
+FROM tiled GROUP BY 1, 2
+"""
+
+
+@query("x73_quality_tiles", _X73_ORACLE)
+def x73(spark, sf):
+    # Per-language quality-decile selection (the RefinedWeb/FineWeb
+    # "top quantiles per language" step — heuristic scores aren't
+    # comparable across languages, so tiles are assigned within each).
+    # Reuses x04's composite score; the oracle embeds x04's oracle as a
+    # CTE, so the two entries can never drift apart. NTILE is
+    # deterministic via the (score DESC, doc_id) tie-break. One keyed
+    # sort + one small hash-agg; see curation.quality_tiles.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.quality_tiles(
+        _t(spark, sf, "documents"), "doc_id", "text", "lang", tiles=10
+    )

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stream_sentinel_spark.operators.analytics import (
+    collapse_runs,
     event_transitions,
     ewma,
     funnel,
@@ -154,6 +155,51 @@ def test_event_transitions_tie_break_by_event_id(spark):
         for r in event_transitions(_events(spark, rows)).collect()
     }
     assert out == {("a", "b"): 1}
+
+
+# ---------------------------------------------------------------------------
+# collapse_runs (consecutive-duplicate compaction)
+# ---------------------------------------------------------------------------
+
+def test_collapse_runs_counts_run_continuations(spark):
+    rows = [
+        (1, 1, "a", _ts(0), 0.0),
+        (2, 1, "a", _ts(1), 0.0),  # continuation → collapsed
+        (3, 1, "b", _ts(2), 0.0),
+        (4, 1, "a", _ts(3), 0.0),  # run restart after b → kept
+        (5, 2, "a", _ts(0), 0.0),  # single event user: nothing collapses
+    ]
+    out = {
+        r.user_id: (r.n_events, r.n_collapsed, r.n_kept)
+        for r in collapse_runs(_events(spark, rows)).collect()
+    }
+    assert out[1] == (4, 1, 3)
+    assert out[2] == (1, 0, 1)
+
+
+def test_collapse_runs_tie_break_by_event_id(spark):
+    # Same ts: event_id orders a,a → one collapsed; without the
+    # tie-break the result would be nondeterministic.
+    rows = [
+        (2, 1, "a", _ts(0), 0.0),
+        (1, 1, "a", _ts(0), 0.0),
+        (3, 1, "b", _ts(1), 0.0),
+    ]
+    out = {
+        r.user_id: (r.n_events, r.n_collapsed, r.n_kept)
+        for r in collapse_runs(_events(spark, rows)).collect()
+    }
+    assert out[1] == (3, 1, 2)
+
+
+def test_collapse_runs_all_distinct_keeps_everything(spark):
+    rows = [
+        (1, 1, "a", _ts(0), 0.0),
+        (2, 1, "b", _ts(1), 0.0),
+        (3, 1, "c", _ts(2), 0.0),
+    ]
+    out = collapse_runs(_events(spark, rows)).collect()
+    assert out[0].n_collapsed == 0 and out[0].n_kept == 3
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Semantic unit tests for dedup.containment_pairs (corpus entry x70
+locks cross-engine parity; these lock the operator contract on crafted
+inputs — the near-subset case Jaccard misses, and the rare-feature
+blocking semantics)."""
+
+from __future__ import annotations
+
+from stream_sentinel_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_subset_doc_scores_full_containment(spark):
+    # Doc 1's entire shingle set occurs inside doc 2 → containment 1.0,
+    # while Jaccard is |A|/|B| ≈ 6/16 and would miss at any high
+    # threshold. rare_frac=1.0 disables blocking so the score is over
+    # the full shingle universe.
+    df = _docs(
+        spark,
+        [
+            (1, "abcdefgh"),
+            (2, "XXWXYZ abcdefgh QQPQRS"),
+            (3, "entirely different text"),
+        ],
+    )
+    pairs = {
+        (r.a_id, r.b_id): r
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.containment == 1.0
+    assert r.a_sz == 6  # "abcdefgh" → 6 distinct 3-grams
+    assert r.shared == 6
+    # Jaccard on the same pair is far below 0.9 — the case this
+    # operator exists for.
+    jacc = r.shared / (r.a_sz + r.b_sz - r.shared)
+    assert jacc < 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_symmetric_orientation_uses_min_size(spark):
+    # Orientation must not matter: the score divides by the SMALLER
+    # set regardless of which id sorts first.
+    df = _docs(
+        spark,
+        [
+            (10, "XXWXYZ abcdefgh QQPQRS"),  # superset has the lower id
+            (20, "abcdefgh"),
+        ],
+    )
+    rows = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0].a_id, rows[0].b_id) == (10, 20)
+    assert rows[0].containment == 1.0
+
+
+def test_rare_blocking_drops_ubiquitous_only_overlap(spark):
+    # Every doc shares the ubiquitous run "mmmm..." (its shingles have
+    # document frequency 4, the vocabulary's top); docs 1/2 additionally
+    # share df=2 content. The vocabulary is 16 df=1 + 8 df=2 + 2 df=4
+    # shingles, so rare_frac=0.7 → rank ceil(0.7·26)=19 → cutoff df=2:
+    # the shared-content shingles survive, the ubiquitous ones don't.
+    # The 3-4 pair (overlapping ONLY through ubiquitous shingles) must
+    # not surface, while 1-2 must.
+    common = "mmmmmmmm"
+    df = _docs(
+        spark,
+        [
+            (1, f"abcdefgh {common}"),
+            (2, f"abcdefgh {common}"),
+            (3, f"uvqrstuv {common}"),
+            (4, f"kjihgfed {common}"),
+        ],
+    )
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, rare_frac=0.7
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_no_self_pairs_and_ordered_ids(spark):
+    df = _docs(spark, [(5, "abcdefgh"), (6, "abcdefgh"), (7, "abcdefgh")])
+    rows = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0
+    ).collect()
+    got = sorted((r.a_id, r.b_id) for r in rows)
+    assert got == [(5, 6), (5, 7), (6, 7)]
+    assert all(r.containment == 1.0 for r in rows)

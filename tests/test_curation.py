@@ -434,3 +434,64 @@ def test_shard_column_stats_long_form(spark):
     assert sum(r["n_nulls"] for r in prices) == 1
     tags = [by[k] for k in by if k[1] == "tag"]
     assert sum(r["n_nulls"] for r in tags) == 1
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_hand_counts(spark):
+    import math
+
+    # Corpus bigrams: (a,b)x2 from docs 1-2, (a,c)x1 from doc 3.
+    # c1(a)=3, so nll(doc1)=ln(3)-ln(2), nll(doc3)=ln(3)-ln(1)=ln 3.
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    out = {r.doc_id: r for r in curation.bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1].n_bigrams == 1
+    assert out[1].nll == round(math.log(3) - math.log(2), 6)
+    assert out[2].nll == out[1].nll
+    assert out[3].nll == round(math.log(3), 6)
+
+
+def test_bigram_logprob_short_docs_absent(spark):
+    # Zero- and one-token docs have no bigram and emit no row.
+    df = _docs(spark, [(1, "solo"), (2, ""), (3, "x y")])
+    got = {r.doc_id for r in curation.bigram_logprob(df, "doc_id", "text").collect()}
+    assert got == {3}
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    # Same multiset, different order → different bigrams → different
+    # scores (the signal unigram_logprob cannot see).
+    df = _docs(spark, [(1, "a b a b"), (2, "a a b b"), (3, "a b a b")])
+    out = {r.doc_id: r.nll for r in curation.bigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1] == out[3]
+    assert out[1] != out[2]
+
+
+# ---------------------------------------------------------------------------
+# quality_tiles
+# ---------------------------------------------------------------------------
+
+def test_quality_tiles_partitions_per_group(spark):
+    rows = [(i, "the quick brown fox jumps " * (1 + i % 3), ) for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t, "en" if i < 12 else "de") for i, (_, t) in zip(range(20), rows)],
+        "doc_id long, text string, lang string",
+    )
+    out = curation.quality_tiles(df, "doc_id", "text", "lang", tiles=4).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # every group's tile sizes sum to the group's doc count
+    assert sum(r.n_docs for r in by_lang["en"]) == 12
+    assert sum(r.n_docs for r in by_lang["de"]) == 8
+    # tiles are 1..4 and sized within 1 of each other (NTILE contract)
+    for g in by_lang.values():
+        tiles = sorted(r.tile for r in g)
+        assert tiles == [1, 2, 3, 4]
+        sizes = [r.n_docs for r in g]
+        assert max(sizes) - min(sizes) <= 1
+        # mean scores are non-increasing tile by tile (DESC ordering)
+        means = [r.mean_score for r in sorted(g, key=lambda r: r.tile)]
+        assert all(a >= b for a, b in zip(means, means[1:]))
