@@ -411,6 +411,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     rare_frac: float = 0.2,
+    min_size: int = 1,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs:
     ``C(A,B) = |A∩B| / min(|A|,|B|)`` ≥ threshold over character
@@ -448,6 +449,15 @@ def containment_pairs(
     cutoff value itself is ``max`` over a ``limit`` of the sorted
     df-frame — never a corpus-sized sort.
 
+    ``min_size`` floors the BLOCKED set size: with tiny rare-sets the
+    min-denominator makes noise pairs trivially reach 1.0 (two docs
+    sharing their only two rare shingles), so production blockers
+    require ≥ m rare features before a doc participates (measured on
+    the adversarial skewed corpus: the floor removes ~95% of emitted
+    pairs — the small-set noise — while keeping every planted near-dup
+    whose rare-set survives). Floored docs drop BEFORE the self-join,
+    so the floor also cuts pair-generation cost, not just output.
+
     Plan: shingle explode (codegen, :func:`gram_arrays`) → broadcast
     rare-vocab semi join → self equi-join on shingle (bounded fan-out)
     → pair hash-agg → two size joins on the slim pair frame. Score is
@@ -474,6 +484,9 @@ def containment_pairs(
     # unpinned read would re-explode the corpus.
     sh = sh0.join(F.broadcast(rare), "shingle").localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if min_size > 1:
+        sizes = sizes.filter(F.col("sz") >= min_size)
+        sh = sh.join(sizes.select("id"), "id")
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (

@@ -5072,9 +5072,11 @@ def x69(spark, sf):
     cap AS (
       SELECT MAX(d) AS c FROM ranked
       WHERE r <= greatest(1, CAST(ceil(0.2 * nv) AS BIGINT))),
-    sh AS (SELECT id, shingle FROM sh0 JOIN dfreq USING (shingle), cap
-           WHERE d <= c),
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    sh1 AS (SELECT id, shingle FROM sh0 JOIN dfreq USING (shingle), cap
+            WHERE d <= c),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh1 GROUP BY id
+              HAVING COUNT(*) >= 5),
+    sh AS (SELECT sh1.id, shingle FROM sh1 JOIN sizes ON sizes.id = sh1.id),
     shared AS (
       SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS shared
       FROM sh a JOIN sh b USING (shingle)
@@ -5096,12 +5098,15 @@ def x70(spark, sf):
     # rarest 20% of the vocabulary by document frequency (exact integer
     # rank rule, mirrored in the oracle's ROW_NUMBER cutoff), which the
     # fixture's df distribution showed is the only cutoff family that
-    # stays non-vacuous as df scales with corpus size. Score is int/int
-    # division — bit-identical cross-engine. See
-    # dedup.containment_pairs.
+    # stays non-vacuous as df scales with corpus size. The min-size
+    # floor (≥5 rare shingles to participate) is the production noise
+    # guard: tiny rare-sets reach containment 1.0 trivially, and the
+    # floor drops those docs BEFORE the self-join, cutting pair
+    # generation too. Score is int/int division — bit-identical
+    # cross-engine. See dedup.containment_pairs.
     return dedup.containment_pairs(
         _t(spark, sf, "documents"), "doc_id", "text",
-        n=3, threshold=0.9, rare_frac=0.2,
+        n=3, threshold=0.9, rare_frac=0.2, min_size=5,
     )
 
 

@@ -97,3 +97,32 @@ def test_no_self_pairs_and_ordered_ids(spark):
     got = sorted((r.a_id, r.b_id) for r in rows)
     assert got == [(5, 6), (5, 7), (6, 7)]
     assert all(r.containment == 1.0 for r in rows)
+
+
+def test_min_size_floor_drops_tiny_sets(spark):
+    # Docs 8/9 share their ONLY rare shingle-set (2 shingles of "xyzq")
+    # → containment 1.0 over a size-2 set: classic small-set noise.
+    # min_size=3 must drop that pair while keeping the real one.
+    df = _docs(
+        spark,
+        [
+            (1, "abcdefgh"),
+            (2, "abcdefgh"),
+            (8, "xyzq"),
+            (9, "xyzq"),
+        ],
+    )
+    base = {
+        (r.a_id, r.b_id)
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0
+        ).collect()
+    }
+    assert (8, 9) in base and (1, 2) in base
+    floored = {
+        (r.a_id, r.b_id)
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0, min_size=3
+        ).collect()
+    }
+    assert floored == {(1, 2)}

@@ -103,6 +103,40 @@ def test_cross_frame_recall_on_skewed_corpus(spark, corpus):
     ).count() == 0
 
 
+def test_containment_rare_blocking_absorbs_hot_cluster(spark, corpus):
+    """x70 shape on the adversarial corpus: the hot cluster's shingles
+    are the vocabulary's MOST frequent, so rare-feature blocking
+    excludes them by construction — the C(hot,2) pair explosion that
+    forces x19 into salting never reaches x70's join at all. The
+    min-size floor then removes the small-set noise pairs (tiny rare
+    sets trivially reach containment 1.0), leaving exactly the planted
+    near-dups whose rare-set containment clears the threshold."""
+    from stream_sentinel_spark.operators.dedup import containment_pairs
+
+    lo, hi = corpus.hot_ids
+    base = containment_pairs(
+        corpus.docs, "doc_id", "text", n=3, threshold=0.9, rare_frac=0.2
+    ).localCheckpoint(eager=True)
+    # hot-cluster pairs don't survive blocking (vs C(200,2) = 19 900)
+    assert base.filter((F.col("a_id") >= lo) & (F.col("b_id") < hi)).count() <= 5
+    n_planted_base = base.join(corpus.planted, ["a_id", "b_id"]).count()
+    assert n_planted_base >= 0.9 * 150
+
+    floored = containment_pairs(
+        corpus.docs, "doc_id", "text", n=3, threshold=0.9, rare_frac=0.2,
+        min_size=5,
+    ).localCheckpoint(eager=True)
+    n_floor = floored.count()
+    n_planted_floor = floored.join(corpus.planted, ["a_id", "b_id"]).count()
+    # the floor removes ONLY noise: every surviving pair is planted,
+    # and no planted pair that cleared the threshold is lost
+    assert n_floor == n_planted_floor == n_planted_base
+    # floor is a pure subset of the unfloored output
+    assert floored.select("a_id", "b_id").join(
+        base, ["a_id", "b_id"], "left_anti"
+    ).count() == 0
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     from stream_sentinel_spark.testing import make_skewed_embeddings

@@ -24,6 +24,13 @@ What is measured/asserted:
 - x02 (ngram_jaccard_pairs, exhaustive) at 12.5k only — its prefix
   regime is quadratic in the hot cluster by contract; the recorded
   number documents why x19 is the scale path.
+- x70 (containment_pairs, min_size=5) at all three scales: the hot
+  cluster's shingles are the vocab's most frequent, so rare-feature
+  blocking must absorb the C(hot,2) explosion entirely; planted
+  coverage is asserted, and wall time is asserted bounded by the pair
+  space (not sublinear — see the assertion comment for why this
+  fixed-vocab fixture makes the blocked candidate space track the
+  pair space).
 
 Run:  python tools/dedup_scale_stress.py [--full] [--out STRESS.json]
       (--full adds the 6-minute exhaustive x02 oracle pass)
@@ -155,6 +162,42 @@ def run(full: bool, out_path: str) -> dict:
     print(f"salted(256) == plain: {rec['salted_equal']} "
           f"({rec['salted_pairs']} pairs)", flush=True)
 
+    # --- x70 containment: rare blocking must absorb the hot cluster --------
+    # The hot cluster's shingles are the vocabulary's MOST frequent, so
+    # rare-feature blocking excludes them by construction: the C(hot,2)
+    # explosion that forces x19 into salting never reaches x70's pair
+    # join. The min-size floor removes small-set noise; what's left is
+    # planted near-dups whose rare-universe containment clears 0.9.
+    from stream_sentinel_spark.operators.dedup import containment_pairs
+
+    rec["x70"] = []
+    for n, (c, hot, planted) in corpora.items():
+        t0 = time.time()
+        cp = containment_pairs(
+            c.docs, "doc_id", "text", n=3, threshold=0.9, rare_frac=0.2,
+            min_size=5,
+        ).localCheckpoint(eager=True)
+        n_cp = cp.count()
+        dt = time.time() - t0
+        n_hot = cp.filter((F.col("a_id") < hot) & (F.col("b_id") < hot)).count()
+        n_pl = cp.join(c.planted, ["a_id", "b_id"]).count()
+        rec["x70"].append(
+            {
+                "n_docs": n,
+                "pairs": n_cp,
+                "hot_pairs": n_hot,
+                "planted_hit": n_pl,
+                "planted": planted,
+                "sec": round(dt, 2),
+            }
+        )
+        print(f"x70 n={n}: {n_cp} pairs in {dt:.1f}s "
+              f"(hot {n_hot}, planted {n_pl}/{planted})", flush=True)
+    s70 = {r["n_docs"]: r for r in rec["x70"]}
+    rec["x70_time_ratio_50k_over_12k"] = round(
+        s70[50_000]["sec"] / s70[12_500]["sec"], 2
+    )
+
     # --- exhaustive oracle cross-check (optional, quadratic) ---------------
     if full:
         c12, hot12, planted12 = corpora[12_500]
@@ -171,6 +214,19 @@ def run(full: bool, out_path: str) -> dict:
     assert rec["x19_time_ratio_50k_over_12k"] < 8.0, "x19 must be sublinear in pairs"
     assert rec["x61_cross_recall"] >= 0.999
     assert rec["salted_equal"]
+    # x70: hot cluster absorbed by blocking (vs C(hot,2) up to 2M pairs)
+    # and planted coverage stable. Time is NOT asserted sublinear: the
+    # blocked candidate space is ≤ cutoff² per rare shingle, and on this
+    # FIXED-vocab fixture every shingle's df (hence the rank cutoff)
+    # scales with n_docs, so the candidate space grows with the pair
+    # space itself (measured ~9x warm for the 16x pair space). That is
+    # the honest contract: containment blocking bounds cost by the df
+    # distribution's tail, not by LSH-style signature collisions — x19
+    # stays the sublinear path for symmetric near-dup, and production
+    # containment runs cap df absolutely on growing-vocab corpora.
+    assert all(r["hot_pairs"] <= r["n_docs"] // 250 for r in rec["x70"])
+    assert all(r["planted_hit"] >= 0.9 * r["planted"] for r in rec["x70"])
+    assert rec["x70_time_ratio_50k_over_12k"] < 16.0
     rec["all_assertions_pass"] = True
 
     with open(out_path, "w") as fh:
