@@ -404,6 +404,91 @@ def filter_frequent_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     )
 
 
+_CONTAIN_CLASS_VOCAB_MAX = 4096  # rare-vocab gate for the class regime
+_CONTAIN_CLASS_MAX = 4096        # distinct rare-set gate (BNLJ is classes²)
+_CONTAIN_CLASS_COMPRESSION = 4   # require ≥4 docs/class before paying classes²
+
+
+def _containment_by_class(
+    doc_sets: DataFrame, n_docs: int, threshold: float
+) -> DataFrame | None:
+    """Degenerate-universe containment: score DISTINCT rare-sets, not
+    doc pairs. Only reached when the rare vocabulary is tiny (gated by
+    the caller), so the class self-pairing is dimension-table work;
+    returns None when the corpus's rare-sets don't actually collapse —
+    either more distinct sets than ``_CONTAIN_CLASS_MAX``, or less
+    than ``_CONTAIN_CLASS_COMPRESSION``× compression (measured: a
+    near-1× corpus pays 4.6M interpreted ``array_intersect``s in the
+    class BNLJ for nothing the prefix join wouldn't do cheaper) —
+    sending the caller to the prefix path.
+
+    Member-pair explosion happens ONLY for class pairs that pass the
+    threshold, so the enumeration is output-bounded — the whole point
+    vs re-counting every co-occurring doc pair.
+    """
+    classes = (
+        doc_sets.groupBy("grams")
+        .agg(F.collect_list("id").alias("members"))
+        .select(
+            F.monotonically_increasing_id().alias("cid"),
+            "grams",
+            "members",
+            F.size("grams").cast("bigint").alias("sz"),
+        )
+        .localCheckpoint()
+    )
+    n_classes = classes.count()
+    if n_classes > _CONTAIN_CLASS_MAX:
+        return None
+    if n_classes * _CONTAIN_CLASS_COMPRESSION > n_docs:
+        return None
+    a = classes.alias("a")
+    b = classes.alias("b")
+    shared = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast(
+        "bigint"
+    )
+    passed = (
+        a.join(F.broadcast(b), F.col("a.cid") <= F.col("b.cid"))
+        .select(
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            F.col("a.members").alias("ma"),
+            F.col("b.members").alias("mb"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+            shared.alias("shared"),
+        )
+        # shared >= 1 mirrors the join path, which can only generate
+        # pairs that co-occur on at least one shingle
+        .filter(
+            (F.col("shared") >= 1)
+            & (F.col("shared").cast("double") / F.least("sza", "szb") >= threshold)
+        )
+    )
+    pairs = (
+        passed.select(
+            "ca", "cb", "sza", "szb", "shared",
+            F.explode("ma").alias("x"), "mb",
+        )
+        .select("ca", "cb", "sza", "szb", "shared", "x",
+                F.explode("mb").alias("y"))
+        # same class: each unordered member pair once; cross class:
+        # every (x, y) is already unique
+        .filter((F.col("ca") < F.col("cb")) | (F.col("x") < F.col("y")))
+    )
+    swap = F.col("x") < F.col("y")
+    return pairs.select(
+        F.least("x", "y").alias("a_id"),
+        F.greatest("x", "y").alias("b_id"),
+        "shared",
+        F.when(swap, F.col("sza")).otherwise(F.col("szb")).alias("a_sz"),
+        F.when(swap, F.col("szb")).otherwise(F.col("sza")).alias("b_sz"),
+        (F.col("shared").cast("double") / F.least("sza", "szb")).alias(
+            "containment"
+        ),
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -422,11 +507,7 @@ def containment_pairs(
     (RefinedWeb/Dolma-style embedded-content removal) next to the
     symmetric Jaccard family.
 
-    Prefix filtering does NOT apply here: the AllPairs bound is derived
-    from the Jaccard overlap constraint ``⌈t·(|A|+|B|)/(1+t)⌉``, and
-    containment's overlap floor ``t·min(|A|,|B|)`` gives no size-based
-    prefix when |B| is unbounded. The scale guard for containment
-    blocking is instead rare-feature blocking: only the rarest
+    The FIRST scale guard is rare-feature blocking: only the rarest
     ``rare_frac`` of the VOCABULARY (by document frequency) enters the
     pair join — ubiquitous shingles carry no containment signal (they
     match everything), and a distribution-relative cutoff adapts to the
@@ -436,12 +517,10 @@ def containment_pairs(
     scales with corpus size). The cutoff df value is the
     ``ceil(rare_frac·|V|)``-th smallest document frequency — exact
     integer rank arithmetic, so the SQL oracle reproduces it
-    bit-for-bit. Join fan-out is then ≤ cutoff² per shingle with the
-    cutoff pinned to the df distribution's lower tail — a keyed shuffle
-    with bounded skew, never an open self-join. Sets, sizes and the
-    intersection are all computed on the SAME filtered shingle
-    universe, so the reported score is containment within that
-    universe — the semantics production containment blockers ship.
+    bit-for-bit. Sets, sizes and the intersection are all computed on
+    the SAME filtered shingle universe, so the reported score is
+    containment within that universe — the semantics production
+    containment blockers ship.
 
     The vocabulary probe (one ``count`` of the df-frame) is bounded by
     the n-gram alphabet (≲1M for character 3-grams), the same
@@ -458,17 +537,41 @@ def containment_pairs(
     whose rare-set survives). Floored docs drop BEFORE the self-join,
     so the floor also cuts pair-generation cost, not just output.
 
+    The SECOND guard picks the pair-generation strategy from probes,
+    both strategies emitting identical rows by construction:
+
+    - Degenerate-universe class regime (the x02 bitmask move, adapted):
+      when the rare vocabulary is tiny AND documents actually collapse
+      into few equivalent rare-sets (``_CONTAIN_CLASS_VOCAB_MAX`` /
+      ``_CONTAIN_CLASS_MAX`` / a ≥4× compression probe), the score
+      depends only on the two SETS, so distinct rare-sets are scored
+      pairwise and member id pairs explode only for class pairs that
+      PASS — output-bounded. See :func:`_containment_by_class`.
+    - Otherwise, asymmetric prefix filtering: the smaller side of any
+      qualifying pair must collide with the larger side on one of its
+      ``sz − ⌊t·sz⌋ + 1`` rarest shingles (pigeonhole on the overlap
+      floor ``⌈t·min⌉``), so each doc indexes only that prefix and
+      probes in full, then exact sorted-int ``array_intersect``
+      verification. See :func:`_containment_by_prefix`.
+
     Plan: shingle explode (codegen, :func:`gram_arrays`) → broadcast
-    rare-vocab semi join → self equi-join on shingle (bounded fan-out)
-    → pair hash-agg → two size joins on the slim pair frame. Score is
-    one IEEE division of two exact integers — bit-identical
+    rare-vocab semi join with rarest-first int dictionary → pinned
+    per-doc sorted sets → probe-chosen pair generation → exact verify.
+    Score is one IEEE division of two exact integers — bit-identical
     cross-engine, no rounding needed.
     """
     import math
 
-    sh0 = shingles(df, id_col, text_col, n)
+    # Shingle ONCE into pinned per-doc arrays — the standard two-pass
+    # persist: both the frequency pass and the set-building pass explode
+    # from the pinned arrays instead of re-running the substr kernel
+    # over the corpus (measured 2.3 s of the sf0.1 wall). The pin is the
+    # shingled corpus itself; at cluster scale this is a
+    # MEMORY_AND_DISK persist of the frame a two-pass algorithm reuses.
+    ga = gram_arrays(df, id_col, text_col, n).localCheckpoint()
+    sh0 = ga.select("id", F.explode("grams").alias("shingle"))
     # Vocab-sized pin: freq feeds the probe count, the cutoff, and the
-    # rare filter — without it each branch re-explodes the corpus.
+    # rare filter — each unpinned read would re-aggregate the corpus.
     freq = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).localCheckpoint()
     n_vocab = freq.count()
     pos = max(1, math.ceil(rare_frac * n_vocab))
@@ -476,32 +579,111 @@ def containment_pairs(
     rare = (
         freq.crossJoin(F.broadcast(cap_df))  # one-row scalar attachment
         .filter(F.col("df_") <= F.col("_cap"))
-        .select("shingle")
+        .select("shingle", "df_")
     )
-    # Pin the BLOCKED posting list (Σ df over the rare vocab — the
+    # Dense integer sids ordered RAREST-FIRST over the rare vocab (the
+    # x02 dictionary-encode move): ascending sid order ≡ rarest-first,
+    # so a sorted grams array's head IS the prefix-filter index, and
+    # every downstream join key is an int. The ranking window is
+    # vocab-sized (dimension-table work, same justification as
+    # _encode_shingle_docs).
+    vocab = rare.select(
+        "shingle",
+        (F.row_number().over(Window.orderBy("df_", "shingle")) - 1).alias("sid"),
+    )
+    # Pin the BLOCKED per-doc sets (Σ df over the rare vocab — the
     # index a production containment blocker materializes anyway): the
-    # self-join reads it twice and the size agg a third time, and each
-    # unpinned read would re-explode the corpus.
-    sh = sh0.join(F.broadcast(rare), "shingle").localCheckpoint()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    if min_size > 1:
-        sizes = sizes.filter(F.col("sz") >= min_size)
-        sh = sh.join(sizes.select("id"), "id")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # class probe, the prefix index, the probe side, and the verify
+    # joins all read it, and each unpinned read would re-explode the
+    # corpus.
+    doc_sets = (
+        sh0.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("sid")).alias("grams"))
+        .select("id", "grams", F.size("grams").cast("bigint").alias("sz"))
+        .filter(F.col("sz") >= max(min_size, 1))
+        .localCheckpoint()
     )
-    score = F.col("shared").cast("double") / F.least("a_sz", "b_sz")
-    return (
-        shared
-        .join(sizes.select(F.col("id").alias("a_id"), F.col("sz").alias("a_sz")), "a_id")
-        .join(sizes.select(F.col("id").alias("b_id"), F.col("sz").alias("b_sz")), "b_id")
-        .select("a_id", "b_id", "shared", "a_sz", "b_sz", score.alias("containment"))
-        .filter(F.col("containment") >= threshold)
+
+    # Class-regime gate on the rank position (known without an action;
+    # df ties can push the actual rare vocab slightly past it, which
+    # only affects which regime gets TRIED, never the result).
+    if pos <= _CONTAIN_CLASS_VOCAB_MAX:
+        out = _containment_by_class(doc_sets, doc_sets.count(), threshold)
+        if out is not None:
+            return out
+    return _containment_by_prefix(doc_sets, threshold)
+
+
+def _containment_by_prefix(doc_sets: DataFrame, threshold: float) -> DataFrame:
+    """Asymmetric prefix-filtered containment over int-coded rare-sets.
+
+    The symmetric AllPairs prefix (x02's) needs the Jaccard overlap
+    bound; containment's floor is ``o = ⌈t·|S|⌉`` where S is the
+    SMALLER set, so the smaller side alone carries a valid prefix:
+    any subset of S of size ≥ o intersects S's rarest-first prefix of
+    length ``|S| − o + 1`` (pigeonhole), and the larger side must be
+    probed in full. So each doc INDEXES only its prefix but PROBES with
+    every element; candidates are (smaller, larger) pairs colliding on
+    an indexed sid, with (sz, id) lexicographic order deciding the
+    smaller side for ties. Join volume drops from Σ df² to
+    Σ idx_df·df with the index mass concentrated on the rarest sids —
+    measured 8.3M → 1.6M generated rows on the floored sf0.1 fixture
+    (26M before the min-size floor existed). The
+    prefix length uses ``floor`` (not ``ceil``) of ``t·sz``: IEEE can
+    round t·sz a hair ABOVE the true product, and an overshot ceil
+    would shorten the prefix into false negatives, while floor only
+    ever lengthens it by one — conservative, never lossy.
+
+    Verification is exact: candidates are deduplicated, re-spread
+    (AQE coalesces the slim pair frame by bytes — the
+    partitioning.spread_pairs lesson), and joined back to the pinned
+    sets for one sorted-int ``array_intersect`` per pair.
+    """
+    plen = (
+        F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    ).cast("int")
+    idx = doc_sets.select(
+        "id", "sz", F.explode(F.slice("grams", F.lit(1), plen)).alias("sid")
+    )
+    prb = doc_sets.select(
+        F.col("id").alias("pid"),
+        F.col("sz").alias("psz"),
+        F.explode("grams").alias("sid"),
+    )
+    smaller_first = (F.col("sz") < F.col("psz")) | (
+        (F.col("sz") == F.col("psz")) & (F.col("id") < F.col("pid"))
+    )
+    cand = _spread_pairs(
+        idx.join(prb, "sid")
+        .filter(smaller_first)
+        .select(F.col("id").alias("s_id"), F.col("pid").alias("l_id"))
+        .distinct()
+    )
+    s = doc_sets.select(
+        F.col("id").alias("s_id"), F.col("grams").alias("_gs"),
+        F.col("sz").alias("s_sz"),
+    )
+    l = doc_sets.select(
+        F.col("id").alias("l_id"), F.col("grams").alias("_gl"),
+        F.col("sz").alias("l_sz"),
+    )
+    shared = F.size(F.array_intersect("_gs", "_gl")).cast("bigint")
+    verified = (
+        cand.join(s, "s_id")
+        .join(l, "l_id")
+        .select("s_id", "l_id", "s_sz", "l_sz", shared.alias("shared"))
+        # s is the smaller side by construction, so s_sz IS the min
+        .filter(F.col("shared").cast("double") / F.col("s_sz") >= threshold)
+    )
+    swap = F.col("s_id") < F.col("l_id")
+    return verified.select(
+        F.least("s_id", "l_id").alias("a_id"),
+        F.greatest("s_id", "l_id").alias("b_id"),
+        "shared",
+        F.when(swap, F.col("s_sz")).otherwise(F.col("l_sz")).alias("a_sz"),
+        F.when(swap, F.col("l_sz")).otherwise(F.col("s_sz")).alias("b_sz"),
+        (F.col("shared").cast("double") / F.col("s_sz")).alias("containment"),
     )
 
 

@@ -126,3 +126,24 @@ def test_min_size_floor_drops_tiny_sets(spark):
         ).collect()
     }
     assert floored == {(1, 2)}
+
+
+def test_class_regime_equals_prefix_path(spark, monkeypatch):
+    # The two pair-generation strategies (degenerate-universe classes
+    # vs asymmetric prefix filtering) must emit EXACTLY the same rows
+    # (same pairs, same shared/sizes/score) — physical strategies, not
+    # semantics changes. The oracle parity gate is the third
+    # implementation (SQL per-doc join) agreeing on the same output.
+    from stream_sentinel_spark.testing import make_skewed_corpus
+
+    c = make_skewed_corpus(
+        spark, n_docs=400, hot_cluster=40, planted_pairs=30, seed=3
+    )
+    kw = dict(n=3, threshold=0.9, rare_frac=0.2, min_size=5)
+    via_class = dedup.containment_pairs(c.docs, "doc_id", "text", **kw)
+    rows_class = sorted(map(tuple, via_class.collect()))
+    monkeypatch.setattr(dedup, "_CONTAIN_CLASS_VOCAB_MAX", -1)
+    via_join = dedup.containment_pairs(c.docs, "doc_id", "text", **kw)
+    rows_join = sorted(map(tuple, via_join.collect()))
+    assert rows_class == rows_join
+    assert len(rows_class) > 0  # non-vacuous comparison
