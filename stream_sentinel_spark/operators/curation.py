@@ -662,7 +662,13 @@ def bigram_logprob(
     the pair table, one re-agg of IT for the prefix totals (touches the
     pair-vocab-sized frame, not the corpus), and one pair equi-join
     back (AQE broadcasts when the pair vocab is small; both sides key
-    on (w1,w2) otherwise). No driver-side state.
+    on (w1,w2) otherwise). No driver-side state. The tokenized frame is
+    pinned: three consumers — the pair side, the pair counts, and
+    through them the prefix counts — would each re-run the tokenize
+    otherwise (measured 1.4 s → 0.9 s at sf0.1; an explicit
+    spread_small was tried and NET-NEGATIVE here, because a whitespace
+    split is too light to amortize the repartition shuffle the way the
+    x24/x25 Arrow kernels do).
     """
     l = F.col("_l")
     pair = F.transform(
@@ -671,11 +677,13 @@ def bigram_logprob(
             F.element_at(l, i).alias("w1"), F.element_at(l, i + 1).alias("w2")
         ),
     )
-    pairs = (
+    toks = (
         df.select(F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("_l"))
         .filter(F.size("_l") >= 2)
-        .select("doc_id", F.explode(pair).alias("p"))
-        .select("doc_id", "p.w1", "p.w2")
+        .localCheckpoint()
+    )
+    pairs = toks.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
     )
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     fc = pc.groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -720,9 +728,13 @@ def quality_tiles(
     """
     from stream_sentinel_spark.operators import text as _text
 
-    scored = _text.quality_features(df, id_col, text_col).select(
-        id_col, "quality_score"
-    ).join(df.select(id_col, group_col), id_col)
+    # quality_features normalizes its id column's NAME to "doc_id";
+    # rename it back so arbitrary id_col values keep working.
+    scored = (
+        _text.quality_features(df, id_col, text_col)
+        .select(F.col("doc_id").alias(id_col), "quality_score")
+        .join(df.select(id_col, group_col), id_col)
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality_score").desc(), F.col(id_col)
     )

@@ -100,6 +100,14 @@ def gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
 
     Built with sequence+transform — stays in whole-stage codegen;
     array_distinct caps the blow-up at distinct-shingle count per doc.
+
+    The short-doc guard matters for oracle parity: Spark's
+    ``sequence(1, 0)`` DESCENDS ([1, 0]), so without the length gate a
+    sub-n-char doc emits truncated grams (and empty text emits ``['']``)
+    that DuckDB's ``range(1, 1)`` — empty — never produces; one such
+    doc would shift the global df table and x70's rank cutoff
+    corpus-wide. The gate makes both engines agree: no full-length
+    gram → no shingles → doc absent.
     """
     grams = F.array_distinct(
         F.transform(
@@ -109,6 +117,7 @@ def gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
     return (
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .filter(F.length("_t") >= n)
         .select("id", grams.alias("grams"))
         .filter(F.size("grams") > 0)
     )
