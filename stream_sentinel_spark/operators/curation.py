@@ -699,6 +699,78 @@ def bigram_logprob(
     )
 
 
+def bpe_merge_step(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 20,
+    merge_symbol: str = "\x01",
+    display: str = "<M>",
+) -> DataFrame:
+    """One iteration of byte-pair-encoding tokenizer induction
+    (Sennrich et al. 2016): count every adjacent character pair in the
+    corpus, fuse the most frequent pair into a single symbol everywhere
+    (literal left-to-right non-overlapping replace — the BPE merge
+    rule, and exactly what both engines' ``replace`` implements), and
+    report the post-merge pair distribution's top-``top_k``. Ties are
+    broken (count DESC, pair ASC, binary collation) so the winning
+    merge and the reported tail are deterministic cross-engine.
+
+    This is the inner step of tokenizer TRAINING — distinct from x71's
+    word-bigram scoring (quality filtering) and x31's word vocabulary
+    (term stats): the output of repeating this step is the merge table
+    a BPE tokenizer ships. At scale the full training loop repeats
+    this operator, accumulating the (driver-side, model-parameter-
+    sized) merge list; each step is two corpus-wide hash-aggs on a
+    ≤alphabet² pair key plus a map-only rewrite — no shuffle grows
+    with iterations, and the one-row top-pair scalar rides a broadcast.
+
+    Returns (pair, cnt) with the fused symbol rendered as ``display``.
+    """
+
+    def pair_counts(frame: DataFrame, col: str) -> DataFrame:
+        # length gate: Spark's sequence(1, 0) DESCENDS (the
+        # gram_arrays lesson), so sub-2-char rows must be filtered,
+        # matching SQL range()'s empty result.
+        c = F.col(col)
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.length(c) - 1),
+            lambda i: c.substr(i, F.lit(2)),
+        )
+        return (
+            frame.filter(F.length(c) >= 2)
+            .select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    from stream_sentinel_spark.operators.partitioning import spread_small
+
+    # The per-char substr transform is heavy per row, so the
+    # single-partition dimension scan serializes it (the x24 layout
+    # pattern — measured 4.1 s → 1.8 s at sf0.1 with the spread; cf.
+    # bigram_logprob, where the lighter tokenize did NOT pay for one).
+    base = spread_small(df.select(F.col(text_col).alias("_t")))
+    top = (
+        pair_counts(base, "_t")
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("_top"))
+    )
+    merged = base.crossJoin(F.broadcast(top)).select(
+        F.replace(F.col("_t"), F.col("_top"), F.lit(merge_symbol)).alias("_m")
+    )
+    return (
+        pair_counts(merged, "_m")
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(top_k)
+        .select(
+            F.regexp_replace("pair", merge_symbol, display).alias("pair"),
+            "cnt",
+        )
+    )
+
+
 def quality_tiles(
     df: DataFrame,
     id_col: str,

@@ -157,6 +157,7 @@ _DRIVER_PRIORITY = [
     "x71_bigram_logprob",
     "x72_collapse_consecutive",
     "x73_quality_tiles",
+    "x74_bpe_merge_step",
     # --- the 10 other queries whose timestamp filter bounds changed to
     # _utc_ts this round (tz-literal class fix), plus q34/q55 (DST-safe
     # interval arithmetic) and q51 (_utc_year) below: re-proven
@@ -172,14 +173,13 @@ _DRIVER_PRIORITY = [
     "q45_tpch_q15_top_supplier",
     "q54_tpch_q20_excess_suppliers",
     # --- flagship (re-proven every round) + changed/perf-sensitive
-    # (x08/x14/x20/x32 rotated out this round to make room for the four
-    # new queries: proven in r01/r03 and untouched since) ---
+    # (x07/x08/x14/x20/x32 rotated out this round to make room for the
+    # five new queries: proven in r01/r03 and untouched since) ---
     "detect_pipeline",
     "x22_sketch_metrics",
     "x02_dedup_ngram_jaccard",
     "q51_tpch_q9_product_profit",
     "q34_tpch_q4_priority",
-    "x07_embedding_cosine_pairs",
     "q55_tpch_q21_waiting_suppliers",
     "x19_minhash_verified_neardups",
     "x24_fuzzy_name_pairs",
@@ -5195,3 +5195,37 @@ def x73(spark, sf):
     return curation.quality_tiles(
         _t(spark, sf, "documents"), "doc_id", "text", "lang", tiles=10
     )
+
+
+@query(
+    "x74_bpe_merge_step",
+    r"""
+    WITH pairs AS (
+      SELECT substr(text, i, 2) AS pair, COUNT(*) AS cnt
+      FROM documents,
+           LATERAL unnest(range(1, greatest(length(text) - 1, 0) + 1)) AS t(i)
+      GROUP BY 1),
+    top AS (SELECT pair FROM pairs ORDER BY cnt DESC, pair LIMIT 1),
+    merged AS (
+      SELECT replace(text, (SELECT pair FROM top), chr(1)) AS mtext
+      FROM documents),
+    post AS (
+      SELECT substr(mtext, i, 2) AS pair, COUNT(*) AS cnt
+      FROM merged,
+           LATERAL unnest(range(1, greatest(length(mtext) - 1, 0) + 1)) AS t(i)
+      GROUP BY 1),
+    ranked AS (SELECT pair, cnt FROM post ORDER BY cnt DESC, pair LIMIT 20)
+    SELECT regexp_replace(pair, chr(1), '<M>', 'g') AS pair, cnt FROM ranked
+    """,
+)
+def x74(spark, sf):
+    # One BPE tokenizer-induction step (Sennrich et al. 2016): fuse the
+    # corpus's most frequent adjacent character pair and report the
+    # post-merge top-20 pair distribution. The merge is a literal
+    # left-to-right non-overlapping replace in BOTH engines; count
+    # DESC / pair ASC tie-breaks make the winner and the reported tail
+    # deterministic. Two pair-key hash-aggs + a one-row broadcast
+    # scalar + a map-only rewrite; see curation.bpe_merge_step.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.bpe_merge_step(_t(spark, sf, "documents"), "doc_id", "text")

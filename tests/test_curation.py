@@ -495,3 +495,25 @@ def test_quality_tiles_partitions_per_group(spark):
         # mean scores are non-increasing tile by tile (DESC ordering)
         means = [r.mean_score for r in sorted(g, key=lambda r: r.tile)]
         assert all(a >= b for a, b in zip(means, means[1:]))
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_step
+# ---------------------------------------------------------------------------
+
+def test_bpe_merge_step_hand_example(spark):
+    # Corpus "aaab","aab": pairs aa(3), ab(2) -> top merge = "aa".
+    # Left-to-right non-overlapping replace: "aaab"->"<M>ab",
+    # "aab"->"<M>b". Post-merge pairs: <M>a(1), ab(1), <M>b(1).
+    df = _docs(spark, [(1, "aaab"), (2, "aab")])
+    out = {r.pair: r.cnt for r in curation.bpe_merge_step(df, "doc_id", "text").collect()}
+    assert out == {"<M>a": 1, "ab": 1, "<M>b": 1}
+
+
+def test_bpe_merge_step_tie_break_and_short_docs(spark):
+    # "ba" and "ab" both occur twice -> lexicographic tie-break picks
+    # "ab" as the merge; sub-2-char docs contribute no pairs.
+    df = _docs(spark, [(1, "abab"), (2, "ba"), (3, "x"), (4, "")])
+    out = {r.pair: r.cnt for r in curation.bpe_merge_step(df, "doc_id", "text").collect()}
+    # "abab" -> "<M><M>", "ba" unchanged (no "ab" inside)
+    assert out == {"<M><M>": 1, "ba": 1}
