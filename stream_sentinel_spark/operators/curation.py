@@ -750,7 +750,9 @@ def bpe_merge_step(
     # single-partition dimension scan serializes it (the x24 layout
     # pattern — measured 4.1 s → 1.8 s at sf0.1 with the spread; cf.
     # bigram_logprob, where the lighter tokenize did NOT pay for one).
-    base = spread_small(df.select(F.col(text_col).alias("_t")))
+    # Pinned: the top-pair agg and the merge rewrite each consume the
+    # frame, and an unpinned base re-runs the scan + spread per branch.
+    base = spread_small(df.select(F.col(text_col).alias("_t"))).localCheckpoint()
     top = (
         pair_counts(base, "_t")
         .orderBy(F.desc("cnt"), F.asc("pair"))
@@ -764,8 +766,13 @@ def bpe_merge_step(
         pair_counts(merged, "_m")
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(top_k)
+        # F.replace, not regexp_replace: merge_symbol/display are
+        # parameters and must substitute LITERALLY (a '.' symbol would
+        # otherwise match every character as a regex).
         .select(
-            F.regexp_replace("pair", merge_symbol, display).alias("pair"),
+            F.replace(F.col("pair"), F.lit(merge_symbol), F.lit(display)).alias(
+                "pair"
+            ),
             "cnt",
         )
     )

@@ -109,9 +109,11 @@ def gram_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     corpus-wide. The gate makes both engines agree: no full-length
     gram → no shingles → doc absent.
     """
+    # The length filter precedes the projection, so the sequence end is
+    # always ≥ 1 — no descending-sequence hazard left to guard.
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length("_t") - (n - 1)),
             lambda i: F.col("_t").substr(i, F.lit(n)),
         )
     )
