@@ -457,3 +457,96 @@ def linear_trend(
             6,
         ).alias("intercept"),
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    k: float = 3.0,
+    consistency: float = 1.4826,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key robust outlier report via median / MAD (median absolute
+    deviation) — the screening companion to the mean/σ statistical
+    detector (`operators/statistical.py`): a z-score's mean and σ are
+    themselves dragged by the outliers they're meant to flag, while the
+    median/MAD pair has a 50% breakdown point (Hampel's rule; the
+    ``consistency`` factor 1.4826 rescales MAD to σ under normality).
+
+    Medians are EXACT and rank-based — the middle element(s) by the
+    total order (value ASC, ``order_col`` ASC), averaged when the count
+    is even. The tie-break makes row_number deterministic, and "avg of
+    at most two doubles" is order-insensitive, so both engines compute
+    identical medians bit-for-bit — no interpolating percentile
+    implementation is trusted to agree cross-engine. NULL values are
+    excluded up front (engines disagree on NULL sort placement).
+
+    A row is an outlier when |v − median| > k · consistency · MAD,
+    computed from bit-identical doubles on both sides, so the strict
+    comparison agrees even at near-threshold values. MAD = 0 (> half
+    the key's values identical) flags every deviating row — the
+    conventional degenerate-regime reading.
+
+    Plan shape: two rank windows per key (one sort each) + two
+    broadcast joins of the per-key scalars. Exact per-key medians
+    require a per-key total order; for the LOW-cardinality keys here
+    (5 event types) each window is one fat sorted partition — the
+    honest cost of exactness. At 100 TB cardinality-5 keys, switch to
+    ``approx_percentile`` (documented approx regime, same report
+    shape) or a two-pass histogram selection; for high-cardinality
+    keys (user_id) the sorts are ordinary balanced keyed windows and
+    this exact form scales as-is.
+
+    Returns (key, n_events, median_value, mad, n_outliers).
+    """
+    base = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(order_col).alias("_oid"),
+            F.col(value_col).alias("_v"),
+        )
+    )
+    w_all = Window.partitionBy("_k")
+
+    def middle_avg(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = Window.partitionBy("_k").orderBy(F.asc(col), F.asc("_oid"))
+        ranked = frame.select(
+            "_k",
+            F.col(col),
+            F.row_number().over(w_rank).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+        )
+        return (
+            ranked.filter(
+                (F.col("_rn") == F.expr("(_n+1) DIV 2"))
+                | (F.col("_rn") == F.expr("(_n+2) DIV 2"))
+            )
+            .groupBy("_k")
+            .agg(F.avg(col).alias(out))
+        )
+
+    med = middle_avg(base, "_v", "_med")
+    dev = base.join(F.broadcast(med), "_k").select(
+        "_k", "_oid", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_dev")
+    )
+    mad = middle_avg(dev, "_dev", "_mad")
+    return (
+        dev.join(F.broadcast(mad), "_k")
+        .groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("_med"), round_to).alias("median_value"),
+            F.round(F.min("_mad"), round_to).alias("mad"),
+            F.sum(
+                (
+                    F.col("_dev") > F.lit(k) * F.lit(consistency) * F.col("_mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            F.col("_k").alias(key_col), "n_events", "median_value", "mad", "n_outliers"
+        )
+    )

@@ -778,6 +778,170 @@ def bpe_merge_step(
     )
 
 
+# A small BPE merge table over the fixture vocabulary (what iterating
+# :func:`bpe_merge_step` learns): ordered, earlier merges feed later ones
+# ("v"+"al" and "val"+"ue" only fire after "a"+"l" / "u"+"e").
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("a", "l"),
+    ("u", "e"),
+    ("v", "al"),
+    ("val", "ue"),
+    ("s", "c"),
+    ("sc", "a"),
+)
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES,
+    top_k: int = 30,
+    boundary: str = "\x01",
+) -> DataFrame:
+    """Apply a learned BPE merge table (the ENCODE side of x74's
+    tokenizer-induction step) and report the resulting subword token
+    distribution's top-``top_k`` by (count DESC, token ASC).
+
+    Encoding is vocabulary-first — the scale-critical choice: word
+    frequencies are counted ONCE (one corpus-wide hash-agg on the word
+    key), the merge chain runs only over the DISTINCT vocabulary (Heaps'
+    law: ≪ corpus size, and independent of corpus growth for a fixed
+    domain), and subword counts recombine as ``Σ word_freq`` — a 100 TB
+    corpus pays the per-word merge scan on millions of distinct words,
+    not trillions of running words.
+
+    Each character is wrapped in its own ``boundary`` delimiters
+    (``the`` → ``␁t␁␁h␁␁e␁``) so a merge is the literal replace
+    ``␁a␁␁b␁ → ␁ab␁``: the match consumes both symbols' full wrappers
+    and adjacent merge sites never share a separator, unlike a
+    single-space encoding where ``a b a b`` loses its second site to
+    the shared middle space. Merges apply IN TABLE ORDER, one full
+    left-to-right non-overlapping pass per merge — both engines'
+    ``replace`` semantics, so the encoding is deterministic
+    cross-engine. ``boundary`` must not occur in the text (the default
+    ``\\x01`` cannot appear in the fixture's ``[a-z ]`` corpus).
+
+    Greedy caveat (documented, identical in both engines): one pass per
+    merge in table order is the standard fast BPE application, not the
+    reference "lowest-merge-rank-first until fixpoint" loop; for merge
+    tables whose right sides feed earlier rules' left sides the
+    encodings can differ. The default table is ordered so every
+    feeding merge precedes its consumer.
+    """
+    words = (
+        df.select(F.explode(word_tokens(text_col)).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_wn"))
+    )
+    seq = F.regexp_replace(F.col("_w"), "(.)", f"{boundary}$1{boundary}")
+    for a, b in merges:
+        seq = F.replace(
+            seq,
+            F.lit(f"{boundary}{a}{boundary}{boundary}{b}{boundary}"),
+            F.lit(f"{boundary}{a}{b}{boundary}"),
+        )
+    enc = words.select(seq.alias("_s"), "_wn")
+    toks = enc.select(
+        # trim the outer delimiters, then split on the doubled inner
+        # ones (F.split is regex — \x01 has no metacharacter meaning,
+        # but escape-by-brackets keeps that true for any boundary).
+        F.explode(
+            F.split(F.expr(f"trim(BOTH '{boundary}' FROM _s)"), f"[{boundary}]{{2}}")
+        ).alias("token"),
+        "_wn",
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("_wn").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    buckets: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): per-document importance log-weights from hashed
+    unigram features — the standard "make the crawl look like the
+    curated target domain" selection step. ``target`` is a boolean
+    Column marking target-domain rows (e.g. ``F.col("source")
+    .isin("wiki")``); the raw distribution is the whole input.
+
+    Per token, the feature is an md5-derived bucket in ``[0, buckets)``
+    (engine-portable: ``('0x' || substr(md5(w),1,8))::BIGINT %
+    buckets`` — the same construction as sampling's ``_md5_bucket``).
+    Bucket unigram models with add-1 smoothing give each doc
+
+        score = Σ_b n_b · [ln p_target(b) − ln p_raw(b)] / Σ_b n_b
+
+    (the length-normalized mean importance log-ratio; DSIR then keeps a
+    Gumbel-top-k sample by this weight — composable with
+    ``sampling.weighted_sample``). Output: (doc_id, n_tokens,
+    dsir_score rounded to ``round_to``); docs with no tokens are
+    absent (no feature evidence either way).
+
+    Scale shape: the token explode feeds a (doc, bucket) hash-agg with
+    map-side partial aggregation (≤``buckets`` rows per doc survive the
+    map side); the bucket count tables are ≤``buckets`` rows — model
+    parameters, broadcast to the per-doc join; the final per-doc agg is
+    the only corpus-sized shuffle. Nothing iterates, nothing collects.
+    Determinism: the log-ratio is composed from identical double ops on
+    identical integer counts in both engines; only the per-doc sum
+    order differs, absorbed by the rounding (≤ hundreds of same-scale
+    terms per doc at round 6).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            target.alias("_tgt"),
+            F.explode(word_tokens(text_col)).alias("_w"),
+        ).filter(F.col("_w") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    toks = toks.select("doc_id", "_tgt", bucket.alias("_b"))
+    raw = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt = toks.filter("_tgt").groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    n_raw = raw.agg(F.sum("_cr").alias("_nr"))
+    n_tgt = tgt.agg(F.sum("_ct").alias("_nt"))
+    log_ratio = (
+        # composed EXACTLY as the oracle writes it — same expression
+        # tree, same IEEE ops, bit-identical per bucket.
+        (F.log(F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)) - F.log(F.col("_nt") + F.lit(buckets)))
+        - (F.log(F.col("_cr") + F.lit(1)) - F.log(F.col("_nr") + F.lit(buckets)))
+    )
+    lr_tab = (
+        raw.join(tgt, "_b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select("_b", log_ratio.alias("_lr"))
+    )
+    return (
+        toks.groupBy("doc_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(lr_tab), "_b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("_n") * F.col("_lr")) / F.sum("_n"), round_to).alias(
+                "dsir_score"
+            ),
+        )
+    )
+
+
 def quality_tiles(
     df: DataFrame,
     id_col: str,

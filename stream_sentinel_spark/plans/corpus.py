@@ -152,12 +152,16 @@ _DRIVER_PRIORITY = [
     "x68_column_profile",
     "x69_corpus_datasheet",
     # --- new this round (no driver row yet): containment dedup, bigram
-    # LM filter, run compaction, per-language quality deciles ---
+    # LM filter, run compaction, per-language quality deciles, BPE
+    # induct/apply, DSIR selection, median/MAD outliers ---
     "x70_containment_neardups",
     "x71_bigram_logprob",
     "x72_collapse_consecutive",
     "x73_quality_tiles",
     "x74_bpe_merge_step",
+    "x75_bpe_apply",
+    "x76_dsir_weights",
+    "x77_robust_outliers",
     # --- the 10 other queries whose timestamp filter bounds changed to
     # _utc_ts this round (tz-literal class fix), plus q34/q55 (DST-safe
     # interval arithmetic) and q51 (_utc_year) below: re-proven
@@ -173,16 +177,15 @@ _DRIVER_PRIORITY = [
     "q45_tpch_q15_top_supplier",
     "q54_tpch_q20_excess_suppliers",
     # --- flagship (re-proven every round) + changed/perf-sensitive
-    # (x07/x08/x14/x20/x32 rotated out this round to make room for the
-    # five new queries: proven in r01/r03 and untouched since) ---
+    # (x07/x08/x14/x20/x32 rotated out earlier; q55/x19/x24 rotated out
+    # for the three newest queries — q55 is locally sf0.01-green and
+    # r01-proven, x24's round-4 change was plan-layout only, and x19's
+    # only changed lineage, gram_arrays, is re-proven via x02) ---
     "detect_pipeline",
     "x22_sketch_metrics",
     "x02_dedup_ngram_jaccard",
     "q51_tpch_q9_product_profit",
     "q34_tpch_q4_priority",
-    "q55_tpch_q21_waiting_suppliers",
-    "x19_minhash_verified_neardups",
-    "x24_fuzzy_name_pairs",
 ]
 
 
@@ -5229,3 +5232,133 @@ def x74(spark, sf):
     from stream_sentinel_spark.operators import curation
 
     return curation.bpe_merge_step(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _x75_oracle() -> str:
+    # Built from the SAME merge table the Spark side applies
+    # (curation.DEFAULT_BPE_MERGES) — the encode chain cannot drift
+    # between engines. chr(1) is the symbol-boundary delimiter; each
+    # merge is the literal replace ␁a␁␁b␁ → ␁ab␁ (see
+    # curation.bpe_apply for why per-symbol wrapping beats a
+    # space-separated encoding at adjacent merge sites).
+    from stream_sentinel_spark.operators.curation import DEFAULT_BPE_MERGES
+
+    seq = r"regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g')"
+    for a, b in DEFAULT_BPE_MERGES:
+        seq = (
+            f"replace({seq}, chr(1)||'{a}'||chr(1)||chr(1)||'{b}'||chr(1),"
+            f" chr(1)||'{a}{b}'||chr(1))"
+        )
+    return f"""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS wn FROM words WHERE w <> '' GROUP BY 1),
+    enc AS (SELECT {seq} AS s, wn FROM wc),
+    toks AS (SELECT unnest(string_split(trim(s, chr(1)), chr(1)||chr(1))) AS token,
+                    wn
+             FROM enc)
+    SELECT token, CAST(SUM(wn) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30
+    """
+
+
+@query("x75_bpe_apply", _x75_oracle())
+def x75(spark, sf):
+    # The ENCODE side of x74's tokenizer induction: apply the learned
+    # merge table and report the top-30 subword tokens by (count DESC,
+    # token ASC). Vocabulary-first — the merge chain runs over DISTINCT
+    # words only (one word-key hash-agg, then Heaps'-law-sized per-word
+    # work), and subword counts recombine as Σ word_freq, so a 100 TB
+    # corpus never pays the merge scan per running token. The fixture
+    # table's multi-level merges visibly fire ("value", "the", "sca"
+    # surface as fused tokens). See curation.bpe_apply.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.bpe_apply(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_X76_TARGET = ("src1", "src2", "src3")
+_X76_BUCKETS = 1024
+
+@query(
+    "x76_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source IN {_X76_TARGET} AS tgt,
+             (('0x' || substr(md5(w), 1, 8))::BIGINT) % {_X76_BUCKETS} AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY 1),
+    tgtc AS (SELECT b, COUNT(*) AS ct FROM toks WHERE tgt GROUP BY 1),
+    nr AS (SELECT SUM(cr) AS nr FROM raw),
+    nt AS (SELECT SUM(ct) AS nt FROM tgtc),
+    lr AS (SELECT raw.b,
+            (ln(COALESCE(ct, 0) + 1) - ln(nt + {_X76_BUCKETS}))
+            - (ln(cr + 1) - ln(nr + {_X76_BUCKETS})) AS lr
+           FROM raw LEFT JOIN tgtc USING (b), nr, nt),
+    per AS (SELECT doc_id, b, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+           round(SUM(n * lr) / SUM(n), 6) AS dsir_score
+    FROM per JOIN lr USING (b) GROUP BY 1
+    """,
+)
+def x76(spark, sf):
+    # DSIR importance weights (Xie et al. 2023): length-normalized mean
+    # importance log-ratio of hashed-unigram bucket LMs, target = the
+    # src1-3 "curated domain" slice vs the whole corpus as raw. The
+    # md5-bucket feature hash is sampling's engine-portable
+    # construction; the two bucket count tables are model parameters
+    # (≤1024 rows, broadcast), and the only corpus-sized shuffles are
+    # the (doc, bucket) partial-agg and the per-doc recombine. Selection
+    # composes downstream with sampling.weighted_sample (Gumbel top-k).
+    # See curation.dsir_weights.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.dsir_weights(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        target=F.col("source").isin(*_X76_TARGET), buckets=_X76_BUCKETS,
+    )
+
+
+@query(
+    "x77_robust_outliers",
+    """
+    WITH base AS (SELECT event_type AS k, event_id AS oid, value AS v
+                  FROM events WHERE value IS NOT NULL),
+    r AS (SELECT k, v,
+                 ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, oid) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM base),
+    med AS (SELECT k, AVG(v) AS med FROM r
+            WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY 1),
+    d AS (SELECT base.k, oid, v, med, abs(v - med) AS dev
+          FROM base JOIN med USING (k)),
+    r2 AS (SELECT k, dev,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY dev, oid) AS rn,
+                  COUNT(*) OVER (PARTITION BY k) AS n
+           FROM d),
+    mad AS (SELECT k, AVG(dev) AS mad FROM r2
+            WHERE rn = (n+1)//2 OR rn = (n+2)//2 GROUP BY 1),
+    f AS (SELECT d.*, mad.mad FROM d JOIN mad USING (k))
+    SELECT k AS event_type, COUNT(*) AS n_events,
+           round(MIN(med), 6) AS median_value, round(MIN(mad), 6) AS mad,
+           CAST(SUM(CASE WHEN dev > 3.0*1.4826*mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM f GROUP BY 1
+    """,
+)
+def x77(spark, sf):
+    # Median/MAD robust outlier report per event type — the
+    # 50%-breakdown companion to the mean/σ statistical detector (whose
+    # moments are dragged by the very outliers they flag). Medians are
+    # EXACT rank-based middles under a (value, event_id) total order,
+    # averaged when even — "avg of ≤2 doubles" is order-insensitive, so
+    # both engines are bit-identical without trusting any percentile
+    # implementation. Hampel's rule (k=3, consistency 1.4826) on
+    # bit-identical doubles makes the strict threshold comparison agree
+    # at near-threshold values. See analytics.robust_outliers (incl.
+    # the documented approx_percentile regime for cardinality-5 keys at
+    # 100 TB).
+    from stream_sentinel_spark.operators import analytics
+
+    return analytics.robust_outliers(_t(spark, sf, "events"))

@@ -419,3 +419,61 @@ def test_linear_trend_huge_values_no_overflow(spark):
     rows = [(i, 1, "v", _ts(i * hr), 1e14 * i) for i in range(5)]
     r = linear_trend(_events(spark, rows)).collect()[0]
     assert r["n"] == 5 and r["slope"] == 1e14
+
+
+# ---------------------------------------------------------------------------
+# robust_outliers (x77)
+# ---------------------------------------------------------------------------
+
+
+def _typed_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+
+
+def test_robust_outliers_known_values(spark):
+    from stream_sentinel_spark.operators.analytics import robust_outliers
+
+    rows = [
+        # odd count: values 1..7 plus one wild outlier 100
+        # sorted: 1 2 3 4 5 6 7 100 → even n=8, median = (4+5)/2 = 4.5
+        # devs: 3.5 2.5 1.5 .5 .5 1.5 2.5 95.5 → sorted .5 .5 1.5 1.5
+        # 2.5 2.5 3.5 95.5 → MAD = (1.5+2.5)/2 = 2.0
+        # threshold = 3*1.4826*2.0 = 8.8956 → only 95.5 exceeds
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+        (5, "a", 5.0), (6, "a", 6.0), (7, "a", 7.0), (8, "a", 100.0),
+        # odd count 3: median 20, devs 10 0 10 → MAD 10, none > 44.478
+        (9, "b", 10.0), (10, "b", 20.0), (11, "b", 30.0),
+        # NULL value rows are excluded before ranking
+        (12, "b", None),
+    ]
+    got = {
+        r.event_type: r
+        for r in robust_outliers(
+            _typed_events(spark, rows), order_col="event_id"
+        ).collect()
+    }
+    a = got["a"]
+    assert (a.n_events, a.median_value, a.mad, a.n_outliers) == (8, 4.5, 2.0, 1)
+    b = got["b"]
+    assert (b.n_events, b.median_value, b.mad, b.n_outliers) == (3, 20.0, 10.0, 0)
+
+
+def test_robust_outliers_mad_zero_degenerate(spark):
+    from stream_sentinel_spark.operators.analytics import robust_outliers
+
+    # > half identical → MAD 0 → every deviating row flags (and the
+    # identical rows don't: 0 > 0 is false)
+    rows = [(i, "k", 5.0) for i in range(1, 6)] + [(6, "k", 5.1), (7, "k", 9.0)]
+    r = robust_outliers(_typed_events(spark, rows), order_col="event_id").collect()[0]
+    assert (r.n_events, r.median_value, r.mad, r.n_outliers) == (7, 5.0, 0.0, 2)
+
+
+def test_robust_outliers_single_row_key(spark):
+    from stream_sentinel_spark.operators.analytics import robust_outliers
+
+    r = robust_outliers(
+        _typed_events(spark, [(1, "solo", 42.0)]), order_col="event_id"
+    ).collect()[0]
+    assert (r.n_events, r.median_value, r.mad, r.n_outliers) == (1, 42.0, 0.0, 0)

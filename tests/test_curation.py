@@ -517,3 +517,126 @@ def test_bpe_merge_step_tie_break_and_short_docs(spark):
     out = {r.pair: r.cnt for r in curation.bpe_merge_step(df, "doc_id", "text").collect()}
     # "abab" -> "<M><M>", "ba" unchanged (no "ab" inside)
     assert out == {"<M><M>": 1, "ba": 1}
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply (x75)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_ref(word: str, merges) -> list[str]:
+    """Sequential reference: one left-to-right non-overlapping fusing
+    pass per merge, in table order — the exact contract of the
+    wrapped-delimiter replace chain."""
+    seq = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+def test_bpe_apply_matches_sequential_reference(spark):
+    texts = [
+        "the value scan",
+        "value the value",
+        "scatter scan the theme",
+        "a ab abab ba",
+    ]
+    df = _docs(spark, list(enumerate(texts)))
+    got = {
+        r.token: r.cnt
+        for r in curation.bpe_apply(df, "doc_id", "text", top_k=1000).collect()
+    }
+    from collections import Counter
+
+    want = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                want.update(_bpe_encode_ref(w, curation.DEFAULT_BPE_MERGES))
+    assert got == dict(want)
+
+
+def test_bpe_apply_adjacent_sites_both_merge(spark):
+    # "abab" with merge (a,b) must encode to [ab, ab]: the per-symbol
+    # boundary wrapping means adjacent merge sites never share a
+    # separator (a space-separated encoding would lose the second site).
+    df = _docs(spark, [(1, "abab")])
+    got = {
+        r.token: r.cnt
+        for r in curation.bpe_apply(
+            df, "doc_id", "text", merges=(("a", "b"),), top_k=10
+        ).collect()
+    }
+    assert got == {"ab": 2}
+
+
+def test_bpe_apply_merge_order_feeds_later_rules(spark):
+    # (a,l) then (v,al): "val" only fuses fully because the feeding
+    # merge precedes its consumer.
+    df = _docs(spark, [(1, "val val"), (2, "lav")])
+    got = {
+        r.token: r.cnt
+        for r in curation.bpe_apply(
+            df, "doc_id", "text", merges=(("a", "l"), ("v", "al")), top_k=10
+        ).collect()
+    }
+    assert got == {"val": 2, "l": 1, "a": 1, "v": 1}
+
+
+def test_bpe_apply_top_k_tie_break(spark):
+    # equal counts → token ASC decides inclusion at the cut.
+    df = _docs(spark, [(1, "b a c")])
+    rows = curation.bpe_apply(df, "doc_id", "text", merges=(), top_k=2).collect()
+    assert [(r.token, r.cnt) for r in rows] == [("a", 1), ("b", 1)]
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights (x76)
+# ---------------------------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    # target domain speaks "wiki cite ref"; raw background speaks
+    # "spam click buy". A held-out target-like doc must outrank a
+    # background-like one.
+    rows = [(i, "tgt", "wiki cite ref wiki cite") for i in range(10)]
+    rows += [(100 + i, "web", "spam click buy spam click") for i in range(10)]
+    rows += [(900, "web", "wiki cite ref"), (901, "web", "spam click buy")]
+    out = {
+        r.doc_id: r
+        for r in curation.dsir_weights(
+            _src_docs(spark, rows), "doc_id", "text",
+            target=F.col("source") == "tgt",
+        ).collect()
+    }
+    assert out[900].dsir_score > out[901].dsir_score
+    # the gap is the RANKING signal DSIR resamples by; absolute signs
+    # are regime-dependent (add-1 smoothing over `buckets` cells shifts
+    # both scores on small corpora), so only the order is contractual.
+    assert out[900].dsir_score - out[901].dsir_score > 0.1
+    assert out[900].n_tokens == 3
+
+
+def test_dsir_empty_and_lengths(spark):
+    rows = [(1, "tgt", "a b a"), (2, "web", "c d"), (3, "web", "")]
+    out = {
+        r.doc_id: r
+        for r in curation.dsir_weights(
+            _src_docs(spark, rows), "doc_id", "text",
+            target=F.col("source") == "tgt",
+        ).collect()
+    }
+    assert set(out) == {1, 2}  # no-token doc absent: no feature evidence
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
