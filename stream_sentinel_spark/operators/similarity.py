@@ -251,8 +251,9 @@ def lsh_signatures(
     bits: int = 16,
     dim: int = 64,
     seed: int = 42,
+    carry: list[str] | None = None,
 ) -> DataFrame:
-    """(id, sig: long) — sign of ⟨v, plane_b⟩ per bit."""
+    """(id, sig: long[, *carry]) — sign of ⟨v, plane_b⟩ per bit."""
     planes = _planes(dim, bits, seed)
     v = _as_double(F.col(vec_col))
     sig = None
@@ -263,7 +264,44 @@ def lsh_signatures(
         )
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseXOR(term)
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return df.select(F.col(id_col).alias("id"), *(carry or []), sig.alias("sig"))
+
+
+def _banded_chunks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    bands: int,
+    dim: int,
+    seed: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Materialized (id, band, val[, *carry]) band-key frame — each
+    vector's signature split into ``bands`` equi-join keys.
+    Checkpointed so the salting probe and both join sides don't
+    re-derive the signatures. ``carry`` columns (e.g. a frame-side tag)
+    ride along untouched."""
+    carry = carry or []
+    sig = lsh_signatures(df, id_col, vec_col, bits, dim, seed, carry=carry)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(bands)
+        ]
+    )
+    return (
+        sig.select("id", *carry, F.explode(band_structs).alias("bb"))
+        .select("id", *carry, "bb.band", "bb.val")
+        .localCheckpoint(eager=True)
+    )
 
 
 def lsh_candidates(
@@ -282,33 +320,110 @@ def lsh_candidates(
     — identical shape: a giant embedding cluster concentrates its rows
     in one (band, chunk-value) bucket, and a bucket of n rows emits
     C(n,2) pairs from ONE task; cold corpora probe once and keep the
-    zero-overhead plan). The band-key frame is materialized first so the
-    probe and both join sides don't re-derive the signatures."""
+    zero-overhead plan)."""
     from stream_sentinel_spark.operators.dedup import _hot_salted_self_join
 
-    sig = lsh_signatures(df, id_col, vec_col, bits, dim, seed)
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("band"),
-                F.shiftright(F.col("sig"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for c in range(bands)
-        ]
-    )
-    chunked = (
-        sig.select("id", F.explode(band_structs).alias("bb"))
-        .select("id", "bb.band", "bb.val")
-        .localCheckpoint(eager=True)
-    )
+    chunked = _banded_chunks(df, id_col, vec_col, bits, bands, dim, seed)
     return (
         _hot_salted_self_join(chunked, ["band", "val"])
         .select("a_id", "b_id")
         .distinct()
+    )
+
+
+def cosine_pairs_lsh_incremental(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental embedding near-dup: match an INCOMING batch against
+    the EXISTING corpus — the embedding twin of
+    :func:`~stream_sentinel_spark.operators.dedup.incremental_neardups`
+    and the shape a production ingest actually runs: old×old was paid
+    when the corpus was indexed and is never re-paid; only old×new
+    banded candidates are generated (cross-frame equi-join on (band,
+    signature chunk) with pair-product-probed hot-bucket salting —
+    :func:`~stream_sentinel_spark.operators.dedup._hot_salted_pair_join`),
+    then verified with the exact fold-order cosine kernel.
+
+    Banding each side separately and joining across yields exactly the
+    full self-join's criterion restricted to cross-frame pairs (a pair
+    collides on a band iff its two chunk values are equal — frame
+    membership doesn't enter), which is what the external oracle
+    mirrors. At 100 TB the old side's band keys are a precomputed index
+    (store ``_banded_chunks``'s output); the per-batch cost is the new
+    side's signatures plus bucket-local joins.
+
+    Output — the ingest decision per new vector:
+    (new_id, n_matches, best_cos, first_match); new vectors with no
+    match above ``threshold`` are absent (nothing to decide). best_cos
+    is a MAX over bit-exact cosines (order-insensitive); first_match =
+    MIN(old_id), the stable keep-pointer.
+    """
+    from stream_sentinel_spark.operators.dedup import _hot_salted_pair_join
+
+    # ONE signature/norm pass over the tagged union (the x61 pattern —
+    # measured 4.9 s → two separate per-frame checkpoint passes at
+    # sf0.1): both sides' signatures, band keys, and norms materialize
+    # in a single job, then split by the side tag. In the production
+    # deployment the old side of this frame is the stored index and
+    # only the new rows are computed per batch; the tagged union is the
+    # one-shot (benchmark/backfill) formulation of the same plan.
+    tagged = spread_small(
+        old_df.select(
+            F.lit(0).alias("_side"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+        ).unionByName(
+            new_df.select(
+                F.lit(1).alias("_side"),
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+            )
+        )
+    )
+    chunks = _banded_chunks(
+        tagged, "id", "vec", bits, bands, dim, seed, carry=["_side"]
+    )
+    cands = spread_pairs(
+        _hot_salted_pair_join(
+            chunks.filter(F.col("_side") == 0).drop("_side"),
+            chunks.filter(F.col("_side") == 1).drop("_side"),
+            ["band", "val"],
+        )
+        .select(F.col("a_id").alias("old_id"), F.col("b_id").alias("new_id"))
+        .distinct()
+    )
+    cos_seq = _cos_seq_udf()
+    vecs = tagged.withColumn("nrm", norm(_as_double(F.col("vec")))).localCheckpoint(
+        eager=True
+    )
+    old_vecs = vecs.filter(F.col("_side") == 0).select(
+        F.col("id").alias("old_id"),
+        F.col("vec").alias("old_vec"),
+        F.col("nrm").alias("old_nrm"),
+    )
+    new_vecs = vecs.filter(F.col("_side") == 1).select(
+        F.col("id").alias("new_id"),
+        F.col("vec").alias("new_vec"),
+        F.col("nrm").alias("new_nrm"),
+    )
+    verified = (
+        cands.join(old_vecs, "old_id")
+        .join(new_vecs, "new_id")
+        .withColumn("cos", cos_seq("old_vec", "new_vec", "old_nrm", "new_nrm"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return verified.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("cos").alias("best_cos"),
+        F.min("old_id").cast("long").alias("first_match"),
     )
 
 

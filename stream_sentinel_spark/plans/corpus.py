@@ -162,6 +162,7 @@ _DRIVER_PRIORITY = [
     "x75_bpe_apply",
     "x76_dsir_weights",
     "x77_robust_outliers",
+    "x78_incremental_embedding_neardups",
     # --- the 10 other queries whose timestamp filter bounds changed to
     # _utc_ts this round (tz-literal class fix), plus q34/q55 (DST-safe
     # interval arithmetic) and q51 (_utc_year) below: re-proven
@@ -177,15 +178,16 @@ _DRIVER_PRIORITY = [
     "q45_tpch_q15_top_supplier",
     "q54_tpch_q20_excess_suppliers",
     # --- flagship (re-proven every round) + changed/perf-sensitive
-    # (x07/x08/x14/x20/x32 rotated out earlier; q55/x19/x24 rotated out
-    # for the three newest queries — q55 is locally sf0.01-green and
-    # r01-proven, x24's round-4 change was plan-layout only, and x19's
-    # only changed lineage, gram_arrays, is re-proven via x02) ---
+    # (x07/x08/x14/x20/x32 rotated out earlier; q34/q55/x19/x24 rotated
+    # out for the four newest queries — all r01-proven and locally
+    # sf0.01-green, x24's round-4 change was plan-layout only, x19's
+    # only changed lineage, gram_arrays, is re-proven via x02, and the
+    # tz-literal class q34/q55 belong to keeps ten other driver
+    # representatives above) ---
     "detect_pipeline",
     "x22_sketch_metrics",
     "x02_dedup_ngram_jaccard",
     "q51_tpch_q9_product_profit",
-    "q34_tpch_q4_priority",
 ]
 
 
@@ -5362,3 +5364,40 @@ def x77(spark, sf):
     from stream_sentinel_spark.operators import analytics
 
     return analytics.robust_outliers(_t(spark, sf, "events"))
+
+
+def _lsh_incremental_oracle(threshold: float = 0.40) -> str:
+    # The cross-frame banding criterion equals the full self-join's
+    # criterion restricted to cross-parity pairs (band collision is a
+    # property of the two signatures alone), so the oracle reuses x07's
+    # verified pair set, filters to cross-parity, reorients (even=old,
+    # odd=new — the x61 split convention), and rolls up per new vector.
+    return f"""
+    WITH pairs AS ({_lsh_cosine_pairs_oracle(threshold)}),
+    cross_pairs AS (
+      SELECT CASE WHEN a_id % 2 = 0 THEN a_id ELSE b_id END AS old_id,
+             CASE WHEN a_id % 2 = 0 THEN b_id ELSE a_id END AS new_id,
+             cos
+      FROM pairs WHERE (a_id % 2) <> (b_id % 2))
+    SELECT new_id, COUNT(*) AS n_matches, MAX(cos) AS best_cos,
+           CAST(MIN(old_id) AS BIGINT) AS first_match
+    FROM cross_pairs GROUP BY 1
+    """
+
+
+@query("x78_incremental_embedding_neardups", _lsh_incremental_oracle())
+def x78(spark, sf):
+    # The embedding twin of x61's incremental mode: match an incoming
+    # batch (odd vec_ids) against the indexed corpus (even vec_ids) —
+    # old×new sign-LSH banded candidates ONLY (cross-frame equi-join
+    # with pair-product-probed salting; old×old was paid at index
+    # time), exact fold-order cosine verify, per-new-vector ingest
+    # decision roll-up. At 100 TB the old side's band keys are a stored
+    # index; the per-batch cost is the new side's signatures + bucket-
+    # local joins. See similarity.cosine_pairs_lsh_incremental.
+    emb = _t(spark, sf, "embeddings")
+    return similarity.cosine_pairs_lsh_incremental(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "vec_id", "embedding", threshold=0.40,
+    )

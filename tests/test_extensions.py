@@ -550,3 +550,50 @@ def test_ngram_jaccard_bigram_small_corpus(spark):
         pairs = {(r["a_id"], r["b_id"]) for r in rows}
         assert (0, 1) in pairs, f"n={n}"
         assert all(r["jaccard"] >= 0.3 for r in rows)
+
+
+def test_incremental_embedding_neardups_equals_filtered_self_join(spark):
+    """The cross-frame banded join must equal the full self-join's pair
+    set restricted to cross-parity pairs (band collision is a property
+    of the two signatures alone), rolled up per new vector."""
+    import numpy as np
+    from stream_sentinel_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 8)).astype("float32")
+    # plant near-dups across the parity split: odd 21 ≈ even 20, odd 23
+    # ≈ even 20 too (two matches for different news), odd 25 ≈ even 24
+    for new, old in [(21, 20), (23, 20), (25, 24)]:
+        base[new] = base[old] + rng.normal(scale=0.01, size=8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    full = similarity.cosine_pairs_lsh(df, threshold=0.3, dim=8).collect()
+    want: dict[int, list[tuple[int, float]]] = {}
+    for r in full:
+        if r.a_id % 2 == r.b_id % 2:
+            continue
+        old_id, new_id = (r.a_id, r.b_id) if r.a_id % 2 == 0 else (r.b_id, r.a_id)
+        want.setdefault(new_id, []).append((old_id, r.cos))
+    got = {
+        r.new_id: r
+        for r in similarity.cosine_pairs_lsh_incremental(
+            df.filter(F.col("vec_id") % 2 == 0),
+            df.filter(F.col("vec_id") % 2 == 1),
+            threshold=0.3,
+            dim=8,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for new_id, matches in want.items():
+        r = got[new_id]
+        assert r.n_matches == len(matches)
+        assert r.best_cos == max(c for _, c in matches)
+        assert r.first_match == min(o for o, _ in matches)
+    # the planted pairs survive banding at this closeness (chance
+    # matches at θ=0.3 may coexist and can win MIN(old_id), so assert
+    # the planted near-identical cosine dominates, not first_match)
+    assert 21 in got and 23 in got and 25 in got
+    assert got[21].best_cos > 0.99 and got[25].best_cos > 0.99
