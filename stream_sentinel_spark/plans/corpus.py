@@ -113,81 +113,73 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate checks the first 50 queries() entries in
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
-# covers all of them every run. Round 4 is the endgame rotation: only 27
-# queries lack a passing driver row (q53's round-3 row FAILED on the
-# session-timezone literal bug fixed this round; x43-x69 are round-3
-# additions that never had a slot). All 27 are fronted; the remaining 23
-# slots re-prove changed-this-round code (the 10 other queries whose
-# timestamp bounds were rewritten to _utc_ts, the flagship pipeline,
-# x22's new exact-percentile regime) and the perf-sensitive dedup/ANN
-# family — changed code is re-proven driver-side, not just locally.
+# covers all of them every run. Round 5 rotation: q53 is the corpus's
+# only never-green name (round-4 verdict root-caused it to a DuckDB
+# HUGEINT->float64 oracle typing artifact; the oracle now casts the SUMs
+# to BIGINT) and is fronted. The other 49 slots re-prove the STALEST
+# driver rows — the 44 queries whose latest green row is round 2
+# (q01-q24/q28, x01-x20 — this also covers the round-4 verdict/ADVICE ask
+# to re-prove x07, whose lsh_candidates path changed in round 4, and the
+# rest of the perf-sensitive dedup/ANN family x08/x14/x19/x20) — plus
+# five round-3-proven rows with changed-or-heavy code: x24 (round-4
+# plan-layout change), x35 (similarity.py shared-kernel neighbor of this
+# round's x78 index work), x41 (heaviest r03 text plan), q55 (heaviest
+# DST-interval plan) — plus the flagship, re-proven every round.
 _DRIVER_PRIORITY = [
-    # --- 27 without a passing driver row: q53 (r3 row failed on the
-    # tz-literal bug, fixed this round) + the x43-x69 round-3 additions ---
+    # --- the one never-green row: oracle SUMs cast to BIGINT this round ---
     "q53_tpch_q12_priority_lines",
-    "x43_unigram_logprob",
-    "x44_random_projection",
-    "x45_shard_manifest",
-    "x46_pagerank_handoff",
-    "x48_retention_cohorts",
-    "x49_event_transitions",
-    "x50_inverted_index",
-    "x51_pmi_collocations",
-    "x52_language_rebalance",
-    "x53_ewma_user_value",
-    "x54_bag_of_words_dedup",
-    "x55_skew_report",
-    "x56_join_size_probe",
-    "x57_resample_fill",
-    "x58_cusum_drift",
-    "x59_benford_profile",
-    "x60_cusum_rule",
-    "x61_incremental_neardups",
-    "x62_hll_merge_rollup",
-    "x63_zorder_layout",
-    "x64_shard_column_stats",
-    "x65_snapshot_diff",
-    "x66_referential_integrity",
-    "x67_linear_trend",
-    "x68_column_profile",
-    "x69_corpus_datasheet",
-    # --- new this round (no driver row yet): containment dedup, bigram
-    # LM filter, run compaction, per-language quality deciles, BPE
-    # induct/apply, DSIR selection, median/MAD outliers ---
-    "x70_containment_neardups",
-    "x71_bigram_logprob",
-    "x72_collapse_consecutive",
-    "x73_quality_tiles",
-    "x74_bpe_merge_step",
-    "x75_bpe_apply",
-    "x76_dsir_weights",
-    "x77_robust_outliers",
-    "x78_incremental_embedding_neardups",
-    # --- the 10 other queries whose timestamp filter bounds changed to
-    # _utc_ts this round (tz-literal class fix), plus q34/q55 (DST-safe
-    # interval arithmetic) and q51 (_utc_year) below: re-proven
-    # driver-side ---
-    "q25_tpch_q1_pricing",
-    "q26_tpch_q5_volume",
-    "q27_promo_share",
-    "q29_tpch_q22_idle_balance",
-    "q33_tpch_q6_forecast",
-    "q35_tpch_q10_returns",
-    "q43_tpch_q7_volume_shipping",
-    "q44_tpch_q8_market_share",
-    "q45_tpch_q15_top_supplier",
-    "q54_tpch_q20_excess_suppliers",
-    # --- flagship (re-proven every round) + changed/perf-sensitive
-    # (x07/x08/x14/x20/x32 rotated out earlier; q34/q55/x19/x24 rotated
-    # out for the four newest queries — all r01-proven and locally
-    # sf0.01-green, x24's round-4 change was plan-layout only, x19's
-    # only changed lineage, gram_arrays, is re-proven via x02, and the
-    # tz-literal class q34/q55 belong to keeps ten other driver
-    # representatives above) ---
+    # --- stalest rows (latest green = r02) ---
+    "q01_scan_projection",
+    "q02_json_numeric_coercion",
+    "q03_threshold_rule",
+    "q04_threshold_alert_details",
+    "q05_keyby_sentinel_counts",
+    "q06_rate_rule_window",
+    "q07_rate_long_window",
+    "q08_statistical_rule",
+    "q09_statistical_sigma_zero",
+    "q10_counters",
+    "q11_join_orders_customer",
+    "q12_tpch_q3_topk",
+    "q13_anti_join_no_orders",
+    "q14_semi_join_region",
+    "q15_rollup_lineitem",
+    "q16_ranking_windows",
+    "q17_topk_orders",
+    "q18_set_ops",
+    "q19_scalars_part",
+    "q20_json_group",
+    "q21_dates_orders",
+    "q22_tumbling_windows",
+    "q23_session_windows",
+    "q24_sliding_windows",
+    "q28_tpch_q17_small_qty",
+    "x01_dedup_exact",
+    "x03_text_fingerprint",
+    "x04_text_quality",
+    "x05_lang_id",
+    "x06_ann_cosine_topk",
+    "x07_embedding_cosine_pairs",
+    "x08_minhash_lsh_candidates",
+    "x09_simhash_candidates",
+    "x10_multimodal_features",
+    "x11_token_stats",
+    "x12_rolling_hash",
+    "x13_asof_join_orders",
+    "x14_dedup_clusters",
+    "x15_curation_pipeline",
+    "x16_hash_sample",
+    "x17_quota_per_user",
+    "x18_pii_redaction",
+    "x19_minhash_verified_neardups",
+    "x20_ivf_ann_topk",
+    # --- changed-or-heavy r03 rows ---
+    "x24_fuzzy_name_pairs",
+    "x35_semantic_dedup",
+    "x41_boilerplate_removal",
+    "q55_tpch_q21_waiting_suppliers",
+    # --- flagship (re-proven every round) ---
     "detect_pipeline",
-    "x22_sketch_metrics",
-    "x02_dedup_ngram_jaccard",
-    "q51_tpch_q9_product_profit",
 ]
 
 
@@ -3705,10 +3697,10 @@ def q52(spark, sf):
     "q53_tpch_q12_priority_lines",
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
