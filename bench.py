@@ -337,7 +337,6 @@ def main() -> None:
                 "metric": "corpus_total_wall",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
                 "cpus": cpus,
@@ -346,43 +345,68 @@ def main() -> None:
                 "warm_pass_sec": warm_sec,
                 "calibration_sec": {"pre": calib_pre, "post": calib_post},
                 "loadavg": {"pre": load_pre, "post": load_post},
-                "query_loadavg_1m": query_load,
+                # NOT query times: the host 1-min loadavg sampled after
+                # each query (tenant-contention forensics). Named and
+                # ordered so a truncated-tail fragment can't be misread
+                # as a timing map.
+                "loadavg_1m_after_query_NOT_times": query_load,
+                # real per-query seconds — kept LAST so if the driver's
+                # 2,000-char stdout tail cuts into this line, the visible
+                # fragment is timings, not loadavg
+                "queries": timings,
             }
         ),
         flush=True,
     )
-    # The driver records only the last ~2,000 chars of stdout, which the
-    # full payload above (125-entry per-query map) overflows — all three
-    # r1–r3 BENCH records came back `parsed: null`. Emit a compact
-    # summary as the FINAL line so the headline numbers always land
-    # inside the tail; the full per-query payload stays above for humans
-    # and the repo's own bench_sf01*.json archives.
-    slowest = dict(
-        sorted(
-            ((k, v) for k, v in timings.items() if v == v),
+    # The driver records only the last 2,000 chars of stdout and parses
+    # the final JSON line. A 134-entry map with full query names (~4.4k
+    # chars) cannot fit, so the final line carries EVERY query keyed by
+    # its unique ID prefix (the token before the first "_": q01..q55,
+    # x01..x78, detect_pipeline) at 2-decimal precision (~1.8k chars).
+    # The full-name map is in the line above and in the repo's
+    # bench_sf01*.json archives. If the compact line ever outgrows the
+    # window (more queries added), it deterministically falls back to
+    # the slowest-K subset that fits.
+    def _short(name: str) -> str:
+        return name.split("_", 1)[0]
+
+    shorts = [_short(k) for k in timings]
+    use_short = len(set(shorts)) == len(shorts)
+    compact_all = {
+        (_short(k) if use_short else k): (round(v, 2) if v == v else None)
+        for k, v in timings.items()
+    }
+
+    def _final_payload(qmap):
+        return {
+            "metric": "corpus_total_wall",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "eps": (
+                streaming.get("events_per_sec")
+                if isinstance(streaming, dict)
+                else None
+            ),
+            "calib": [round(calib_pre, 2), round(calib_post, 2)],
+            "queries": qmap,
+        }
+
+    final = json.dumps(_final_payload(compact_all))
+    if len(final) > 1900:
+        ranked = sorted(
+            ((k, v) for k, v in compact_all.items() if v is not None),
             key=lambda kv: kv[1],
             reverse=True,
-        )[:10]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall",
-                "value": round(total, 4),
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "streaming_events_per_sec": (
-                    streaming.get("events_per_sec")
-                    if isinstance(streaming, dict)
-                    else None
-                ),
-                "calibration_sec": {"pre": calib_pre, "post": calib_post},
-                "queries": slowest,
-            }
-        ),
-        flush=True,
-    )
+        )
+        keep = len(ranked)
+        while keep > 1:
+            final = json.dumps(_final_payload(dict(ranked[:keep])))
+            if len(final) <= 1900:
+                break
+            keep -= 1
+    print(final, flush=True)
     spark.stop()
 
 

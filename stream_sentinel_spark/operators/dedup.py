@@ -1103,6 +1103,7 @@ def _hot_salted_pair_join(
     keys: list[str],
     cutoff: int = _HOT_BUCKET_CUTOFF,
     max_salt: int = _HOT_SALT_MAX,
+    na: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-frame twin of :func:`_hot_salted_self_join`: join two
     DISTINCT (id, *keys) frames on ``keys``, emitting every (a_id,
@@ -1116,8 +1117,14 @@ def _hot_salted_pair_join(
     broadcast and ONLY their rows salt — the b side replicates to the
     bucket's chunks, the a side hashes to one chunk. Both inputs should
     derive from materialized frames (the probe re-derives them
-    otherwise)."""
-    na = a_keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
+    otherwise).
+
+    ``na`` optionally supplies PRECOMPUTED a-side bucket counts
+    (``*keys``, ``_na`` — one row per a-side bucket). A stored index
+    (similarity.build_lsh_index) persists these at build time so the
+    per-batch probe never re-aggregates the corpus-sized a frame."""
+    if na is None:
+        na = a_keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_na"))
     nb = b_keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nb"))
     prods = na.join(nb, list(keys)).select(
         *keys, (F.col("_na") * F.col("_nb")).alias("_prod")

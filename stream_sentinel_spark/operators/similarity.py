@@ -428,6 +428,181 @@ def cosine_pairs_lsh_incremental(
 
 
 # ---------------------------------------------------------------------------
+# Persisted LSH index — the production-ingest form of the incremental
+# near-dup: build once over the corpus, match every incoming batch
+# against the stored band keys without re-touching corpus vectors.
+# ---------------------------------------------------------------------------
+
+
+def build_lsh_index(
+    old_df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    num_buckets: int = 32,
+    base_path: str | None = None,
+) -> None:
+    """Persist the OLD side of :func:`cosine_pairs_lsh_incremental` as a
+    reusable index — the "store the old side's band keys" production
+    note made concrete. Four metastore tables:
+
+    - ``{table}_bands`` (old_id, band, val) BUCKETED by (band, val):
+      the candidate equi-join key layout, so every per-batch match joins
+      against it with NO Exchange on the corpus side — only the (small)
+      incoming batch shuffles, into ``num_buckets`` partitions.
+    - ``{table}_vecs`` (old_id, old_vec, old_nrm) bucketed by old_id:
+      verification inputs; norms computed once at build with the same
+      ``norm`` expression the one-shot path uses, so match cosines are
+      bit-equal to :func:`cosine_pairs_lsh_incremental`'s.
+    - ``{table}_bandstats`` (band, val, _na): per-bucket corpus counts
+      for the hot-bucket salting probe — the per-batch probe joins the
+      batch's counts against this instead of re-aggregating the
+      corpus-sized bands frame.
+    - ``{table}_meta``: one row of (bits, bands, dim, seed), making the
+      index self-describing — match never takes signature params, so a
+      build/match mismatch is impossible.
+
+    Build cost is one pass over ``old_df`` (signatures + explode +
+    bucketed write) plus an exchange-free groupBy on the written bands
+    table; amortized over every subsequent ingest batch.
+    """
+    from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+    spark = old_df.sparkSession
+
+    def _path(suffix: str) -> str | None:
+        return None if base_path is None else f"{base_path}/{suffix}"
+
+    sig = lsh_signatures(old_df, id_col, vec_col, bits, dim, seed)
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(bands)
+        ]
+    )
+    band_keys = (
+        sig.select(F.col("id").alias("old_id"), F.explode(band_structs).alias("bb"))
+        .select("old_id", "bb.band", "bb.val")
+    )
+    write_bucketed(
+        band_keys, f"{table}_bands", ["band", "val"], num_buckets,
+        path=_path("bands"),
+    )
+    def _save_plain(df: DataFrame, suffix: str) -> None:
+        w = df.write.format("parquet").mode("overwrite")
+        if base_path is not None:
+            w = w.option("path", _path(suffix))
+        w.saveAsTable(f"{table}_{suffix}")
+
+    # counts from the WRITTEN table: bucketed by (band, val), so this
+    # groupBy plans without an Exchange and nothing is computed twice
+    _save_plain(
+        spark.table(f"{table}_bands")
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("_na")),
+        "bandstats",
+    )
+    vecs = old_df.select(
+        F.col(id_col).alias("old_id"), F.col(vec_col).alias("old_vec")
+    ).withColumn("old_nrm", norm(_as_double(F.col("old_vec"))))
+    write_bucketed(
+        vecs, f"{table}_vecs", ["old_id"], num_buckets, path=_path("vecs")
+    )
+    _save_plain(
+        spark.createDataFrame(
+            [(bits, bands, dim, seed)], "bits int, bands int, dim int, seed int"
+        ),
+        "meta",
+    )
+
+
+def index_candidates(
+    spark,
+    new_df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cutoff: int | None = None,
+) -> DataFrame:
+    """(old_id, new_id) candidate pairs of an incoming batch against a
+    stored :func:`build_lsh_index` — the per-batch plan computes
+    signatures for NEW rows only; the corpus side is a bucketed FileScan
+    of the stored band keys (no Exchange, no signature recompute), and
+    the hot-bucket probe reads the stored per-bucket counts instead of
+    re-aggregating the corpus."""
+    from stream_sentinel_spark.operators.dedup import _hot_salted_pair_join
+    from stream_sentinel_spark.sources.bucketing import bucketed
+
+    meta = spark.table(f"{table}_meta").head()
+    old_bands = bucketed(spark, f"{table}_bands").withColumnRenamed(
+        "old_id", "id"
+    )
+    new_chunks = _banded_chunks(
+        new_df, id_col, vec_col, meta.bits, meta.bands, meta.dim, meta.seed
+    )
+    kwargs = {} if cutoff is None else {"cutoff": cutoff}
+    return (
+        _hot_salted_pair_join(
+            old_bands,
+            new_chunks,
+            ["band", "val"],
+            na=spark.table(f"{table}_bandstats"),
+            **kwargs,
+        )
+        .select(F.col("a_id").alias("old_id"), F.col("b_id").alias("new_id"))
+        .distinct()
+    )
+
+
+def match_lsh_index(
+    spark,
+    new_df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    cutoff: int | None = None,
+) -> DataFrame:
+    """Match an incoming batch against a stored :func:`build_lsh_index`
+    — same output contract as :func:`cosine_pairs_lsh_incremental`
+    ((new_id, n_matches, best_cos, first_match); unmatched new vectors
+    absent) and bit-equal values (pinned by tests/test_embedding_index),
+    but the corpus pays NOTHING per batch beyond bucket-local join reads:
+    signatures, norms, band keys, and bucket counts all come from the
+    index tables."""
+    cands = spread_pairs(
+        index_candidates(spark, new_df, table, id_col, vec_col, cutoff)
+    )
+    cos_seq = _cos_seq_udf()
+    old_vecs = spark.table(f"{table}_vecs")
+    new_vecs = new_df.select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("new_vec")
+    ).withColumn("new_nrm", norm(_as_double(F.col("new_vec"))))
+    verified = (
+        cands.join(old_vecs, "old_id")
+        .join(new_vecs, "new_id")
+        .withColumn("cos", cos_seq("old_vec", "new_vec", "old_nrm", "new_nrm"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return verified.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("cos").alias("best_cos"),
+        F.min("old_id").cast("long").alias("first_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 

@@ -121,10 +121,13 @@ def query(name: str, oracle: str | None = None):
 # (q01-q24/q28, x01-x20 — this also covers the round-4 verdict/ADVICE ask
 # to re-prove x07, whose lsh_candidates path changed in round 4, and the
 # rest of the perf-sensitive dedup/ANN family x08/x14/x19/x20) — plus
-# five round-3-proven rows with changed-or-heavy code: x24 (round-4
-# plan-layout change), x35 (similarity.py shared-kernel neighbor of this
-# round's x78 index work), x41 (heaviest r03 text plan), q55 (heaviest
-# DST-interval plan) — plus the flagship, re-proven every round.
+# five rows with changed-or-heavy code: x24 (round-4 plan-layout
+# change), x35 (similarity.py shared-kernel neighbor of this round's
+# x78 index work), and x61/x78 — their shared candidate join
+# (_hot_salted_pair_join) gained the precomputed-counts parameter for
+# the stored-index path this round, so both are re-proven driver-side
+# per the rotate-what-changed convention — plus the flagship, re-proven
+# every round.
 _DRIVER_PRIORITY = [
     # --- the one never-green row: oracle SUMs cast to BIGINT this round ---
     "q53_tpch_q12_priority_lines",
@@ -173,11 +176,11 @@ _DRIVER_PRIORITY = [
     "x18_pii_redaction",
     "x19_minhash_verified_neardups",
     "x20_ivf_ann_topk",
-    # --- changed-or-heavy r03 rows ---
+    # --- changed-or-heavy rows ---
     "x24_fuzzy_name_pairs",
     "x35_semantic_dedup",
-    "x41_boilerplate_removal",
-    "q55_tpch_q21_waiting_suppliers",
+    "x61_incremental_neardups",
+    "x78_incremental_embedding_neardups",
     # --- flagship (re-proven every round) ---
     "detect_pipeline",
 ]

@@ -1,13 +1,20 @@
 """Exactly-once alert delivery — the engine's answer to the reference's
-EXACTLY_ONCE Kafka sink (flink-job/.../StreamSentinelJob.java:154-165).
+EXACTLY_ONCE *checkpointing* mode (flink-job/.../StreamSentinelJob.java:
+154-165 sets CheckpointingMode.EXACTLY_ONCE for internal state; the
+reference's KafkaSink builder never sets DeliveryGuarantee.EXACTLY_ONCE,
+so its Kafka *sink* is at-least-once by Flink default — this module
+therefore matches the reference's state guarantee and goes one step
+beyond its sink guarantee).
 
-Structured Streaming's built-in Kafka sink is at-least-once: after a
-crash, a partially-published micro-batch is replayed and its alerts are
-produced again. Flink closes that gap with Kafka transactions (two-phase
-commit). Spark's streaming Kafka sink has no transactional produce, so
-this module implements the standard Structured Streaming equivalent and
-achieves exactly-once *delivery* (the property a consumer observes)
-from three mechanisms, each independently cheap:
+Structured Streaming's built-in Kafka sink is likewise at-least-once:
+after a crash, a partially-published micro-batch is replayed and its
+alerts are produced again. Flink *can* close that gap with Kafka
+transactions (two-phase commit via DeliveryGuarantee.EXACTLY_ONCE,
+which the reference does not enable). Spark's streaming Kafka sink has
+no transactional produce, so this module implements the standard
+Structured Streaming equivalent and achieves exactly-once *delivery*
+(the property a consumer observes) from three mechanisms, each
+independently cheap:
 
 1. **Deterministic replay.** ``foreachBatch`` re-executes a failed
    micro-batch with the SAME epoch id over the SAME rows (source

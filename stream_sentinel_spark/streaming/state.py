@@ -218,7 +218,14 @@ def _run_rules_over_batch(
             col = pdf[c].to_numpy()
             isnull = pd.isna(col)
             if isnull.any():
-                filler = 0.0 if col.dtype.kind == "f" else ""
+                # the filler only needs to COMPARE cleanly against the
+                # non-null values (is-null is the more significant key,
+                # so its value never affects order) — use an actual
+                # non-null value, which is type-consistent for any
+                # dtype, including object columns of non-string values
+                # where a '' filler would make lexsort raise TypeError
+                nonnull = col[~isnull]
+                filler = nonnull[0] if len(nonnull) else 0
                 keys.append(np.where(isnull, filler, col))
                 keys.append(isnull)
             else:

@@ -237,3 +237,37 @@ def test_null_order_value_sorts_last_like_pandas():
     )
     assert out["rule_name"] == ["drift"], "exactly one alert => 'a' ran first"
     assert out["original_event"] == [{"which": "null-order"}]
+
+
+def test_null_order_value_object_int_column():
+    """An object-dtype order column holding NON-STRING values (e.g.
+    nullable ints pandas surfaces as objects) with a null used to crash
+    the lexsort key path: the '' filler mixed str and int in one object
+    array and np.lexsort raised TypeError. The filler is now drawn from
+    the column's own non-null values, so any homogeneous dtype works —
+    and the null still sorts LAST within its timestamp group (same
+    CUSUM-observable construction as the string-column test above)."""
+    import pandas as pd
+
+    from stream_sentinel_spark.streaming.state import _run_rules_over_batch
+
+    spec = {
+        "rule_index": 0, "name": "drift", "type": "cusum", "field": "value",
+        "threshold": 50.0, "window_seconds": 0, "window_size": 0,
+        "deviation_factor": 0.0, "decimal_scale": 2, "target": 0.0,
+    }
+    pdf = pd.DataFrame(
+        {
+            "__ss_ts_us": [1_000_000, 1_000_000],
+            "__ss_event": [{"which": "null-order"}, {"which": "int-order"}],
+            "seq": pd.Series([None, 7], dtype="object"),
+            "__ss_v0": [100.0, 1.0],
+        }
+    )
+    assert pdf["seq"].dtype == object and isinstance(pdf["seq"][1], int)
+    st: dict = {}
+    out = _run_rules_over_batch(
+        st, iter([pdf]), ("k",), [spec], {0: "__ss_v0"}, ("seq",)
+    )
+    assert out["rule_name"] == ["drift"], "exactly one alert => 7 ran first"
+    assert out["original_event"] == [{"which": "null-order"}]
