@@ -43,6 +43,7 @@ def compile_rules_streaming(
     order_cols: Sequence[str] = (),
     state_ttl_ms: int | None = None,
     backend: str = "aiws",
+    n_state_buckets: int = 4096,
 ) -> DataFrame:
     """Compile a rule set against a STREAMING events frame.
 
@@ -54,12 +55,17 @@ def compile_rules_streaming(
     ``backend`` picks the stateful API: ``"aiws"`` (default) is
     `applyInPandasWithState`; ``"tws"`` is `transformWithStateInPandas`
     (Spark 4 typed-state API, built-in TTL, requires the protobuf
-    package — see :func:`stateful_alerts_tws`). Both produce identical
-    alerts (tests/test_streaming_tws.py); either runs on the RocksDB
-    state store via
+    package — see :func:`stateful_alerts_tws`); ``"bucketed"`` is the
+    key-packing backend for EXTREME key cardinality — one state blob
+    per ``xxhash64(key) mod n_state_buckets`` bucket, amortizing the
+    per-key framework round trip that dominates past ~100k distinct
+    keys (see :func:`stateful_alerts_bucketed`; ``n_state_buckets`` is
+    ignored by the other backends). All produce identical alerts
+    (tests/test_streaming_tws.py, tests/test_streaming_bucketed.py);
+    any runs on the RocksDB state store via
     ``spark.sql.streaming.stateStore.providerClass`` — the store that
     survives 100 TB key cardinality."""
-    if backend not in ("aiws", "tws"):
+    if backend not in ("aiws", "tws", "bucketed"):
         raise ValueError(f"unknown stateful backend: {backend!r}")
     if not rules:
         raise ValueError(
@@ -84,10 +90,18 @@ def compile_rules_streaming(
                 )
             )
     if stateful:
+        extra: dict = {}
         if backend == "tws":
             from stream_sentinel_spark.streaming.state import stateful_alerts_tws
 
             stateful_fn = stateful_alerts_tws
+        elif backend == "bucketed":
+            from stream_sentinel_spark.streaming.state import (
+                stateful_alerts_bucketed,
+            )
+
+            stateful_fn = stateful_alerts_bucketed
+            extra["n_buckets"] = n_state_buckets
         else:
             stateful_fn = stateful_alerts
         branches.append(
@@ -99,6 +113,7 @@ def compile_rules_streaming(
                 order_cols=order_cols,
                 rule_indexes=[i for i, _ in stateful],
                 state_ttl_ms=state_ttl_ms,
+                **extra,
             )
         )
     return reduce(lambda a, b: a.unionByName(b), branches)

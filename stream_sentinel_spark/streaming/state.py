@@ -49,6 +49,7 @@ from stream_sentinel_spark.operators.statistical import (
 from stream_sentinel_spark.rules import DetectionRule
 
 _KEY = "__ss_key"
+_BKT = "__ss_bkt"
 _TSUS = "__ss_ts_us"
 _EVMAP = "__ss_event"
 
@@ -174,6 +175,86 @@ def _eval_cusum(rule_spec: dict, hist: list, v: float) -> str | None:
     return None
 
 
+def _order_sort_keys(pdf, order_cols: tuple[str, ...]) -> list:
+    """Null-safe lexsort key arrays for the tie-break columns, least-
+    significant first (np.lexsort treats the LAST key as primary, so
+    callers append ts — and, for bucketed groups, the key column —
+    after these). pandas sort_values puts NA LAST (na_position
+    default); a raw object-array lexsort would instead raise TypeError
+    on None-vs-str comparison. Each column contributes
+    (value-with-filler, is-null) with is-null the more significant of
+    the two — identical ordering to the old pandas sort,
+    null-tolerant."""
+    import numpy as np
+    import pandas as pd
+
+    keys: list = []
+    for c in reversed(order_cols):
+        col = pdf[c].to_numpy()
+        isnull = pd.isna(col)
+        if isnull.any():
+            # the filler only needs to COMPARE cleanly against the
+            # non-null values (is-null is the more significant key,
+            # so its value never affects order) — use an actual
+            # non-null value, which is type-consistent for any
+            # dtype, including object columns of non-string values
+            # where a '' filler would make lexsort raise TypeError
+            nonnull = col[~isnull]
+            filler = nonnull[0] if len(nonnull) else 0
+            keys.append(np.where(isnull, filler, col))
+            keys.append(isnull)
+        else:
+            keys.append(col)
+    return keys
+
+
+def _eval_sorted(
+    st: dict,
+    key0,
+    rule_specs: list[dict],
+    ts_arr,
+    ev_arr,
+    val_arr: dict,
+    out: dict,
+    lo: int,
+    hi: int,
+) -> None:
+    """Detector loop over PRE-SORTED event arrays for ONE key — rows
+    [lo, hi) of the shared arrays (slice bounds, not copies, so the
+    bucketed backend pays no per-key array slicing). Mutates ``st``
+    and appends alert columns to ``out``. The single source of the
+    detection semantics for every stateful backend."""
+    # hoist per-rule lookups out of the event loop: the f-string state
+    # key and dict fetch per (event x rule) were measurable at 100k+
+    # events/batch. All three evaluators mutate hist IN PLACE, so the
+    # hoisted references stay live.
+    plans = []
+    for spec in rule_specs:
+        idx = spec["rule_index"]
+        plans.append((spec, idx, st.setdefault(f"r{idx}", []), spec["type"]))
+    for i in range(lo, hi):
+        ts_us = int(ts_arr[i])
+        ts_ms = ts_us // 1000  # reference time axis is epoch ms (:78-80)
+        for spec, idx, hist, kind in plans:
+            if kind == "rate":
+                details = _eval_rate(spec, hist, ts_ms)
+            else:
+                v = val_arr[idx][i]
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue  # skip: window untouched (:83-86)
+                if kind == "cusum":
+                    details = _eval_cusum(spec, hist, float(v))
+                else:
+                    details = _eval_statistical(spec, hist, float(v))
+            if details is not None:
+                out["rule_name"].append(spec["name"])
+                out["key"].append(key0)
+                out["alert_ts_us"].append(ts_us)
+                out["details"].append(details)
+                out["original_event"].append(ev_arr[i])
+                out["rule_index"].append(idx)
+
+
 def _run_rules_over_batch(
     st: dict,
     pdfs,
@@ -207,65 +288,60 @@ def _run_rules_over_batch(
     # (ts, *order_cols) is identical.
     ts_np = pdf[_TSUS].to_numpy()
     if order_cols:
-        # null-safe per-column keys: pandas sort_values puts NA LAST
-        # (na_position default); a raw object-array lexsort would
-        # instead raise TypeError on None-vs-str comparison. Each
-        # column contributes (value-with-filler, is-null) with is-null
-        # the more significant of the two — identical ordering to the
-        # old pandas sort, null-tolerant.
-        keys: list = []
-        for c in reversed(order_cols):
-            col = pdf[c].to_numpy()
-            isnull = pd.isna(col)
-            if isnull.any():
-                # the filler only needs to COMPARE cleanly against the
-                # non-null values (is-null is the more significant key,
-                # so its value never affects order) — use an actual
-                # non-null value, which is type-consistent for any
-                # dtype, including object columns of non-string values
-                # where a '' filler would make lexsort raise TypeError
-                nonnull = col[~isnull]
-                filler = nonnull[0] if len(nonnull) else 0
-                keys.append(np.where(isnull, filler, col))
-                keys.append(isnull)
-            else:
-                keys.append(col)
-        order = np.lexsort((*keys, ts_np))
+        order = np.lexsort((*_order_sort_keys(pdf, order_cols), ts_np))
     else:
         order = np.argsort(ts_np, kind="stable")
     ts_arr = ts_np[order]
     ev_arr = pdf[_EVMAP].to_numpy()[order]
     val_arr = {idx: pdf[col].to_numpy()[order] for idx, col in value_cols.items()}
-    # hoist per-rule lookups out of the event loop: the f-string state
-    # key and dict fetch per (event x rule) were measurable at 100k+
-    # events/batch. All three evaluators mutate hist IN PLACE, so the
-    # hoisted references stay live.
-    plans = []
-    for spec in rule_specs:
-        idx = spec["rule_index"]
-        plans.append((spec, idx, st.setdefault(f"r{idx}", []), spec["type"]))
-    key0 = key[0]
-    for i in range(n):
-        ts_us = int(ts_arr[i])
-        ts_ms = ts_us // 1000  # reference time axis is epoch ms (:78-80)
-        for spec, idx, hist, kind in plans:
-            if kind == "rate":
-                details = _eval_rate(spec, hist, ts_ms)
-            else:
-                v = val_arr[idx][i]
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    continue  # skip: window untouched (:83-86)
-                if kind == "cusum":
-                    details = _eval_cusum(spec, hist, float(v))
-                else:
-                    details = _eval_statistical(spec, hist, float(v))
-            if details is not None:
-                out["rule_name"].append(spec["name"])
-                out["key"].append(key0)
-                out["alert_ts_us"].append(ts_us)
-                out["details"].append(details)
-                out["original_event"].append(ev_arr[i])
-                out["rule_index"].append(idx)
+    _eval_sorted(st, key[0], rule_specs, ts_arr, ev_arr, val_arr, out, 0, n)
+    return out
+
+
+def _run_rules_over_bucket(
+    states: dict,
+    pdfs,
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+    last_seen: dict | None = None,
+    now_ms: int = 0,
+):
+    """Micro-batch evaluation for a BUCKET of keys (the key-packing
+    backend): one sort of the whole bucket with the key as the primary
+    sort key, then one :func:`_eval_sorted` call per key slice — so N
+    keys cost one Arrow group, one state get/put, and one lexsort
+    instead of N of each. ``states`` maps key → that key's detector
+    state (the same per-key dict :func:`_run_rules_over_batch`
+    mutates, so semantics are shared by construction). ``last_seen``
+    (when TTL is on) is stamped with ``now_ms`` for every key present."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    out: dict[str, list] = {f.name: [] for f in ALERT_SCHEMA.fields}
+    n = len(pdf)
+    if n == 0:
+        return out
+    key_np = pdf[_KEY].to_numpy()
+    ts_np = pdf[_TSUS].to_numpy()
+    order = np.lexsort((*_order_sort_keys(pdf, order_cols), ts_np, key_np))
+    k_arr = key_np[order]
+    ts_arr = ts_np[order]
+    ev_arr = pdf[_EVMAP].to_numpy()[order]
+    val_arr = {idx: pdf[col].to_numpy()[order] for idx, col in value_cols.items()}
+    bounds = np.flatnonzero(k_arr[1:] != k_arr[:-1]) + 1
+    lo = 0
+    for hi in [*bounds.tolist(), n]:
+        key0 = k_arr[lo]
+        st = states.get(key0)
+        if st is None:
+            st = states[key0] = {}
+        if last_seen is not None:
+            last_seen[key0] = now_ms
+        _eval_sorted(st, key0, rule_specs, ts_arr, ev_arr, val_arr, out, lo, hi)
+        lo = hi
     return out
 
 
@@ -389,6 +465,130 @@ def stateful_alerts(
     )
     alerts = keyed.groupBy(_KEY).applyInPandasWithState(
         _make_processor(specs, value_cols, tuple(order_cols), state_ttl_ms),
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+    return alerts.select(
+        "rule_name",
+        "key",
+        F.timestamp_micros(F.col("alert_ts_us")).alias("alert_ts"),
+        "details",
+        "original_event",
+        "rule_index",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-packing backend — amortize per-key framework cost over buckets
+# ---------------------------------------------------------------------------
+
+def _make_bucketed_processor(
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+    ttl_ms: int | None = None,
+):
+    """Per-BUCKET processor closure: the state blob is a JSON dict of
+    key → detector state (plus key → last-seen wall-ms when TTL is on),
+    so one framework round trip (Arrow group slice + state get/put +
+    Python invocation) serves every key in the bucket."""
+    import time
+
+    import pandas as pd
+
+    def process(key, pdfs: Iterator, state) -> Iterator:
+        if state.hasTimedOut:
+            # every key in this bucket has been idle ≥ ttl since the
+            # bucket's last event — drop the whole blob
+            state.remove()
+            return
+        blob = state.get[0] if state.exists else None
+        wrapped: dict = json.loads(blob) if blob else {}
+        states: dict = wrapped.get("s", {})
+        now_ms = 0
+        last: dict | None = None
+        if ttl_ms is not None:
+            last = wrapped.get("t", {})
+            now_ms = int(time.time() * 1000)
+            # in-blob eviction: keys idle longer than the TTL restart
+            # fresh, exactly like the per-key backend's timeout path
+            dead = [k for k, t in last.items() if now_ms - t > ttl_ms]
+            for k in dead:
+                states.pop(k, None)
+                del last[k]
+        out = _run_rules_over_bucket(
+            states, pdfs, rule_specs, value_cols, order_cols, last, now_ms
+        )
+        wrapped = {"s": states}
+        if last is not None:
+            wrapped["t"] = last
+        state.update((json.dumps(wrapped),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out["rule_name"]:
+            yield pd.DataFrame(out)
+
+    return process
+
+
+def stateful_alerts_bucketed(
+    events: DataFrame,
+    rules: Sequence[DetectionRule],
+    *,
+    key_field: str,
+    time_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    rule_indexes: Sequence[int] | None = None,
+    event_columns: Sequence[str] | None = None,
+    state_ttl_ms: int | None = None,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """:func:`stateful_alerts` with KEY PACKING — the extreme-key-
+    cardinality backend.
+
+    The per-key backends pay a fixed framework cost per key per
+    micro-batch (Arrow group slicing, a state-store get/put, a Python
+    generator invocation, a pandas DataFrame build); at ~300k distinct
+    keys that cost dominates end-to-end (measured ~1.7k ev/s vs ~9k at
+    1.5k keys, STRESS_r04_streaming.json) even though each key's actual
+    detector work is microseconds. This backend groups by
+    ``xxhash64(key) mod n_buckets`` instead of the raw key and keeps
+    ONE state blob per bucket (a JSON dict of key → detector state), so
+    the framework cost amortizes over every key in the bucket while the
+    detection semantics stay the per-key ones — the same
+    :func:`_eval_sorted` loop runs per key slice of the bucket-sorted
+    batch, against the same per-key state dict (parity pinned in
+    tests/test_streaming_bucketed.py).
+
+    Sizing ``n_buckets``: target ~64–256 LIVE keys per bucket (blob
+    ser/de is linear in stored keys). At 100 TB scale buckets shard
+    across executors like any other group key — the state store holds
+    ``n_buckets`` rows instead of one per key, and hot KEYS no longer
+    each pay their own round trip. The trade: per-bucket blobs grow
+    with resident keys, so UNBOUNDED key spaces need the TTL (below) or
+    a larger ``n_buckets``; and a bucket is one task's work, so
+    ``n_buckets`` must stay ≫ the executor-core count.
+
+    ``state_ttl_ms`` evicts in-blob: a key idle longer than the TTL is
+    pruned the next time its bucket is touched (restarting fresh,
+    exactly like the per-key timeout path), and a FULLY idle bucket is
+    dropped whole by its processing-time timeout — both bounds together
+    give the same guarantee as the per-key TTL (state ∝ live keys, not
+    keys-ever-seen)."""
+    keyed, specs, value_cols = _prepare_keyed(
+        events, rules, key_field, time_col, order_cols, rule_indexes, event_columns
+    )
+    keyed = keyed.withColumn(
+        _BKT, F.pmod(F.xxhash64(F.col(_KEY)), F.lit(n_buckets))
+    )
+    alerts = keyed.groupBy(_BKT).applyInPandasWithState(
+        _make_bucketed_processor(specs, value_cols, tuple(order_cols), state_ttl_ms),
         outputStructType=ALERT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -1,0 +1,217 @@
+"""Key-packing stateful backend ≡ per-key backend.
+
+stateful_alerts_bucketed groups by a hash bucket of the key and packs
+many per-key detector states into one blob; the detection loop per key
+slice is the SAME function the per-key backends run (_eval_sorted), so
+this module pins what the sharing cannot: the bucket sort (key-primary,
+then ts, then tie-breaks), the blob round trip, the in-blob TTL
+eviction, and the backend switch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_sentinel_spark.rules import DetectionRule
+from stream_sentinel_spark.sources.batch import load_table
+from stream_sentinel_spark.streaming import (
+    compile_rules_streaming,
+    read_file_stream,
+    run_available_now,
+)
+from stream_sentinel_spark.streaming.state import (
+    stateful_alerts,
+    stateful_alerts_bucketed,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+RULES = [
+    DetectionRule(
+        name="high_rate", type="rate", key_field="user_id",
+        window_seconds=86_400, threshold=4,
+    ),
+    DetectionRule(
+        name="unusual_amount", type="statistical", key_field="user_id",
+        field="amount", window_size=20, deviation_factor=2.5, decimal_scale=2,
+    ),
+]
+
+
+def _alert_key(row):
+    return (
+        row["rule_name"], row["key"], row["alert_ts"], row["details"],
+        row["rule_index"],
+    )
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bkt") / "events")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def _run(spark, events_src, backend_fn, tag, **kw):
+    path, ev = events_src
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    alerts = backend_fn(
+        stream, RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",), **kw,
+    )
+    return run_available_now(alerts, query_name=f"bkt_{tag}")
+
+
+def test_bucketed_matches_per_key(spark, events_src):
+    base = _run(spark, events_src, stateful_alerts, "base")
+    assert len(base) > 0, "fixture rules must fire on the test data"
+    bkt = _run(spark, events_src, stateful_alerts_bucketed, "packed")
+    assert sorted(map(_alert_key, base)) == sorted(map(_alert_key, bkt))
+    # original_event survives the packed-blob round trip (ingest_ts is
+    # a wall-clock stamp that differs between any two runs — drop it)
+    def payload(r):
+        return {k: v for k, v in r["original_event"].items() if k != "ingest_ts"}
+
+    b = {_alert_key(r): payload(r) for r in base}
+    p = {_alert_key(r): payload(r) for r in bkt}
+    k = next(iter(b))
+    assert b[k] == p[k] and len(b[k]) > 3
+
+
+def test_bucketed_packs_keys(spark, events_src):
+    """With n_buckets=1 every key lands in ONE blob and the results must
+    still match — the degenerate case that proves the per-key slicing
+    inside the bucket, not the hash spread, carries the semantics."""
+    base = _run(spark, events_src, stateful_alerts, "base1")
+    one = _run(spark, events_src, stateful_alerts_bucketed, "one", n_buckets=1)
+    assert sorted(map(_alert_key, base)) == sorted(map(_alert_key, one))
+
+
+def test_bucketed_state_survives_batches(spark, events_src, tmp_path):
+    """Detector windows must accumulate ACROSS micro-batches through the
+    packed blob: stream the same events one file per trigger and compare
+    against the single-batch run (same construction as the cross-batch
+    guarantees in test_streaming_parity)."""
+    path, ev = events_src
+    multi = str(tmp_path / "multi")
+    ev.repartition(4).write.mode("overwrite").parquet(multi)
+    stream = read_file_stream(
+        spark, multi, ev.schema, time_col="ts", watermark=None,
+        max_files_per_trigger=1,
+    )
+    alerts = stateful_alerts_bucketed(
+        stream, RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",),
+    )
+    got = run_available_now(alerts, query_name="bkt_multi")
+    base = _run(spark, events_src, stateful_alerts, "base2")
+    # cross-batch arrival order differs from the single-batch sort, so
+    # compare the rate alerts by count per key and the statistical set
+    # exactly where order is deterministic — mirror: the per-key backend
+    # on the SAME multi-file stream is the true twin
+    stream2 = read_file_stream(
+        spark, multi, ev.schema, time_col="ts", watermark=None,
+        max_files_per_trigger=1,
+    )
+    alerts2 = stateful_alerts(
+        stream2, RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",),
+    )
+    want = run_available_now(alerts2, query_name="key_multi")
+    assert sorted(map(_alert_key, got)) == sorted(map(_alert_key, want))
+    assert len(got) > 0
+    assert len(base) > 0  # sanity: the fixture fires either way
+
+
+def test_bucketed_ttl_evicts_idle_keys(spark, tmp_path):
+    """In-blob TTL: a key idle past the TTL restarts fresh — its rate
+    window forgets the old events, so a second burst that would fire
+    with retained state does NOT fire after eviction (and DOES fire in
+    the no-TTL run). Two batches, wall-clock sleep between them."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    rules = [
+        DetectionRule(
+            name="burst", type="rate", key_field="user_id",
+            window_seconds=86_400, threshold=3,
+        )
+    ]
+    src = str(tmp_path / "ttl_src")
+    base = spark.range(3).select(
+        F.concat(F.lit("e"), F.col("id")).alias("event_id"),
+        F.lit("k1").alias("user_id"),
+        F.lit(1.0).alias("value"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id")).alias("ts"),
+    )
+    burst2 = spark.range(3, 5).select(
+        F.concat(F.lit("e"), F.col("id")).alias("event_id"),
+        F.lit("k1").alias("user_id"),
+        F.lit(1.0).alias("value"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("id")).alias("ts"),
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(ttl_ms, tag):
+        stream = read_file_stream(
+            spark, src, schema, time_col="ts", watermark=None,
+            max_files_per_trigger=1,
+        )
+        alerts = stateful_alerts_bucketed(
+            stream, rules, key_field="user_id", time_col="ts",
+            order_cols=("event_id",), state_ttl_ms=ttl_ms, n_buckets=4,
+        )
+        # manual two-trigger drive: batch 1 (3 events), sleep past the
+        # TTL, batch 2 (2 events). ProcessingTime timeouts keep
+        # availableNow alive (see stateful_alerts docstring), so drive a
+        # continuous trigger and stop explicitly.
+        q = (
+            alerts.writeStream.format("memory").queryName(f"ttl_{tag}")
+            .outputMode("append").start()
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if any(
+                    p.numInputRows for p in (q.recentProgress or [])
+                ) and sum(p.numInputRows for p in q.recentProgress) >= 3:
+                    break
+                _time.sleep(0.3)
+            _time.sleep(1.5 if ttl_ms else 0.2)  # let the TTL elapse
+            burst2.coalesce(1).write.mode("append").parquet(src)
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if sum(p.numInputRows for p in (q.recentProgress or [])) >= 5:
+                    break
+                _time.sleep(0.3)
+            _time.sleep(1.0)  # let the final batch commit
+        finally:
+            q.stop()
+            q.awaitTermination()
+        return spark.table(f"ttl_{tag}").collect()
+
+    import shutil
+
+    no_ttl = drain(None, "off")
+    shutil.rmtree(src)
+    base.coalesce(1).write.mode("overwrite").parquet(src)
+    with_ttl = drain(500, "on")
+    # threshold 3: without TTL the 5 cumulative events fire on events
+    # 4 and 5; with the state evicted between batches the second burst
+    # restarts at count 1-2 and never crosses 3
+    assert len(no_ttl) == 2, [r["details"] for r in no_ttl]
+    assert len(with_ttl) == 0, [r["details"] for r in with_ttl]
+
+
+def test_compile_rules_streaming_bucketed_switch(spark, events_src):
+    path, ev = events_src
+    stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
+    alerts = compile_rules_streaming(
+        stream, RULES, key_field="user_id", time_col="ts",
+        order_cols=("event_id",), backend="bucketed", n_state_buckets=64,
+    )
+    got = run_available_now(alerts, query_name="bkt_compiled")
+    want = _run(spark, events_src, stateful_alerts, "base3")
+    assert sorted(map(_alert_key, got)) == sorted(map(_alert_key, want))

@@ -22,7 +22,14 @@ whose windows expired; with window_seconds << ttl semantics preserved
 for the hot keys — here the churn keys fire nothing, so alert sets
 must be IDENTICAL).
 
-Run:  python tools/streaming_scale_stress.py [--out STRESS_r04_streaming.json]
+Round 5 adds the KEY-PACKING backend legs (backend="bucketed",
+stateful_alerts_bucketed): same stream, same rules, state grouped into
+4,096 hash buckets so the per-key framework round trip — the measured
+bound at this cardinality — amortizes over ~72 keys/bucket. Alert
+parity against the per-key legs is asserted, and the speedup is
+recorded.
+
+Run:  python tools/streaming_scale_stress.py [--out STRESS_r05_streaming.json]
 """
 
 from __future__ import annotations
@@ -107,7 +114,7 @@ def _make_stream_files(spark, src: str) -> None:
         )
 
 
-def _run(spark, src, schema, ttl_ms):
+def _run(spark, src, schema, ttl_ms, backend="aiws"):
     from stream_sentinel_spark.plans.corpus import DEFAULT_RULES
     from stream_sentinel_spark.streaming import compile_rules_streaming, read_file_stream
 
@@ -123,12 +130,12 @@ def _run(spark, src, schema, ttl_ms):
         )
         alerts = compile_rules_streaming(
             stream, DEFAULT_RULES, key_field="user_id", time_col="ts",
-            order_cols=("event_id",), state_ttl_ms=ttl_ms,
+            order_cols=("event_id",), state_ttl_ms=ttl_ms, backend=backend,
         )
         t0 = time.perf_counter()
         writer = (
             alerts.writeStream.format("memory")
-            .queryName(f"stress_{'ttl' if ttl_ms else 'nottl'}")
+            .queryName(f"stress_{backend}_{'ttl' if ttl_ms else 'nottl'}")
             .outputMode("append")
             .option("checkpointLocation", ckpt)
         )
@@ -158,7 +165,9 @@ def _run(spark, src, schema, ttl_ms):
         deadline = time.time() + 15
         while time.time() < deadline and len(cap.progress) < N_BATCHES:
             time.sleep(0.25)
-        alerts_rows = spark.table(f"stress_{'ttl' if ttl_ms else 'nottl'}").collect()
+        alerts_rows = spark.table(
+            f"stress_{backend}_{'ttl' if ttl_ms else 'nottl'}"
+        ).collect()
         state_rows = [
             p["stateOperators"][0]["numRowsTotal"]
             for p in cap.progress
@@ -204,6 +213,12 @@ def run(out_path: str) -> dict:
 
         no_ttl = _run(spark, src, schema, ttl_ms=None)
         with_ttl = _run(spark, src, schema, ttl_ms=1)
+        # key-packing backend (round 5): same stream, same rules, state
+        # grouped into hash buckets — the per-key framework round trip
+        # (the measured bound at this cardinality) amortizes over ~72
+        # keys/bucket
+        bkt_no_ttl = _run(spark, src, schema, ttl_ms=None, backend="bucketed")
+        bkt_with_ttl = _run(spark, src, schema, ttl_ms=1, backend="bucketed")
 
         total_keys = spark.read.parquet(src).select("user_id").distinct().count()
         rec = {
@@ -213,13 +228,32 @@ def run(out_path: str) -> dict:
             "state_store": "rocksdb",
             "no_ttl": {k: v for k, v in no_ttl.items() if k != "alerts"},
             "with_ttl": {k: v for k, v in with_ttl.items() if k != "alerts"},
+            "bucketed_no_ttl": {
+                k: v for k, v in bkt_no_ttl.items() if k != "alerts"
+            },
+            "bucketed_with_ttl": {
+                k: v for k, v in bkt_with_ttl.items() if k != "alerts"
+            },
+            "bucketed_speedup_no_ttl": round(
+                bkt_no_ttl["events_per_sec"] / no_ttl["events_per_sec"], 2
+            ),
+            "bucketed_speedup_with_ttl": round(
+                bkt_with_ttl["events_per_sec"] / with_ttl["events_per_sec"], 2
+            ),
             "alert_parity": no_ttl["alerts"] == with_ttl["alerts"],
+            "bucketed_alert_parity": (
+                bkt_no_ttl["alerts"] == no_ttl["alerts"]
+                and bkt_with_ttl["alerts"] == no_ttl["alerts"]
+            ),
             "n_alerts": len(no_ttl["alerts"]),
         }
         print(json.dumps(rec, indent=1), flush=True)
 
         # ---- assertions: the recorded claims must hold -------------------
         assert rec["alert_parity"], "TTL must not change the alert stream"
+        assert rec["bucketed_alert_parity"], (
+            "key packing must not change the alert stream"
+        )
         assert rec["n_alerts"] > 0, "hot keys must actually fire"
         # without TTL, state accumulates every stateful key ever seen
         assert no_ttl["state_rows_final"] >= 0.9 * total_keys * (
@@ -231,6 +265,11 @@ def run(out_path: str) -> dict:
         assert with_ttl["state_rows_final"] < 0.35 * no_ttl["state_rows_final"], (
             f"TTL state {with_ttl['state_rows_final']} not bounded vs "
             f"{no_ttl['state_rows_final']}"
+        )
+        # bucketed state rows = BUCKETS, not keys: bounded by n_buckets
+        assert bkt_no_ttl["state_rows_final"] <= 4096, (
+            f"bucketed state rows {bkt_no_ttl['state_rows_final']} "
+            "exceed the bucket count"
         )
         rec["all_assertions_pass"] = True
         with open(out_path, "w") as fh:
@@ -244,6 +283,6 @@ def run(out_path: str) -> dict:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="STRESS_r04_streaming.json")
+    ap.add_argument("--out", default="STRESS_r05_streaming.json")
     args = ap.parse_args()
     run(args.out)
