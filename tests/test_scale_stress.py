@@ -183,6 +183,67 @@ def test_lsh_cosine_recall_on_skewed_embeddings(spark, embeddings):
     assert got.agg(F.min("cos")).first()[0] >= 0.9
 
 
+def test_sig_matmul_kernel_equals_expression_kernel(spark, embeddings, monkeypatch):
+    """The Arrow matmul signature kernel (the dim·bits > _SIG_EXPR_MAX
+    regime for production embedding widths) must produce the IDENTICAL
+    signature column as the inline JVM expression at a configuration
+    where both can run — forced by dropping the regime cutoff to 0.
+    (Divergence is only possible for a plane dot within ~1 ulp of zero;
+    the fixture is deterministic, so this pins bit-equality.)"""
+    from stream_sentinel_spark.operators import similarity
+
+    expr_sigs = dict(
+        similarity.lsh_signatures(
+            embeddings.vectors, "vec_id", "embedding", bits=64, dim=64
+        ).collect()
+    )
+    monkeypatch.setattr(similarity, "_SIG_EXPR_MAX", 0)
+    mat_sigs = dict(
+        similarity.lsh_signatures(
+            embeddings.vectors, "vec_id", "embedding", bits=64, dim=64
+        ).collect()
+    )
+    assert expr_sigs == mat_sigs and len(expr_sigs) == 1_500
+
+
+def test_high_dim_lsh_uses_matmul_and_recalls(spark, monkeypatch):
+    """At dim 768 (production text-embedding width) the signature MUST
+    take the matmul kernel — the literal expression falls out of codegen
+    and runs interpreted (measured 86 s for 2k vectors) — and the
+    end-to-end LSH near-dup recall story must hold when cosine
+    concentration bites. Regime engagement asserted by making the
+    expression branch unreachable, per the regime-vacuity lesson."""
+    from stream_sentinel_spark.operators import similarity
+    from stream_sentinel_spark.testing import make_skewed_embeddings
+
+    e = make_skewed_embeddings(
+        spark, n_vecs=1_000, hot_cluster=100, planted_pairs=80,
+        n_queries=0, dim=768, seed=29,
+    )
+    e.vectors.localCheckpoint(eager=True)
+    # regime engagement: the signature frame's plan must carry the Arrow
+    # pandas-UDF node (matmul kernel), not the inline literal expression
+    sig_plan = (
+        similarity.lsh_signatures(
+            e.vectors, "vec_id", "embedding", bits=64, dim=768
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in sig_plan, sig_plan[:2000]
+    assert "shiftleft" not in sig_plan
+    got = similarity.cosine_pairs_lsh(
+        e.vectors, "vec_id", "embedding",
+        threshold=0.9, bits=64, bands=8, dim=768,
+    ).localCheckpoint(eager=True)
+    truth = 100 * 99 // 2 + 80
+    n = got.count()
+    assert n <= truth
+    assert n >= 0.98 * truth, f"dim-768 LSH recall {n}/{truth}"
+    assert got.agg(F.min("cos")).first()[0] >= 0.9
+
+
 def test_ivf_recall_on_clustered_embeddings(spark, embeddings):
     """x20's IVF path at scale parameters: recall@5 vs exact brute force
     on held-out queries, with the hot cluster occupying one cell."""

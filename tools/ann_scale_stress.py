@@ -19,7 +19,13 @@ What is measured/asserted:
   for train+assign+probe vs the exact path, and survival of the hot
   cell (10% of the corpus in one cell = the join-skew case).
 
-Run:  python tools/ann_scale_stress.py [--out STRESS_r04_ann.json]
+Round 5 adds --dim (default 64, the fixtures' width): at production
+text-embedding widths (768-1536) cosine concentration tightens and the
+signature computation switches to the Arrow matmul kernel
+(similarity._SIG_EXPR_MAX regime) — the dim-768 run confirms the
+recall/scan-fraction story holds there.
+
+Run:  python tools/ann_scale_stress.py [--dim 768] [--out STRESS_r05_ann.json]
 """
 
 from __future__ import annotations
@@ -35,8 +41,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def run(out_path: str) -> dict:
+def run(out_path: str, dim: int = 64) -> dict:
     from stream_sentinel_spark.operators.similarity import (
+        _SIG_EXPR_MAX,
         brute_force_topk,
         cosine_pairs_lsh,
         ivf_topk,
@@ -44,18 +51,24 @@ def run(out_path: str) -> dict:
     from stream_sentinel_spark.testing import make_skewed_embeddings, stress_session
 
     spark = stress_session()
-    rec: dict = {"sf01_vecs": 2000}
+    rec: dict = {
+        "sf01_vecs": 2000,
+        "dim": dim,
+        "sig_kernel": "matmul" if dim * 64 > _SIG_EXPR_MAX else "expression",
+    }
 
     # --- x07 scale path at 20k --------------------------------------------
     e20 = make_skewed_embeddings(
-        spark, n_vecs=20_000, hot_cluster=1_000, planted_pairs=1_000, n_queries=0
+        spark, n_vecs=20_000, hot_cluster=1_000, planted_pairs=1_000,
+        n_queries=0, dim=dim,
     )
     e20.vectors.localCheckpoint(eager=True)
     hot = e20.hot_ids[1]
     truth = hot * (hot - 1) // 2 + 1_000
     t0 = time.time()
     pairs = cosine_pairs_lsh(
-        e20.vectors, "vec_id", "embedding", threshold=0.9, bits=64, bands=8
+        e20.vectors, "vec_id", "embedding", threshold=0.9, bits=64, bands=8,
+        dim=dim,
     ).localCheckpoint(eager=True)
     found = pairs.count()
     rec["x07_sec_20k"] = round(time.time() - t0, 2)
@@ -77,7 +90,8 @@ def run(out_path: str) -> dict:
 
     # --- x20 IVF at 50k corpus x 500 queries --------------------------------
     e50 = make_skewed_embeddings(
-        spark, n_vecs=50_000, hot_cluster=5_000, planted_pairs=1_000, n_queries=500
+        spark, n_vecs=50_000, hot_cluster=5_000, planted_pairs=1_000,
+        n_queries=500, dim=dim,
     )
     e50.vectors.localCheckpoint(eager=True)
     e50.queries.localCheckpoint(eager=True)
@@ -143,6 +157,7 @@ def run(out_path: str) -> dict:
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="STRESS_r04_ann.json")
+    ap.add_argument("--out", default="STRESS_r05_ann.json")
+    ap.add_argument("--dim", type=int, default=64)
     args = ap.parse_args()
-    run(args.out)
+    run(args.out, dim=args.dim)
