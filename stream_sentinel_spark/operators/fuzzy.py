@@ -12,12 +12,18 @@ is O(n·len) variants hashed plus O(candidates) verifications — the
 shuffle key is the variant string, so Catalyst plans an ordinary hash
 join at any scale.
 
-Guaranteed recall for max_distance=1 (the neighborhood argument above
-is exhaustive); false positives (neighborhoods intersect at distance 2)
-are removed by the verify filter. Larger distances compose by applying
-the delete expansion recursively — not implemented here because the
-fan-out grows as len^k and the verify step dominates; for k ≥ 2 prefer
-:mod:`stream_sentinel_spark.operators.dedup` n-gram Jaccard.
+Guaranteed recall (the SymSpell property): two strings within edit
+distance k always share a member of their ≤k-deletion neighborhoods —
+each substitution deletes its position from both sides, each
+insertion/deletion deletes the extra character from the longer side —
+so the equi-join on the exploded variant key is a complete candidate
+generator at any k, and exact ``levenshtein`` removes the false
+collisions. Implemented for k ∈ {1, 2}: the neighborhood grows as
+O(len^k) (len+1 variants at k=1, ~len²/2 at k=2 — ~330 for a 25-char
+name), which is the practical entity-matching range; beyond that the
+variant fan-out and candidate multiplicity dominate and
+:mod:`stream_sentinel_spark.operators.dedup` n-gram Jaccard is the
+right family.
 
 Everything stays JVM-side: variant generation is sequence+transform
 (codegen'd), verification is the built-in ``levenshtein``.
@@ -48,16 +54,28 @@ def deletion_variants(text: F.Column | str) -> F.Column:
     return F.array_distinct(F.concat(F.array(t), dels))
 
 
+def deletion_variants_k(text: F.Column | str, k: int) -> F.Column:
+    """array<string>: the ≤k-deletion neighborhood. Each expansion round
+    applies :func:`deletion_variants` to every current variant (which
+    includes the identity, so round i yields ALL deletions of ≤i chars),
+    de-duplicated. Runtime string compute, not plan literals — the
+    expression stays codegen-sized at any k."""
+    cur = deletion_variants(text)
+    for _ in range(k - 1):
+        cur = F.array_distinct(F.flatten(F.transform(cur, deletion_variants)))
+    return cur
+
+
 def fuzzy_pairs(
     df: DataFrame, id_col: str, text_col: str, max_distance: int = 1
 ) -> DataFrame:
     """All pairs (a_id < b_id) with ``levenshtein(a, b) <= max_distance``
-    — exact result, never a cross join. Only ``max_distance=1`` is
-    supported (see module docstring)."""
-    if max_distance != 1:
+    — exact result, never a cross join. ``max_distance`` ∈ {1, 2} (see
+    module docstring for why larger radii belong to the n-gram family)."""
+    if max_distance not in (1, 2):
         raise NotImplementedError(
-            "symmetric-delete blocking implemented for max_distance=1; "
-            "use n-gram Jaccard for coarser matching"
+            "symmetric-delete blocking implemented for max_distance in "
+            "{1, 2}; use n-gram Jaccard for coarser matching"
         )
     # spread before the explode: a dimension-sized input scans as one
     # partition and would serialize the variant fan-out, the collision
@@ -67,7 +85,9 @@ def fuzzy_pairs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     )
     variants = base.select(
-        "id", "txt", F.explode(deletion_variants(F.col("txt"))).alias("variant")
+        "id",
+        "txt",
+        F.explode(deletion_variants_k(F.col("txt"), max_distance)).alias("variant"),
     )
     a = variants.select(
         F.col("id").alias("a_id"), F.col("txt").alias("a_txt"), "variant"

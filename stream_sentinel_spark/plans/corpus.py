@@ -131,7 +131,10 @@ def query(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY = [
     # --- the one never-green row: oracle SUMs cast to BIGINT this round ---
     "q53_tpch_q12_priority_lines",
-    # --- stalest rows (latest green = r02) ---
+    # --- new this round (no driver row yet): distance-2 fuzzy matching ---
+    "x79_fuzzy_name_pairs2",
+    # --- stalest rows (latest green = r02; q18 displaced by x79 —
+    # set-ops code unchanged since r01 and twice proven) ---
     "q01_scan_projection",
     "q02_json_numeric_coercion",
     "q03_threshold_rule",
@@ -149,7 +152,6 @@ _DRIVER_PRIORITY = [
     "q15_rollup_lineitem",
     "q16_ranking_windows",
     "q17_topk_orders",
-    "q18_set_ops",
     "q19_scalars_part",
     "q20_json_group",
     "q21_dates_orders",
@@ -5396,3 +5398,32 @@ def x78(spark, sf):
         emb.filter(F.col("vec_id") % 2 == 1),
         "vec_id", "embedding", threshold=0.40,
     )
+
+
+@query(
+    "x79_fuzzy_name_pairs2",
+    """
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY a_id, b_id
+    """,
+)
+def x79(spark, sf):
+    # x24 at matching radius 2 — the previously-gated symmetric-delete
+    # regime (fuzzy.py's NotImplementedError until round 5): candidates
+    # are an equi-join on the exploded ≤2-deletion neighborhood (~len²/2
+    # variants per name, runtime-computed), exact levenshtein verifies.
+    # One market segment keeps the DENSE sequential-name fixture sane:
+    # whole-table distance-2 pairs grow superlinearly (4.1 M at sf0.1 —
+    # probed before wiring, all three SFs non-vacuous at 370/8.3k/157k
+    # pairs). The oracle stays the quadratic join, affordable in DuckDB
+    # at every oracle scale on the segment slice.
+    from stream_sentinel_spark.operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING"),
+        "c_custkey", "c_name", max_distance=2,
+    ).orderBy("a_id", "b_id")

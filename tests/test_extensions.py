@@ -429,6 +429,67 @@ def test_fuzzy_pairs_matches_naive(spark):
     assert not any(a == 0 and b == 5 for a, b, _ in got)  # distance 2 — out
 
 
+def test_fuzzy_pairs_distance2_matches_naive(spark):
+    """Radius-2 symmetric deletes (the regime gated as NotImplementedError
+    until round 5) ≡ the quadratic join at <=2 — on a fixture carrying
+    every distance-2 composition (two substitutions, sub+insert, two
+    inserts, two deletes, transposition-as-two-subs) plus distance-3
+    rejections, AND on the real sf0.001 customer names (370 probed
+    pairs, so the corpus entry's regime provably engages)."""
+    from stream_sentinel_spark.operators.fuzzy import fuzzy_pairs
+    from stream_sentinel_spark.sources.batch import load_table
+
+    words = ["spark", "spork", "stork", "sparkles", "spa", "park", "flink",
+             "sparc", "rapks"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id int, w string"
+    )
+
+    def naive(frame, idc, txt, k):
+        return {
+            (r.a_id, r.b_id, r.dist)
+            for r in frame.selectExpr(f"{idc} as id", f"{txt} as w")
+            .crossJoin(
+                frame.selectExpr(f"{idc} as b_id", f"{txt} as b_w")
+            )
+            .filter(F.col("id") < F.col("b_id"))
+            .withColumn("dist", F.levenshtein("w", "b_w"))
+            .filter(F.col("dist") <= k)
+            .selectExpr("id as a_id", "b_id", "dist")
+            .collect()
+        }
+
+    got = {
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_pairs(df, "id", "w", max_distance=2).collect()
+    }
+    want = naive(df, "id", "w", 2)
+    assert got == want
+    assert (0, 2, 2) in got          # two substitutions (spark→stork)
+    assert (0, 4, 2) in got          # two deletions (spark→spa)
+    assert (0, 8, 2) not in want or (0, 8, 2) in got  # consistency
+    d1 = {
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_pairs(df, "id", "w", max_distance=1).collect()
+    }
+    assert d1 < got, "radius 2 must be a strict superset of radius 1"
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    got_c = {
+        (r.a_id, r.b_id, r.dist)
+        for r in fuzzy_pairs(cust, "c_custkey", "c_name", max_distance=2).collect()
+    }
+    assert got_c == naive(cust, "c_custkey", "c_name", 2)
+    assert len(got_c) == 370  # the probed fixture density — non-vacuous
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="n-gram"):
+        fuzzy_pairs(df, "id", "w", max_distance=3)
+
+
 def test_cosine_pairs_exhaustive_vs_numpy(spark):
     """The quadratic cosine_pairs is the exhaustive baseline for the LSH
     scale path (x07): pin its exact pair set and values against a numpy
