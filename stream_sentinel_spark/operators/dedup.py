@@ -1562,3 +1562,127 @@ def incremental_neardups(
         F.max("jaccard").alias("best_jaccard"),
         F.min("a_id").alias("first_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash index — the text twin of similarity.build_lsh_index:
+# pay the corpus's signatures/shingle-codes ONCE at build; every batch
+# after that touches only new-side kernel work + bucket-local joins.
+# ---------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    old: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    num_buckets: int = 32,
+    base_path: str | None = None,
+) -> None:
+    """Persist the corpus side of :func:`incremental_neardups` as a
+    reusable index (same table layout as
+    :func:`~stream_sentinel_spark.operators.similarity.build_lsh_index`):
+
+    - ``{table}_bands`` (old_id, band, bucket) BUCKETED by the candidate
+      join key — per-batch matches join it with no Exchange;
+    - ``{table}_verify`` (old_id, codes, sz) bucketed by old_id — the
+      exact-Jaccard verify joins stored shingle codes instead of
+      re-running the Arrow shingle kernel over the corpus;
+    - ``{table}_bandstats`` (band, bucket, _na) — precomputed corpus-
+      side counts for the hot-bucket salting probe;
+    - ``{table}_meta`` (n, num_hashes, bands) — self-describing params.
+
+    One Arrow kernel pass over ``old`` total (the sig/codes frame is
+    checkpointed and feeds both bucketed writes)."""
+    from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+    spark = old.sparkSession
+
+    def _path(suffix: str) -> str | None:
+        return None if base_path is None else f"{base_path}/{suffix}"
+
+    def _save_plain(df: DataFrame, suffix: str) -> None:
+        w = df.write.format("parquet").mode("overwrite")
+        if base_path is not None:
+            w = w.option("path", _path(suffix))
+        w.saveAsTable(f"{table}_{suffix}")
+
+    sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
+    kernel = (
+        _spread(old.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", sig_code.alias("_sc"))
+        .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    write_bucketed(
+        _banded_keys(kernel.select("id", "sig"), num_hashes, bands)
+        .withColumnRenamed("id", "old_id"),
+        f"{table}_bands", ["band", "bucket"], num_buckets, path=_path("bands"),
+    )
+    _save_plain(
+        spark.table(f"{table}_bands")
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_na")),
+        "bandstats",
+    )
+    write_bucketed(
+        kernel.select(F.col("id").alias("old_id"), "codes", "sz"),
+        f"{table}_verify", ["old_id"], num_buckets, path=_path("verify"),
+    )
+    _save_plain(
+        spark.createDataFrame(
+            [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        ),
+        "meta",
+    )
+
+
+def match_minhash_index(
+    spark,
+    new: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    cutoff: int | None = None,
+) -> DataFrame:
+    """Match an incoming batch of documents against a stored
+    :func:`build_minhash_index` — the same output contract as
+    :func:`incremental_neardups` ((new_id, n_matches, best_jaccard,
+    first_match); unmatched new docs absent) and bit-equal values
+    (pinned in tests/test_minhash_index.py), with the corpus paying
+    nothing per batch beyond bucket-local join reads: signatures,
+    shingle codes, band keys, and bucket counts all come from the index
+    tables. Same disjoint-id-space precondition as the one-shot path."""
+    from stream_sentinel_spark.sources.bucketing import bucketed
+
+    meta = spark.table(f"{table}_meta").head()
+    sig_code = _text_sig_code_udf(meta.n, meta.num_hashes)(F.col("_t"))
+    new_kernel = (
+        _spread(new.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", sig_code.alias("_sc"))
+        .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    kwargs = {} if cutoff is None else {"cutoff": cutoff}
+    cands = _hot_salted_pair_join(
+        bucketed(spark, f"{table}_bands").withColumnRenamed("old_id", "id"),
+        _banded_keys(new_kernel.select("id", "sig"), meta.num_hashes, meta.bands),
+        ["band", "bucket"],
+        na=spark.table(f"{table}_bandstats"),
+        **kwargs,
+    ).distinct()
+    docs = spark.table(f"{table}_verify").withColumnRenamed(
+        "old_id", "id"
+    ).unionByName(new_kernel.select("id", "codes", "sz"))
+    pairs = _adaptive_verify(cands, docs, threshold)
+    return pairs.groupBy(F.col("b_id").alias("new_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("best_jaccard"),
+        F.min("a_id").alias("first_match"),
+    )

@@ -1,0 +1,115 @@
+"""Persisted MinHash document index (build once / match per batch) —
+the text twin of tests/test_embedding_index.py.
+
+build_minhash_index stores band keys (bucketed by the candidate join
+key), shingle codes for the exact-Jaccard verify, per-bucket counts for
+the salting probe, and signature params; match_minhash_index must
+(1) reproduce incremental_neardups bit-for-bit and (2) plan the
+per-batch candidate join so the corpus side is a bucketed FileScan with
+no Exchange and no Arrow kernel recompute."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators.dedup import (
+    build_minhash_index,
+    incremental_neardups,
+    match_minhash_index,
+)
+from stream_sentinel_spark.sources.batch import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    # same split + params as the x61 corpus entry
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return old, new
+
+
+@pytest.fixture(scope="module")
+def index(spark, frames):
+    old, _ = frames
+    build_minhash_index(old, "doc_idx", num_hashes=32, bands=8)
+    yield "doc_idx"
+    for suffix in ("bands", "verify", "bandstats", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS doc_idx_{suffix}")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _rows(df):
+    return sorted(
+        (r.new_id, r.n_matches, r.best_jaccard, r.first_match)
+        for r in df.collect()
+    )
+
+
+def test_match_equals_one_shot_incremental(spark, frames, index):
+    old, new = frames
+    got = _rows(match_minhash_index(spark, new, index, threshold=0.8))
+    want = _rows(
+        incremental_neardups(
+            old, new, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8
+        )
+    )
+    assert len(want) > 0, "fixture split produced no matches — test is vacuous"
+    assert got == want  # bit-equal: same kernel for new side, stored codes
+
+
+def test_per_batch_candidates_read_the_bucketed_index(
+    spark, frames, index, no_broadcast
+):
+    from stream_sentinel_spark.operators.dedup import (
+        _banded_keys,
+        _hot_salted_pair_join,
+        _text_sig_code_udf,
+    )
+    from stream_sentinel_spark.sources.bucketing import bucketed
+
+    _, new = frames
+    meta = spark.table("doc_idx_meta").head()
+    sig_code = _text_sig_code_udf(meta.n, meta.num_hashes)(F.col("_t"))
+    new_kernel = (
+        new.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
+        .select("id", sig_code.alias("_sc"))
+        .select("id", "_sc.sig")
+        .localCheckpoint(eager=True)
+    )
+    cands = _hot_salted_pair_join(
+        bucketed(spark, "doc_idx_bands").withColumnRenamed("old_id", "id"),
+        _banded_keys(new_kernel, meta.num_hashes, meta.bands),
+        ["band", "bucket"],
+        na=spark.table("doc_idx_bandstats"),
+    )
+    plan = plan_of(cands)
+    # corpus side: bucketed FileScan, no Exchange above it; the only
+    # (band, bucket) shuffle belongs to the (small) new side
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("hashpartitioning(band") == 1, plan
+    # no corpus-side kernel recompute: the new side's signatures are
+    # checkpointed, the old side's come from parquet — the candidate
+    # plan itself carries no Arrow python node
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_meta_makes_index_self_describing(spark, frames, index):
+    meta = spark.table("doc_idx_meta").head()
+    assert (meta.n, meta.num_hashes, meta.bands) == (3, 32, 8)
