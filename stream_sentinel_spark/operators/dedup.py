@@ -1571,6 +1571,22 @@ def incremental_neardups(
 # ---------------------------------------------------------------------------
 
 
+def _kernel_frame(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
+) -> DataFrame:
+    """Checkpointed (id, sig, codes, sz) frame — ONE Arrow kernel pass
+    over the documents, shared by the index build and the per-batch
+    match so the two can never compute signatures differently."""
+    sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
+    return (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
+        .select("id", sig_code.alias("_sc"))
+        .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
+        .filter(F.col("sig").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+
+
 def build_minhash_index(
     old: DataFrame,
     table: str,
@@ -1597,47 +1613,36 @@ def build_minhash_index(
 
     One Arrow kernel pass over ``old`` total (the sig/codes frame is
     checkpointed and feeds both bucketed writes)."""
-    from stream_sentinel_spark.sources.bucketing import write_bucketed
+    from stream_sentinel_spark.sources.bucketing import write_bucketed, write_plain
 
     spark = old.sparkSession
 
     def _path(suffix: str) -> str | None:
         return None if base_path is None else f"{base_path}/{suffix}"
 
-    def _save_plain(df: DataFrame, suffix: str) -> None:
-        w = df.write.format("parquet").mode("overwrite")
-        if base_path is not None:
-            w = w.option("path", _path(suffix))
-        w.saveAsTable(f"{table}_{suffix}")
-
-    sig_code = _text_sig_code_udf(n, num_hashes)(F.col("_t"))
-    kernel = (
-        _spread(old.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
-        .select("id", sig_code.alias("_sc"))
-        .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
-        .filter(F.col("sig").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    kernel = _kernel_frame(old, id_col, text_col, n, num_hashes)
     write_bucketed(
         _banded_keys(kernel.select("id", "sig"), num_hashes, bands)
         .withColumnRenamed("id", "old_id"),
         f"{table}_bands", ["band", "bucket"], num_buckets, path=_path("bands"),
     )
-    _save_plain(
+    write_plain(
         spark.table(f"{table}_bands")
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_na")),
-        "bandstats",
+        f"{table}_bandstats",
+        path=_path("bandstats"),
     )
     write_bucketed(
         kernel.select(F.col("id").alias("old_id"), "codes", "sz"),
         f"{table}_verify", ["old_id"], num_buckets, path=_path("verify"),
     )
-    _save_plain(
+    write_plain(
         spark.createDataFrame(
             [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
         ),
-        "meta",
+        f"{table}_meta",
+        path=_path("meta"),
     )
 
 
@@ -1661,14 +1666,7 @@ def match_minhash_index(
     from stream_sentinel_spark.sources.bucketing import bucketed
 
     meta = spark.table(f"{table}_meta").head()
-    sig_code = _text_sig_code_udf(meta.n, meta.num_hashes)(F.col("_t"))
-    new_kernel = (
-        _spread(new.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
-        .select("id", sig_code.alias("_sc"))
-        .select("id", "_sc.sig", "_sc.codes", "_sc.sz")
-        .filter(F.col("sig").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    new_kernel = _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
     kwargs = {} if cutoff is None else {"cutoff": cutoff}
     cands = _hot_salted_pair_join(
         bucketed(spark, f"{table}_bands").withColumnRenamed("old_id", "id"),

@@ -270,9 +270,21 @@ def _sig_matmul_udf(bits: int, dim: int, seed: int):
 
     @F.pandas_udf("long")
     def sign_sig(v: pd.Series) -> pd.Series:
-        mat = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        bits_on = (mat @ planes_t) >= 0
-        sig = (bits_on.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        arrs = v.to_numpy()
+        # NULL or wrong-width vectors get sig 0, mirroring the expression
+        # path (dot(NULL, p) is NULL → every when() falls to otherwise(0));
+        # a single bad row must degrade, not kill the stage
+        ok = np.fromiter(
+            (a is not None and len(a) == dim for a in arrs),
+            dtype=bool, count=len(arrs),
+        )
+        sig = np.zeros(len(arrs), dtype=np.uint64)
+        if ok.any():
+            mat = np.stack(arrs[ok]).astype(np.float64, copy=False)
+            bits_on = (mat @ planes_t) >= 0
+            sig[ok] = (bits_on.astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
         return pd.Series(sig.view(np.int64))
 
     return sign_sig
@@ -312,6 +324,26 @@ def lsh_signatures(
     return df.select(F.col(id_col).alias("id"), *(carry or []), sig.alias("sig"))
 
 
+def _band_struct_expr(bits: int, bands: int) -> F.Column:
+    """array<struct<band,val>> splitting a ``sig`` column into ``bands``
+    equi-join keys — ONE definition shared by the in-memory candidate
+    paths and the persisted index build, so the two can never disagree
+    on band layout."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("band"),
+                F.shiftright(F.col("sig"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for c in range(bands)
+        ]
+    )
+
+
 def _banded_chunks(
     df: DataFrame,
     id_col: str,
@@ -329,19 +361,7 @@ def _banded_chunks(
     ride along untouched."""
     carry = carry or []
     sig = lsh_signatures(df, id_col, vec_col, bits, dim, seed, carry=carry)
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("band"),
-                F.shiftright(F.col("sig"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for c in range(bands)
-        ]
-    )
+    band_structs = _band_struct_expr(bits, bands)
     return (
         sig.select("id", *carry, F.explode(band_structs).alias("bb"))
         .select("id", *carry, "bb.band", "bb.val")
@@ -511,11 +531,13 @@ def build_lsh_index(
       index self-describing — match never takes signature params, so a
       build/match mismatch is impossible.
 
-    Build cost is one pass over ``old_df`` (signatures + explode +
-    bucketed write) plus an exchange-free groupBy on the written bands
-    table; amortized over every subsequent ingest batch.
+    Build cost is two map-only scans of ``old_df`` (band keys, then
+    vectors+norms — kept as separate scans deliberately: checkpointing
+    a corpus-sized VECTOR frame to share one scan would pin the whole
+    corpus in executor memory) plus an exchange-free groupBy on the
+    written bands table; amortized over every subsequent ingest batch.
     """
-    from stream_sentinel_spark.sources.bucketing import write_bucketed
+    from stream_sentinel_spark.sources.bucketing import write_bucketed, write_plain
 
     spark = old_df.sparkSession
 
@@ -523,40 +545,27 @@ def build_lsh_index(
         return None if base_path is None else f"{base_path}/{suffix}"
 
     sig = lsh_signatures(old_df, id_col, vec_col, bits, dim, seed)
-    width = bits // bands
-    mask = (1 << width) - 1
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("band"),
-                F.shiftright(F.col("sig"), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for c in range(bands)
-        ]
-    )
+    # the SAME band-splitting expression the in-memory candidate paths
+    # use (_band_struct_expr): build and match cannot disagree on layout
     band_keys = (
-        sig.select(F.col("id").alias("old_id"), F.explode(band_structs).alias("bb"))
+        sig.select(
+            F.col("id").alias("old_id"),
+            F.explode(_band_struct_expr(bits, bands)).alias("bb"),
+        )
         .select("old_id", "bb.band", "bb.val")
     )
     write_bucketed(
         band_keys, f"{table}_bands", ["band", "val"], num_buckets,
         path=_path("bands"),
     )
-    def _save_plain(df: DataFrame, suffix: str) -> None:
-        w = df.write.format("parquet").mode("overwrite")
-        if base_path is not None:
-            w = w.option("path", _path(suffix))
-        w.saveAsTable(f"{table}_{suffix}")
-
     # counts from the WRITTEN table: bucketed by (band, val), so this
     # groupBy plans without an Exchange and nothing is computed twice
-    _save_plain(
+    write_plain(
         spark.table(f"{table}_bands")
         .groupBy("band", "val")
         .agg(F.count(F.lit(1)).alias("_na")),
-        "bandstats",
+        f"{table}_bandstats",
+        path=_path("bandstats"),
     )
     vecs = old_df.select(
         F.col(id_col).alias("old_id"), F.col(vec_col).alias("old_vec")
@@ -564,11 +573,12 @@ def build_lsh_index(
     write_bucketed(
         vecs, f"{table}_vecs", ["old_id"], num_buckets, path=_path("vecs")
     )
-    _save_plain(
+    write_plain(
         spark.createDataFrame(
             [(bits, bands, dim, seed)], "bits int, bands int, dim int, seed int"
         ),
-        "meta",
+        f"{table}_meta",
+        path=_path("meta"),
     )
 
 

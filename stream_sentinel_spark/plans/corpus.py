@@ -116,11 +116,14 @@ def query(name: str, oracle: str | None = None):
 # covers all of them every run. Round 5 rotation: q53 is the corpus's
 # only never-green name (round-4 verdict root-caused it to a DuckDB
 # HUGEINT->float64 oracle typing artifact; the oracle now casts the SUMs
-# to BIGINT) and is fronted. The other 49 slots re-prove the STALEST
-# driver rows — the 44 queries whose latest green row is round 2
-# (q01-q24/q28, x01-x20 — this also covers the round-4 verdict/ADVICE ask
-# to re-prove x07, whose lsh_candidates path changed in round 4, and the
-# rest of the perf-sensitive dedup/ANN family x08/x14/x19/x20) — plus
+# to BIGINT) and is fronted, with the round-5 addition x79 behind it.
+# The remaining slots re-prove the STALEST driver rows — the queries
+# whose latest green row is round 2: q01-q17, q19-q24, q28 (q18
+# displaced by x79), x01, and x03-x20 (NOT x02 — its gram_arrays change
+# was re-proven in round 4, so its latest green is r04). That set also
+# covers the round-4 verdict/ADVICE ask to re-prove x07, whose
+# lsh_candidates path changed in round 4, and the rest of the
+# perf-sensitive dedup/ANN family x08/x14/x19/x20 — plus
 # five rows with changed-or-heavy code: x24 (round-4 plan-layout
 # change), x35 (similarity.py shared-kernel neighbor of this round's
 # x78 index work), and x61/x78 — their shared candidate join

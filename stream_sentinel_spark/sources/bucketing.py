@@ -60,6 +60,18 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_plain(
+    df: DataFrame, table: str, path: str | None = None, mode: str = "overwrite"
+) -> None:
+    """Unbucketed parquet metastore table with the same external-path
+    convention as :func:`write_bucketed` — the small side tables
+    (stats, params) of the persisted dedup/similarity indexes."""
+    w = df.write.format("parquet").mode(mode)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact (plain
     ``spark.read.parquet(path)`` would drop it)."""

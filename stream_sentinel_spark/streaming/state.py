@@ -516,15 +516,21 @@ def _make_bucketed_processor(
         if ttl_ms is not None:
             last = wrapped.get("t", {})
             now_ms = int(time.time() * 1000)
-            # in-blob eviction: keys idle longer than the TTL restart
-            # fresh, exactly like the per-key backend's timeout path
+        out = _run_rules_over_bucket(
+            states, pdfs, rule_specs, value_cols, order_cols, last, now_ms
+        )
+        if last is not None:
+            # in-blob eviction AFTER processing stamps this batch's keys:
+            # a key WITH data in the batch always survives — the GroupState
+            # contract's ProcessingTimeTimeout likewise never fires for a
+            # key that has data in the trigger, however long the gap since
+            # its previous batch. Only keys absent from this batch AND idle
+            # past the TTL are dropped (the per-key backend would have
+            # fired their individual timeouts at this same trigger).
             dead = [k for k, t in last.items() if now_ms - t > ttl_ms]
             for k in dead:
                 states.pop(k, None)
                 del last[k]
-        out = _run_rules_over_bucket(
-            states, pdfs, rule_specs, value_cols, order_cols, last, now_ms
-        )
         wrapped = {"s": states}
         if last is not None:
             wrapped["t"] = last
@@ -575,12 +581,15 @@ def stateful_alerts_bucketed(
     a larger ``n_buckets``; and a bucket is one task's work, so
     ``n_buckets`` must stay ≫ the executor-core count.
 
-    ``state_ttl_ms`` evicts in-blob: a key idle longer than the TTL is
-    pruned the next time its bucket is touched (restarting fresh,
-    exactly like the per-key timeout path), and a FULLY idle bucket is
-    dropped whole by its processing-time timeout — both bounds together
-    give the same guarantee as the per-key TTL (state ∝ live keys, not
-    keys-ever-seen)."""
+    ``state_ttl_ms`` evicts in-blob, mirroring the per-key
+    ProcessingTimeTimeout semantics: a key WITH data in the batch always
+    keeps its state (the GroupState contract never fires a timeout for a
+    key that has data in the trigger), a key absent from the batch and
+    idle past the TTL is pruned when its bucket is next invoked (the
+    same trigger at which the per-key backend would fire its individual
+    timeout), and a FULLY idle bucket is dropped whole by its
+    processing-time timeout — together the same guarantee as the
+    per-key TTL (state ∝ live keys, not keys-ever-seen)."""
     keyed, specs, value_cols = _prepare_keyed(
         events, rules, key_field, time_col, order_cols, rule_indexes, event_columns
     )

@@ -80,22 +80,16 @@ def test_per_batch_candidates_read_the_bucketed_index(
     from stream_sentinel_spark.operators.dedup import (
         _banded_keys,
         _hot_salted_pair_join,
-        _text_sig_code_udf,
+        _kernel_frame,
     )
     from stream_sentinel_spark.sources.bucketing import bucketed
 
     _, new = frames
     meta = spark.table("doc_idx_meta").head()
-    sig_code = _text_sig_code_udf(meta.n, meta.num_hashes)(F.col("_t"))
-    new_kernel = (
-        new.select(F.col("doc_id").alias("id"), F.col("text").alias("_t"))
-        .select("id", sig_code.alias("_sc"))
-        .select("id", "_sc.sig")
-        .localCheckpoint(eager=True)
-    )
+    new_kernel = _kernel_frame(new, "doc_id", "text", meta.n, meta.num_hashes)
     cands = _hot_salted_pair_join(
         bucketed(spark, "doc_idx_bands").withColumnRenamed("old_id", "id"),
-        _banded_keys(new_kernel, meta.num_hashes, meta.bands),
+        _banded_keys(new_kernel.select("id", "sig"), meta.num_hashes, meta.bands),
         ["band", "bucket"],
         na=spark.table("doc_idx_bandstats"),
     )

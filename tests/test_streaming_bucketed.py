@@ -205,6 +205,83 @@ def test_bucketed_ttl_evicts_idle_keys(spark, tmp_path):
     assert len(with_ttl) == 0, [r["details"] for r in with_ttl]
 
 
+def test_ttl_never_evicts_a_key_with_data_in_the_batch():
+    """The GroupState ProcessingTimeTimeout contract: a key that has
+    data in the trigger never times out, however long the gap since its
+    previous batch — so the in-blob eviction must prune AFTER stamping
+    the batch's keys. Driven at the processor level with an ancient
+    last-seen stamp: the key's rate window must ACCUMULATE across the
+    gap (per-key-backend behavior), not restart."""
+    import json as _json
+
+    import pandas as pd
+
+    from stream_sentinel_spark.streaming.state import _make_bucketed_processor
+
+    spec = {
+        "rule_index": 0, "name": "burst", "type": "rate", "field": "value",
+        "threshold": 3.0, "window_seconds": 86_400, "window_size": 0,
+        "deviation_factor": 0.0, "decimal_scale": 2, "target": 0.0,
+    }
+
+    class FakeState:
+        def __init__(self, blob):
+            self._blob = blob
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._blob is not None
+
+        @property
+        def get(self):
+            return (self._blob,)
+
+        def update(self, t):
+            self._blob = t[0]
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self._blob = None
+
+    def pdf(ids, key="k1"):
+        return pd.DataFrame(
+            {
+                "__ss_key": [key] * len(ids),
+                "__ss_ts_us": [1_000_000 * i for i in ids],
+                "__ss_event": [{"n": str(i)} for i in ids],
+                "event_id": [f"e{i}" for i in ids],
+            }
+        )
+
+    proc = _make_bucketed_processor([spec], {}, ("event_id",), ttl_ms=500)
+    # batch 1: two events for k1 → rate window holds 2 timestamps
+    state = FakeState(None)
+    blob_in = _json.dumps(
+        {"s": {"k1": {"r0": [0, 1]}}, "t": {"k1": 0}}  # last seen: epoch 0
+    )
+    state = FakeState(blob_in)
+    # batch arrives much later than ttl=500ms, but k1 HAS data in it —
+    # the retained window (2 old events) + 2 new events crosses the
+    # threshold of 3, which only happens if the state survived
+    out = list(proc(("bkt",), iter([pdf([3, 4])]), state))
+    assert out and list(out[0]["rule_name"]) == ["burst"], (
+        "retained rate window must fire on the 4th cumulative event"
+    )
+    kept = _json.loads(state._blob)
+    assert "k1" in kept["s"] and len(kept["s"]["k1"]["r0"]) == 4
+    # an idle OTHER key with a stale stamp in the same blob is pruned
+    blob_in = _json.dumps(
+        {"s": {"k1": {"r0": [0]}, "idle": {"r0": [0]}}, "t": {"k1": 0, "idle": 0}}
+    )
+    state = FakeState(blob_in)
+    list(proc(("bkt",), iter([pdf([5])]), state))
+    kept = _json.loads(state._blob)
+    assert "idle" not in kept["s"] and "k1" in kept["s"]
+
+
 def test_compile_rules_streaming_bucketed_switch(spark, events_src):
     path, ev = events_src
     stream = read_file_stream(spark, path, ev.schema, time_col="ts", watermark=None)
