@@ -1214,3 +1214,53 @@ def shard_column_stats(
     ).select(
         "shard", "s.column", "s.min_value", "s.max_value", "s.n_nulls", "n_rows"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment by NEAR-DUP CLUSTER, not by document —
+    the leakage guard a training-data pipeline needs: splitting i.i.d.
+    by doc id puts near-duplicates of training documents into the eval
+    split, silently inflating every benchmark (the canonical
+    contamination mode alongside x25's n-gram decontamination).
+
+    ``clusters`` is an (id, component) frame — e.g. the output of
+    :func:`~stream_sentinel_spark.operators.dedup.dedup_clusters`, where
+    ``component`` is the cluster's minimum member id — so every member
+    of a cluster shares one split decision: the md5 bucket of the
+    COMPONENT id (sampling's ``_md5_bucket`` construction, engine-
+    portable and deterministic). Docs absent from ``clusters`` are
+    singletons: their component is their own id.
+
+    Output: (id, component, split ∈ {'train','val','test'}). Scale: one
+    left join on the doc id + a map-only hash decision; rates are exact
+    in expectation over clusters (weighted by cluster count, not doc
+    count — by design: the unit of independence is the cluster).
+    """
+    from stream_sentinel_spark.operators.sampling import _md5_bucket
+
+    if val_rate < 0 or test_rate < 0 or val_rate + test_rate > 1.0:
+        raise ValueError(
+            f"rates must be non-negative with val+test <= 1, "
+            f"got val={val_rate} test={test_rate}"
+        )
+    test_cut = int(test_rate * (1 << 32))
+    val_cut = test_cut + int(val_rate * (1 << 32))
+    joined = docs.select(F.col(id_col).alias("id")).join(
+        clusters.select("id", "component"), "id", "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col("id")))
+    b = _md5_bucket("component", salt)
+    return joined.select(
+        "id",
+        "component",
+        F.when(b < F.lit(test_cut), F.lit("test"))
+        .when(b < F.lit(val_cut), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

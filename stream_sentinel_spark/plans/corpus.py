@@ -134,10 +134,12 @@ def query(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY = [
     # --- the one never-green row: oracle SUMs cast to BIGINT this round ---
     "q53_tpch_q12_priority_lines",
-    # --- new this round (no driver row yet): distance-2 fuzzy matching ---
+    # --- new this round (no driver row yet): distance-2 fuzzy matching,
+    # cluster-aware leakage-safe split ---
     "x79_fuzzy_name_pairs2",
-    # --- stalest rows (latest green = r02; q18 displaced by x79 —
-    # set-ops code unchanged since r01 and twice proven) ---
+    "x80_leakage_safe_split",
+    # --- stalest rows (latest green = r02; q18/q19 displaced by
+    # x79/x80 — both unchanged since r01 and twice proven) ---
     "q01_scan_projection",
     "q02_json_numeric_coercion",
     "q03_threshold_rule",
@@ -155,7 +157,6 @@ _DRIVER_PRIORITY = [
     "q15_rollup_lineitem",
     "q16_ranking_windows",
     "q17_topk_orders",
-    "q19_scalars_part",
     "q20_json_group",
     "q21_dates_orders",
     "q22_tumbling_windows",
@@ -5401,6 +5402,62 @@ def x78(spark, sf):
         emb.filter(F.col("vec_id") % 2 == 1),
         "vec_id", "embedding", threshold=0.40,
     )
+
+
+@query(
+    "x80_leakage_safe_split",
+    """
+    WITH pairs AS (
+      SELECT md5(a.text) AS fp, MIN(a.doc_id) OVER (PARTITION BY md5(a.text)) AS a_id,
+             a.doc_id AS b_id
+      FROM documents a),
+    edges AS (SELECT a_id, b_id FROM pairs WHERE a_id < b_id),
+    undirected AS (
+      SELECT a_id AS src, b_id AS dst FROM edges
+      UNION SELECT b_id, a_id FROM edges),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM undirected
+        UNION
+        SELECT r.src, u.dst FROM r JOIN undirected u ON r.dst = u.src
+        WHERE r.src != u.dst)
+      SELECT * FROM r),
+    comp AS (
+      SELECT d.doc_id AS id,
+             LEAST(d.doc_id, COALESCE(MIN(reach.dst), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach ON reach.src = d.doc_id
+      GROUP BY d.doc_id)
+    SELECT id, component,
+           CASE WHEN CAST(('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 214748364 THEN 'test'
+                WHEN CAST(('0x' || substr(md5('split' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT) < 429496728 THEN 'val'
+                ELSE 'train' END AS split
+    FROM comp
+    ORDER BY id
+    """,
+)
+def x80(spark, sf):
+    # Leakage-safe train/val/test split: the split decision hashes the
+    # near-dup CLUSTER representative (x14's connected components over
+    # exact-dup edges), so duplicates of a training doc can never land
+    # in an eval split — the contamination mode x25's n-gram
+    # decontamination doesn't cover. Rates are exact in expectation over
+    # clusters (the unit of independence). Same portable md5-bucket
+    # construction as every sampling operator.
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    edges = (
+        docs.select(F.md5("text").alias("fp"), F.col("doc_id").alias("b_id"))
+        .join(groups.select("fp", "keep_id"), "fp")
+        .filter(F.col("keep_id") < F.col("b_id"))
+        .select(F.col("keep_id").alias("a_id"), "b_id")
+    )
+    clusters = dedup.dedup_clusters(docs, edges, "doc_id")
+    return curation.leakage_safe_split(
+        docs, clusters.select("id", "component"), "doc_id",
+        val_rate=0.05, test_rate=0.05,
+    ).orderBy("id")
 
 
 @query(

@@ -640,3 +640,42 @@ def test_dsir_empty_and_lengths(spark):
     }
     assert set(out) == {1, 2}  # no-token doc absent: no feature evidence
     assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Every member of a cluster gets the SAME split (the leakage
+    guard), singletons absent from the clusters frame self-represent,
+    splits partition the corpus at roughly the requested rates over
+    cluster representatives, and bad rates fail fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.curation import leakage_safe_split
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    # clusters: ids 0-99 pair up (0,1)(2,3)... with component = even id;
+    # ids >= 100 are deliberately ABSENT from the frame (singletons)
+    clusters = spark.range(100).select(
+        F.col("id").alias("id"), (F.col("id") - F.col("id") % 2).alias("component")
+    )
+    out = leakage_safe_split(docs, clusters, "doc_id", 0.1, 0.1).cache()
+    assert out.count() == 1000
+    # cluster members agree on the split
+    disagree = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert disagree == 0
+    # singleton fallback: component == own id for ids >= 100
+    assert out.filter((F.col("id") >= 100) & (F.col("id") != F.col("component"))).count() == 0
+    # all three splits materialize at these rates on 950 components
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic: same inputs, same assignment
+    again = leakage_safe_split(docs, clusters, "doc_id", 0.1, 0.1)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="val\\+test"):
+        leakage_safe_split(docs, clusters, "doc_id", 0.6, 0.6)
