@@ -1264,3 +1264,54 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Which sources duplicate EACH OTHER — the corpus-mixing
+    diagnostic: a roll-up of verified near-dup pairs by unordered
+    source pair. High cross-source mass means two feeds are largely the
+    same crawl (deduplicate before mixing, or down-weight one); high
+    diagonal mass means a feed self-duplicates.
+
+    ``pairs`` is any verified near-dup frame with (a_id, b_id, shared,
+    a_sz, b_sz, jaccard) — x02's n-gram operator at oracle scale, the
+    MinHash-LSH path at 100 TB. Aggregates are deliberately
+    ORDER-INDEPENDENT so the result is bit-identical cross-engine:
+    n_pairs (count), max_jaccard (max of exact int/int divisions), and
+    micro_jaccard = Σ shared / Σ union — two integer sums and ONE float
+    division, no float accumulation.
+
+    Scale: the roll-up output is at most S² rows for S sources; the two
+    id joins broadcast the (id, source) projection when sources ride a
+    dimension-sized frame, else hash-join on the pair ids."""
+    sa = docs.select(
+        F.col(id_col).alias("a_id"), F.col(source_col).alias("a_src")
+    )
+    sb = docs.select(
+        F.col(id_col).alias("b_id"), F.col(source_col).alias("b_src")
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            F.least("a_src", "b_src").alias("source_a"),
+            F.greatest("a_src", "b_src").alias("source_b"),
+            "shared",
+            (F.col("a_sz") + F.col("b_sz") - F.col("shared")).alias("_union"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+            (
+                F.sum("shared").cast("double") / F.sum("_union")
+            ).alias("micro_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -135,11 +135,12 @@ _DRIVER_PRIORITY = [
     # --- the one never-green row: oracle SUMs cast to BIGINT this round ---
     "q53_tpch_q12_priority_lines",
     # --- new this round (no driver row yet): distance-2 fuzzy matching,
-    # cluster-aware leakage-safe split ---
+    # cluster-aware leakage-safe split, cross-source dup matrix ---
     "x79_fuzzy_name_pairs2",
     "x80_leakage_safe_split",
-    # --- stalest rows (latest green = r02; q18/q19 displaced by
-    # x79/x80 — both unchanged since r01 and twice proven) ---
+    "x81_cross_source_dups",
+    # --- stalest rows (latest green = r02; q18/q19/q20 displaced by
+    # x79/x80/x81 — all unchanged since r01 and twice proven) ---
     "q01_scan_projection",
     "q02_json_numeric_coercion",
     "q03_threshold_rule",
@@ -157,7 +158,6 @@ _DRIVER_PRIORITY = [
     "q15_rollup_lineitem",
     "q16_ranking_windows",
     "q17_topk_orders",
-    "q20_json_group",
     "q21_dates_orders",
     "q22_tumbling_windows",
     "q23_session_windows",
@@ -854,9 +854,9 @@ def x01(spark, sf):
     return dedup.exact_dedup_groups(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-@query(
-    "x02_dedup_ngram_jaccard",
-    """
+# shared by x02 and (as a CTE) x81's source-matrix roll-up — the
+# embed-the-oracle pattern x73 uses: the two cannot drift
+_X02_NGRAM_ORACLE = """
     WITH sh AS (
       SELECT doc_id AS id,
              unnest(list_distinct(
@@ -874,8 +874,10 @@ def x01(spark, sf):
     JOIN sizes sa ON sa.id = a_id
     JOIN sizes sb ON sb.id = b_id
     WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.8
-    """,
-)
+"""
+
+
+@query("x02_dedup_ngram_jaccard", _X02_NGRAM_ORACLE)
 def x02(spark, sf):
     # jaccard = int/int division — bit-identical across engines.
     return dedup.ngram_jaccard_pairs(
@@ -5402,6 +5404,38 @@ def x78(spark, sf):
         emb.filter(F.col("vec_id") % 2 == 1),
         "vec_id", "embedding", threshold=0.40,
     )
+
+
+@query(
+    "x81_cross_source_dups",
+    f"""
+    WITH p AS ({_X02_NGRAM_ORACLE})
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs,
+           MAX(p.jaccard) AS max_jaccard,
+           CAST(SUM(p.shared) AS DOUBLE) / SUM(p.a_sz + p.b_sz - p.shared)
+             AS micro_jaccard
+    FROM p JOIN documents da ON da.doc_id = p.a_id
+           JOIN documents db ON db.doc_id = p.b_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def x81(spark, sf):
+    # Cross-source duplication matrix: roll verified near-dup pairs up
+    # by unordered source pair — the corpus-mixing diagnostic (two feeds
+    # that largely duplicate each other should be deduped or
+    # down-weighted before mixing). Aggregates are order-independent
+    # (count, max of exact divisions, Σint/Σint micro-average) so the
+    # result is bit-identical cross-engine; the oracle embeds x02's
+    # oracle as a CTE, so pair semantics cannot drift. At 100 TB the
+    # pairs input is the MinHash-LSH path (x19) — same schema.
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return curation.cross_source_dup_matrix(docs, pairs, "doc_id", "source")
 
 
 @query(
