@@ -1315,3 +1315,47 @@ def cross_source_dup_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY under ingestion order (ascending id): the
+    fraction of the doc's distinct character n-grams whose FIRST
+    corpus occurrence (minimum doc id) is this doc. Exact duplicates of
+    earlier docs score 0, fresh content scores near 1 — the marginal-
+    contribution signal that ranks which documents actually add text to
+    a training mix (the per-doc complement of the pairwise dedup
+    operators: no pair enumeration, so it scales as two hash
+    aggregations + one gram join at any corpus size).
+
+    Output (doc_id, n_grams, n_novel, novelty) — novelty is one
+    int/int division, bit-identical cross-engine. Docs shorter than
+    ``n`` are absent (no grams — same universe as the Jaccard family,
+    :func:`~stream_sentinel_spark.operators.dedup.gram_arrays`)."""
+    from stream_sentinel_spark.operators.dedup import gram_arrays
+
+    sh = gram_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("grams").alias("gram")
+    )
+    firsts = sh.groupBy("gram").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(firsts, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

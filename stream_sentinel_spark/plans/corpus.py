@@ -139,8 +139,9 @@ _DRIVER_PRIORITY = [
     "x79_fuzzy_name_pairs2",
     "x80_leakage_safe_split",
     "x81_cross_source_dups",
-    # --- stalest rows (latest green = r02; q18/q19/q20 displaced by
-    # x79/x80/x81 — all unchanged since r01 and twice proven) ---
+    "x82_novelty_scores",
+    # --- stalest rows (latest green = r02; q18/q19/q20/q21 displaced by
+    # x79-x82 — all unchanged since r01 and twice proven) ---
     "q01_scan_projection",
     "q02_json_numeric_coercion",
     "q03_threshold_rule",
@@ -158,7 +159,6 @@ _DRIVER_PRIORITY = [
     "q15_rollup_lineitem",
     "q16_ranking_windows",
     "q17_topk_orders",
-    "q21_dates_orders",
     "q22_tumbling_windows",
     "q23_session_windows",
     "q24_sliding_windows",
@@ -5403,6 +5403,44 @@ def x78(spark, sf):
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
         "vec_id", "embedding", threshold=0.40,
+    )
+
+
+@query(
+    "x82_novelty_scores",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(
+               [substr(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 0) + 1)]
+             )) AS shingle
+      FROM documents),
+    firsts AS (SELECT shingle, MIN(id) AS first_id FROM sh GROUP BY shingle)
+    SELECT s.id AS doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(CAST(SUM(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh s JOIN firsts f USING (shingle)
+    GROUP BY s.id
+    ORDER BY doc_id
+    """,
+)
+def x82(spark, sf):
+    # Per-doc novelty under ingestion order: the fraction of a doc's
+    # distinct trigrams first seen IN that doc — duplicates of earlier
+    # docs score 0, fresh content ~1. The per-doc complement of the
+    # pairwise dedup family: no pair enumeration, just two hash aggs +
+    # a gram join, so it scales where pair counting cannot. Fixture
+    # note: the synthetic corpus has a FIXED ~377-trigram vocabulary, so
+    # most docs score 0 here (probed; the spread still spans 0..1 and
+    # the oracle SUMs carry the outer BIGINT cast — the q53 HUGEINT
+    # lesson). novelty is one int/int division, bit-identical.
+    from stream_sentinel_spark.operators import curation
+
+    return curation.novelty_scores(
+        _t(spark, sf, "documents"), "doc_id", "text", n=3
     )
 
 
