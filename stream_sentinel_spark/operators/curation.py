@@ -1359,3 +1359,53 @@ def novelty_scores(
         )
         .orderBy("doc_id")
     )
+
+
+def duplicated_window_rate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Span-level duplication rate per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a doc's k-token sliding windows that occur ≥2 times in
+    the corpus (any doc, including the same one). Document-level dedup
+    misses partially-copied text — boilerplate wrappers around fresh
+    content, quotes, templated spans — which is exactly what repeated
+    windows measure; docs with a high rate are the memorization risk.
+
+    Output (doc_id, n_windows, n_dup, dup_rate); dup_rate is one
+    int/int division. Docs with fewer than ``k`` whitespace tokens are
+    absent. Scale: explode → one window-key hash agg → one key join →
+    one doc agg; the window join key is the joined token string (md5-
+    free — the string itself is the key, so the oracle is trivially the
+    same construction and Catalyst dedups the explode across the agg
+    and join consumers)."""
+    toks = F.split(F.col("_t"), " ")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("_t_arr") - (k - 1)),
+        lambda i: F.array_join(F.slice("_t_arr", i, k), " "),
+    )
+    base = (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .select("id", toks.alias("_t_arr"))
+        .filter(F.size("_t_arr") >= k)
+        .select("id", F.explode(wins).alias("win"))
+    )
+    cnt = base.groupBy("win").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        base.join(cnt, "win")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_n") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_windows",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_windows")).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -140,8 +140,9 @@ _DRIVER_PRIORITY = [
     "x80_leakage_safe_split",
     "x81_cross_source_dups",
     "x82_novelty_scores",
-    # --- stalest rows (latest green = r02; q18/q19/q20/q21 displaced by
-    # x79-x82 — all unchanged since r01 and twice proven) ---
+    "x83_duplicated_windows",
+    # --- stalest rows (latest green = r02; q18-q22 displaced by
+    # x79-x83 — all unchanged since r01 and twice proven) ---
     "q01_scan_projection",
     "q02_json_numeric_coercion",
     "q03_threshold_rule",
@@ -159,7 +160,6 @@ _DRIVER_PRIORITY = [
     "q15_rollup_lineitem",
     "q16_ranking_windows",
     "q17_topk_orders",
-    "q22_tumbling_windows",
     "q23_session_windows",
     "q24_sliding_windows",
     "q28_tpch_q17_small_qty",
@@ -5403,6 +5403,40 @@ def x78(spark, sf):
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
         "vec_id", "embedding", threshold=0.40,
+    )
+
+
+@query(
+    "x83_duplicated_windows",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 9),
+                    i -> array_to_string(w[i:i+9], ' '))) AS win
+      FROM t WHERE len(w) >= 10),
+    cnt AS (SELECT win, COUNT(*) AS n FROM wins GROUP BY win)
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(CAST(SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM wins w JOIN cnt c USING (win)
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def x83(spark, sf):
+    # Span-level duplication (Lee et al. 2022): fraction of each doc's
+    # 10-token sliding windows occurring >=2 times corpus-wide — the
+    # memorization-risk signal document-level dedup misses (boilerplate
+    # wrappers, quotes, templated spans). Probed non-vacuous at all SFs
+    # (24/24/252 fully-duplicated docs). int/int rate; conditional SUM
+    # carries the outer BIGINT cast (the q53 HUGEINT lesson).
+    from stream_sentinel_spark.operators import curation
+
+    return curation.duplicated_window_rate(
+        _t(spark, sf, "documents"), "doc_id", "text", k=10
     )
 
 
