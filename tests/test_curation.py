@@ -679,3 +679,56 @@ def test_leakage_safe_split_invariants(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError, match="val\\+test"):
         leakage_safe_split(docs, clusters, "doc_id", 0.6, 0.6)
+
+
+def test_novelty_exact_copy_of_earlier_doc_scores_zero(spark):
+    """The defining property: a doc that is an exact copy of an EARLIER
+    doc contributes nothing new — novelty 0 — while the first doc of
+    fresh text scores 1. Also: n_novel sums to the distinct-gram count
+    of the corpus (every gram is novel exactly once)."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.operators.curation import novelty_scores
+
+    rows = [
+        (1, "abcdefgh"),        # fresh: novelty 1
+        (2, "abcdefgh"),        # exact copy of 1: novelty 0
+        (3, "xyzw"),            # fresh: novelty 1
+        (4, "abcdxyzw"),        # mixes grams of 1 and 3 + bridges: partial
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in novelty_scores(df, "doc_id", "text").collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    assert out[3].novelty == 1.0
+    assert 0 < out[4].novelty < 1
+    n_distinct = (
+        df.select(F.explode(F.expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+        )).alias("g")).distinct().count()
+    )
+    assert sum(r.n_novel for r in out.values()) == n_distinct
+
+
+def test_duplicated_window_rate_properties(spark):
+    """Exact-duplicate docs are fully duplicated (rate 1 for both —
+    occurrences in ANY doc count, including the copy), a unique doc
+    scores 0, an intra-doc repeated span counts without a second doc,
+    and sub-k-token docs are absent."""
+    from stream_sentinel_spark.operators.curation import duplicated_window_rate
+
+    a = "w1 w2 w3 w4 w5"                      # 5 tokens, k=3 -> 3 windows
+    rows = [
+        (1, a),
+        (2, a),                               # exact copy
+        (3, "u1 u2 u3 u4 u5"),                # unique
+        (4, "r1 r2 r3 r1 r2 r3 r1 r2 r3"),    # intra-doc repetition
+        (5, "short doc"),                     # < k tokens: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_window_rate(df, "doc_id", "text", k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].dup_rate == 1.0 and out[2].dup_rate == 1.0
+    assert out[3].dup_rate == 0.0
+    assert out[4].n_dup > 0  # "r1 r2 r3" windows repeat within the doc
+    assert out[1].n_windows == 3
