@@ -116,11 +116,13 @@ def query(name: str, oracle: str | None = None):
 # covers all of them every run. Round 5 rotation: q53 is the corpus's
 # only never-green name (round-4 verdict root-caused it to a DuckDB
 # HUGEINT->float64 oracle typing artifact; the oracle now casts the SUMs
-# to BIGINT) and is fronted, with the round-5 addition x79 behind it.
+# to BIGINT) and is fronted, with the round-5 additions x79-x83 behind
+# it (each unproven driver-side until its first CORRECTNESS row).
 # The remaining slots re-prove the STALEST driver rows — the queries
-# whose latest green row is round 2: q01-q17, q19-q24, q28 (q18
-# displaced by x79), x01, and x03-x20 (NOT x02 — its gram_arrays change
-# was re-proven in round 4, so its latest green is r04). That set also
+# whose latest green row is round 2: q01-q17, q23, q24, q28 (q18-q22
+# displaced by x79-x83; their latest green stays r02 — re-prove them
+# next round), x01, and x03-x20 (NOT x02 — its gram_arrays change was
+# re-proven in round 4, so its latest green is r04). That set also
 # covers the round-4 verdict/ADVICE ask to re-prove x07, whose
 # lsh_candidates path changed in round 4, and the rest of the
 # perf-sensitive dedup/ANN family x08/x14/x19/x20 — plus

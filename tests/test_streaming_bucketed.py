@@ -257,10 +257,10 @@ def test_ttl_never_evicts_a_key_with_data_in_the_batch():
         )
 
     proc = _make_bucketed_processor([spec], {}, ("event_id",), ttl_ms=500)
-    # batch 1: two events for k1 → rate window holds 2 timestamps
-    state = FakeState(None)
+    # hand-crafted prior state: k1's rate window already holds 2
+    # timestamps, last seen at wall epoch 0 — i.e. ages ago vs ttl=500ms
     blob_in = _json.dumps(
-        {"s": {"k1": {"r0": [0, 1]}}, "t": {"k1": 0}}  # last seen: epoch 0
+        {"s": {"k1": {"r0": [0, 1]}}, "t": {"k1": 0}}
     )
     state = FakeState(blob_in)
     # batch arrives much later than ttl=500ms, but k1 HAS data in it —
