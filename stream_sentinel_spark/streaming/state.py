@@ -814,6 +814,74 @@ def _make_event_time_processor(
     return process
 
 
+def _make_event_time_bucketed_processor(
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+):
+    """Key-packed twin of :func:`_make_event_time_processor`: ONE
+    buffer + detector-state blob per hash bucket of keys. Buffered rows
+    carry their key; each flush evaluates the watermark-ready prefix
+    through :func:`_run_rules_over_bucket`, which sorts (key, ts,
+    *order_cols) and runs the shared per-key loop per slice — so the
+    per-key semantics (ordering, watermark bound, straggler drop) are
+    identical to the per-key mode while the framework round trip
+    amortizes over the bucket (see :func:`stateful_alerts_bucketed` for
+    the measured per-key cost this removes at extreme cardinality).
+
+    Detector entries whose histories are all empty are pruned each
+    flush (recreated-on-demand ≡ empty, so pruning is free), and a
+    bucket with nothing pending and no retained history drops its blob
+    entirely — state stays proportional to keys with live windows."""
+    import pandas as pd
+
+    buf_cols = [_KEY, _TSUS, _EVMAP, *order_cols, *value_cols.values()]
+
+    def process(key, pdfs: Iterator, state) -> Iterator:
+        wm_ms = state.getCurrentWatermarkMs()
+        blob = state.get[0] if state.exists else None
+        st: dict = json.loads(blob) if blob else {"det": {}, "buf": []}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for r in pdf[buf_cols].to_dict("records"):
+                    # same encode-on-arrival trick as the per-key mode:
+                    # the original-event map is the widest buffer field
+                    # and is only read at flush time
+                    r[_EVMAP] = json.dumps(r[_EVMAP])
+                    st["buf"].append(r)
+        ready = [r for r in st["buf"] if r[_TSUS] // 1000 <= wm_ms]
+        pending = [r for r in st["buf"] if r[_TSUS] // 1000 > wm_ms]
+        st["buf"] = pending
+        out = None
+        if ready:
+            for r in ready:
+                if isinstance(r[_EVMAP], str):
+                    r[_EVMAP] = json.loads(r[_EVMAP])
+            out = _run_rules_over_bucket(
+                st["det"],
+                [pd.DataFrame(ready, columns=buf_cols)],
+                rule_specs,
+                value_cols,
+                order_cols,
+            )
+        # bound the det map: a key whose every rule history is empty is
+        # indistinguishable from an absent key (setdefault recreates it)
+        dead = [k for k, d in st["det"].items() if not any(d.values())]
+        for k in dead:
+            del st["det"][k]
+        if not pending and not st["det"]:
+            state.remove()
+        else:
+            state.update((json.dumps(st),))
+            if pending:
+                # re-arm: fires as soon as the watermark moves again
+                state.setTimeoutTimestamp(wm_ms + 1)
+        if out and out["rule_name"]:
+            yield pd.DataFrame(out)
+
+    return process
+
+
 def stateful_alerts_event_time(
     events: DataFrame,
     rules: Sequence[DetectionRule],
@@ -823,6 +891,7 @@ def stateful_alerts_event_time(
     order_cols: Sequence[str] = (),
     rule_indexes: Sequence[int] | None = None,
     event_columns: Sequence[str] | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """:func:`stateful_alerts` in EVENT-TIME order: detection windows
     see events ordered by ``(time_col, *order_cols)`` regardless of
@@ -839,18 +908,37 @@ def stateful_alerts_event_time(
 
     Runs on the dependency-free applyInPandasWithState backend with
     EventTimeTimeout; same keyed projection and evaluation function as
-    the other backends, so per-flush semantics cannot diverge."""
+    the other backends, so per-flush semantics cannot diverge.
+
+    ``n_buckets`` enables KEY PACKING for this mode too (the
+    extreme-cardinality treatment of :func:`stateful_alerts_bucketed`):
+    one buffer+state blob per ``xxhash64(key) mod n_buckets`` bucket,
+    flushed per key slice in the same (ts, *order_cols) order — parity
+    with the per-key mode pinned in tests/test_streaming_event_time.py."""
     keyed, specs, value_cols = _prepare_keyed(
         events, rules, key_field, time_col, order_cols, rule_indexes,
         event_columns, keep_time_col=True,
     )
-    alerts = keyed.groupBy(_KEY).applyInPandasWithState(
-        _make_event_time_processor(specs, value_cols, tuple(order_cols)),
-        outputStructType=ALERT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    if n_buckets is None:
+        alerts = keyed.groupBy(_KEY).applyInPandasWithState(
+            _make_event_time_processor(specs, value_cols, tuple(order_cols)),
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    else:
+        alerts = keyed.withColumn(
+            _BKT, F.pmod(F.xxhash64(F.col(_KEY)), F.lit(n_buckets))
+        ).groupBy(_BKT).applyInPandasWithState(
+            _make_event_time_bucketed_processor(
+                specs, value_cols, tuple(order_cols)
+            ),
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return alerts.select(
         "rule_name",
         "key",

@@ -157,6 +157,55 @@ def test_event_time_mode_matches_batch_despite_shuffled_arrival(
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_event_time_bucketed_matches_batch_and_per_key(
+    spark, event_time_fixture
+):
+    """The key-packed event-time mode (n_buckets) must reproduce the
+    batch alert set on the same shuffled cross-batch delivery — the
+    same invariant as the per-key mode, through one buffer blob per
+    bucket. n_buckets=2 forces multiple keys per bucket so the packed
+    path (key-primary sort + per-slice flush) is actually exercised."""
+    path, full = event_time_fixture
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        batch = [
+            r
+            for r in compile_rules(
+                full, RULES, key_field="user_id", time_col="ts",
+                order_cols=("event_id",),
+            ).collect()
+            if r["key"] != str(SENTINEL_USER)
+        ]
+        stream = read_file_stream(
+            spark, path, full.schema, time_col="ts", watermark=DELAY,
+            max_files_per_trigger=1,
+        )
+        alerts = stateful_alerts_event_time(
+            stream, RULES, key_field="user_id", time_col="ts",
+            order_cols=("event_id",), n_buckets=2,
+        )
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("evt_bkt_mode")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = [
+            r
+            for r in spark.table("evt_bkt_mode").collect()
+            if r["key"] != str(SENTINEL_USER)
+        ]
+        assert sorted(map(_key, streamed)) == sorted(map(_key, batch))
+        assert len(streamed) > 0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_arrival_order_backend_differs_on_shuffled_input(
     spark, event_time_fixture
 ):
