@@ -60,13 +60,27 @@ def compile_rules_streaming(
     per ``xxhash64(key) mod n_state_buckets`` bucket, amortizing the
     per-key framework round trip that dominates past ~100k distinct
     keys (see :func:`stateful_alerts_bucketed`; ``n_state_buckets`` is
-    ignored by the other backends). All produce identical alerts
-    (tests/test_streaming_tws.py, tests/test_streaming_bucketed.py);
-    any runs on the RocksDB state store via
-    ``spark.sql.streaming.stateStore.providerClass`` — the store that
-    survives 100 TB key cardinality."""
-    if backend not in ("aiws", "tws", "bucketed"):
+    ignored by the arrival-order per-key backends). ``"event_time"``
+    and ``"event_time_bucketed"`` run the EVENT-TIME ordered mode
+    (:func:`stateful_alerts_event_time` — alerts invariant to delivery
+    order up to the watermark; ``events`` MUST carry ``withWatermark``,
+    TTL is not applicable — the watermark bounds state). The
+    arrival-order backends produce identical alerts to each other
+    (tests/test_streaming_tws.py, tests/test_streaming_bucketed.py) and
+    the event-time backends match the batch plans
+    (tests/test_streaming_event_time.py); any runs on the RocksDB state
+    store via ``spark.sql.streaming.stateStore.providerClass`` — the
+    store that survives 100 TB key cardinality."""
+    if backend not in (
+        "aiws", "tws", "bucketed", "event_time", "event_time_bucketed"
+    ):
         raise ValueError(f"unknown stateful backend: {backend!r}")
+    if backend.startswith("event_time") and state_ttl_ms is not None:
+        raise ValueError(
+            "state_ttl_ms is not applicable to the event-time backends: "
+            "the watermark already bounds buffered state, and idle keys "
+            "with no retained window drop their blob automatically"
+        )
     if not rules:
         raise ValueError(
             "No detection rules configured — refusing to start (empty rule set)"
@@ -95,6 +109,7 @@ def compile_rules_streaming(
             from stream_sentinel_spark.streaming.state import stateful_alerts_tws
 
             stateful_fn = stateful_alerts_tws
+            extra["state_ttl_ms"] = state_ttl_ms
         elif backend == "bucketed":
             from stream_sentinel_spark.streaming.state import (
                 stateful_alerts_bucketed,
@@ -102,8 +117,18 @@ def compile_rules_streaming(
 
             stateful_fn = stateful_alerts_bucketed
             extra["n_buckets"] = n_state_buckets
+            extra["state_ttl_ms"] = state_ttl_ms
+        elif backend.startswith("event_time"):
+            from stream_sentinel_spark.streaming.state import (
+                stateful_alerts_event_time,
+            )
+
+            stateful_fn = stateful_alerts_event_time
+            if backend == "event_time_bucketed":
+                extra["n_buckets"] = n_state_buckets
         else:
             stateful_fn = stateful_alerts
+            extra["state_ttl_ms"] = state_ttl_ms
         branches.append(
             stateful_fn(
                 payload,
@@ -112,7 +137,6 @@ def compile_rules_streaming(
                 time_col=time_col,
                 order_cols=order_cols,
                 rule_indexes=[i for i, _ in stateful],
-                state_ttl_ms=state_ttl_ms,
                 **extra,
             )
         )

@@ -249,6 +249,58 @@ def test_arrival_order_backend_differs_on_shuffled_input(
     assert streamed != batch
 
 
+def test_compile_rules_streaming_event_time_backends(spark, event_time_fixture):
+    """The pipeline compiler reaches both event-time backends: the
+    compiled stream (stateless branches native + event-time stateful
+    branch) must reproduce the batch alert set on the shuffled fixture,
+    and TTL is rejected up front (the watermark bounds state here)."""
+    from stream_sentinel_spark.streaming import compile_rules_streaming
+
+    path, full = event_time_fixture
+    rules = [
+        *RULES,
+        DetectionRule(name="hot", type="threshold", field="value", threshold=290.0),
+    ]
+    batch = [
+        r
+        for r in compile_rules(
+            full, rules, key_field="user_id", time_col="ts",
+            order_cols=("event_id",),
+        ).collect()
+        if r["key"] != str(SENTINEL_USER)
+    ]
+    assert any(r["rule_name"] == "hot" for r in batch)
+    for backend, tag in (("event_time", "cet"), ("event_time_bucketed", "cetb")):
+        stream = read_file_stream(
+            spark, path, full.schema, time_col="ts", watermark=DELAY,
+            max_files_per_trigger=1,
+        )
+        alerts = compile_rules_streaming(
+            stream, rules, key_field="user_id", time_col="ts",
+            order_cols=("event_id",), backend=backend, n_state_buckets=2,
+        )
+        q = (
+            alerts.writeStream.format("memory").queryName(f"evt_{tag}")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        streamed = [
+            r
+            for r in spark.table(f"evt_{tag}").collect()
+            if r["key"] != str(SENTINEL_USER)
+        ]
+        assert sorted(map(_key, streamed)) == sorted(map(_key, batch)), backend
+
+    stream = read_file_stream(
+        spark, path, full.schema, time_col="ts", watermark=DELAY,
+    )
+    with pytest.raises(ValueError, match="not applicable"):
+        compile_rules_streaming(
+            stream, RULES, key_field="user_id", time_col="ts",
+            backend="event_time", state_ttl_ms=1000,
+        )
+
+
 def test_processor_tolerates_pre_encoding_state_blob():
     """A checkpoint written before the encode-on-arrival change stores
     each buffered row's original-event map as a DICT; the flush path
