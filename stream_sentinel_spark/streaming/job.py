@@ -63,24 +63,20 @@ def compile_rules_streaming(
     ignored by the arrival-order per-key backends). ``"event_time"``
     and ``"event_time_bucketed"`` run the EVENT-TIME ordered mode
     (:func:`stateful_alerts_event_time` — alerts invariant to delivery
-    order up to the watermark; ``events`` MUST carry ``withWatermark``,
-    TTL is not applicable — the watermark bounds state). The
-    arrival-order backends produce identical alerts to each other
-    (tests/test_streaming_tws.py, tests/test_streaming_bucketed.py) and
-    the event-time backends match the batch plans
-    (tests/test_streaming_event_time.py); any runs on the RocksDB state
-    store via ``spark.sql.streaming.stateStore.providerClass`` — the
-    store that survives 100 TB key cardinality."""
+    order up to the watermark; ``events`` MUST carry ``withWatermark``;
+    ``state_ttl_ms`` there means EVENT-TIME idleness — deterministic
+    and replay-stable — and expired rate windows are pruned
+    automatically even without it). The arrival-order backends produce
+    identical alerts to each other (tests/test_streaming_tws.py,
+    tests/test_streaming_bucketed.py) and the event-time backends match
+    the batch plans (tests/test_streaming_event_time.py); any runs on
+    the RocksDB state store via
+    ``spark.sql.streaming.stateStore.providerClass`` — the store that
+    survives 100 TB key cardinality."""
     if backend not in (
         "aiws", "tws", "bucketed", "event_time", "event_time_bucketed"
     ):
         raise ValueError(f"unknown stateful backend: {backend!r}")
-    if backend.startswith("event_time") and state_ttl_ms is not None:
-        raise ValueError(
-            "state_ttl_ms is not applicable to the event-time backends: "
-            "the watermark already bounds buffered state, and idle keys "
-            "with no retained window drop their blob automatically"
-        )
     if not rules:
         raise ValueError(
             "No detection rules configured — refusing to start (empty rule set)"
@@ -124,6 +120,7 @@ def compile_rules_streaming(
             )
 
             stateful_fn = stateful_alerts_event_time
+            extra["state_ttl_ms"] = state_ttl_ms
             if backend == "event_time_bucketed":
                 extra["n_buckets"] = n_state_buckets
         else:

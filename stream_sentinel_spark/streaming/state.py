@@ -732,14 +732,20 @@ def stateful_alerts_tws(
 # Event-time ordered mode (the upgrade the reference cannot do)
 # ---------------------------------------------------------------------------
 
-def _make_event_time_processor(
+def _make_event_time_flush_processor(
     rule_specs: list[dict],
     value_cols: dict[int, str],
     order_cols: tuple[str, ...],
+    bucketed: bool,
+    ttl_ms: int | None = None,
 ):
-    """Per-key processor for EVENT-TIME ordered detection: buffer
-    arriving rows, and on each watermark advance evaluate the buffered
-    prefix with ``ts ≤ watermark`` in (ts, *order_cols) order.
+    """ONE implementation of the event-time flush loop for BOTH the
+    per-key and the key-packed modes (they differ only in the group
+    granularity), so the flush semantics cannot drift between them:
+    buffer arriving rows, and on each watermark advance evaluate the
+    buffered prefix with ``ts ≤ watermark`` in (ts, *order_cols) order
+    — per key, via the shared detection loop (:func:`_eval_sorted`
+    through :func:`_run_rules_over_batch` / :func:`_run_rules_over_bucket`).
 
     The reference processes in ARRIVAL order (AnomalyProcessFunction
     consumes the Flink stream as delivered; SURVEY §2.5 T3) — shuffled
@@ -748,24 +754,60 @@ def _make_event_time_processor(
     bound: any permutation of arrivals within the allowed lateness
     yields identical alerts (pinned against the batch plans, which are
     event-time ordered by construction, in
-    test_streaming_event_time.py).
+    test_streaming_event_time.py). Rows LATER than the watermark (true
+    stragglers) never reach this processor: with EventTimeTimeout,
+    Spark drops older-than-watermark input rows before the stateful
+    operator — the standard watermark contract.
 
-    Mechanics (applyInPandasWithState + EventTimeTimeout): the per-key
-    state blob carries the detector state AND the pending-row buffer
-    (bounded by events-per-key within the out-of-orderness window);
-    flush on input AND on an event-time timeout re-armed at wm+1
-    whenever rows stay pending, so a key with no further traffic still
-    flushes when OTHER keys' events advance the watermark. Rows LATER
-    than the watermark (true stragglers) never reach this processor:
-    with EventTimeTimeout, Spark drops older-than-watermark input rows
-    before the stateful operator — the standard watermark contract
-    (allowed lateness = the watermark delay, then drop). That is the
-    one semantic difference vs the batch plans, which evaluate every
-    row; size the watermark to the real disorder bound.
+    STATE BOUNDS (all watermark-driven, hence DETERMINISTIC and
+    replay-stable — unlike the arrival-order backends' wall-clock TTL):
+
+    - the pending buffer is bounded by events within the
+      out-of-orderness window (flushed as the watermark passes them);
+    - rate windows are pruned on every invocation once the watermark
+      passes ``entry + window_seconds`` — bit-equal to not pruning,
+      because every future row's own eviction cutoff (``ts − window``)
+      is ≥ ``wm − window`` (rows below the watermark are dropped by the
+      engine), so a rate-only key's state disappears entirely once its
+      windows expire (a timeout is armed at the expiry point to
+      finalize eviction without waiting for new traffic);
+    - ``ttl_ms`` (optional) evicts a key's WHOLE detector state once
+      its last flushed EVENT TIME is ``ttl_ms`` behind the watermark —
+      the knob that bounds statistical/cusum histories, which are
+      count-based and therefore never expire by time (the reference
+      retains them forever, AnomalyProcessFunction.java:86-90). Same
+      contract as the arrival-order TTL: pick ``ttl_ms`` ≫ the rule
+      windows so eviction never changes live results.
     """
     import pandas as pd
 
-    buf_cols = [_TSUS, _EVMAP, *order_cols, *value_cols.values()]
+    key_cols = [_KEY] if bucketed else []
+    buf_cols = [*key_cols, _TSUS, _EVMAP, *order_cols, *value_cols.values()]
+    rate_windows = [
+        ("r%d" % s["rule_index"], s["window_seconds"] * 1000)
+        for s in rule_specs
+        if s["type"] == "rate"
+    ]
+    nonrate_keys = [
+        "r%d" % s["rule_index"] for s in rule_specs if s["type"] != "rate"
+    ]
+
+    def _prune_rate(det: dict, wm_ms: int) -> None:
+        for rk, win_ms in rate_windows:
+            hist = det.get(rk)
+            if hist and hist[0] < wm_ms - win_ms:
+                det[rk][:] = [t for t in hist if t >= wm_ms - win_ms]
+
+    def _evict_at(det: dict, last_ms, wm_ms: int):
+        """Event time at which this key's whole det becomes droppable:
+        last+ttl when TTL is on; else the rate windows' expiry point
+        when nothing count-based is retained; else None (never)."""
+        if ttl_ms is not None and last_ms is not None:
+            return last_ms + ttl_ms
+        if any(det.get(k) for k in nonrate_keys):
+            return None
+        pts = [det[rk][-1] + win for rk, win in rate_windows if det.get(rk)]
+        return max(pts) if pts else None
 
     def process(key, pdfs: Iterator, state) -> Iterator:
         wm_ms = state.getCurrentWatermarkMs()
@@ -793,93 +835,109 @@ def _make_event_time_processor(
                 # keep flushing, not poison every retry with TypeError
                 if isinstance(r[_EVMAP], str):
                     r[_EVMAP] = json.loads(r[_EVMAP])
-            out = _run_rules_over_batch(
-                st["det"], [pd.DataFrame(ready, columns=buf_cols)], key,
-                rule_specs, value_cols, order_cols,
-            )
-        if not pending and not any(st["det"].values()):
-            # nothing buffered and no detector window holds history
-            # (e.g. rules evaluated but never accumulated) — drop the
-            # key's state entirely instead of persisting an empty blob
-            # forever; the key restarts fresh if it speaks again
+            frame = [pd.DataFrame(ready, columns=buf_cols)]
+            if bucketed:
+                out = _run_rules_over_bucket(
+                    st["det"], frame, rule_specs, value_cols, order_cols
+                )
+            else:
+                out = _run_rules_over_batch(
+                    st["det"], frame, key, rule_specs, value_cols, order_cols
+                )
+            if ttl_ms is not None:
+                if bucketed:
+                    lt = st.setdefault("last", {})
+                    for r in ready:
+                        k = r[_KEY]
+                        t = r[_TSUS] // 1000
+                        if t > lt.get(k, -1):
+                            lt[k] = t
+                else:
+                    st["last"] = max(
+                        st.get("last") or 0,
+                        max(r[_TSUS] // 1000 for r in ready),
+                    )
+        # watermark-expired rate windows + whole-key eviction
+        pend_keys = {r[_KEY] for r in pending} if bucketed else None
+        next_fire: list[int] = []
+        if bucketed:
+            lt = st.get("last", {})
+            dead = []
+            for k, det in st["det"].items():
+                _prune_rate(det, wm_ms)
+                if k in pend_keys:
+                    continue
+                at = _evict_at(det, lt.get(k), wm_ms)
+                # STRICT: an entry with expiry == wm still counts for a
+                # row arriving exactly at the watermark (rate eviction
+                # keeps boundary entries), so evict only once wm passes
+                if at is not None and at < wm_ms:
+                    dead.append(k)
+                elif at is not None:
+                    next_fire.append(at)
+            for k in dead:
+                del st["det"][k]
+                lt.pop(k, None)
+            empties = [k for k, d in st["det"].items() if not any(d.values())]
+            for k in empties:
+                del st["det"][k]
+                lt.pop(k, None)
+            empty = not pending and not st["det"]
+        else:
+            _prune_rate(st["det"], wm_ms)
+            if not pending:
+                at = _evict_at(st["det"], st.get("last"), wm_ms)
+                if at is not None and at < wm_ms:  # strict — see above
+                    st["det"] = {}
+                elif at is not None:
+                    next_fire.append(at)
+            empty = not pending and not any(st["det"].values())
+        if empty:
+            # nothing buffered and no detector window holds history —
+            # drop the state entirely instead of persisting an empty
+            # blob forever; the key restarts fresh if it speaks again
             state.remove()
         else:
             state.update((json.dumps(st),))
             if pending:
                 # re-arm: fires as soon as the watermark moves again
                 state.setTimeoutTimestamp(wm_ms + 1)
+            elif next_fire:
+                # arm the eviction point (TTL idleness or rate-window
+                # expiry) so idle keys are dropped without new traffic
+                state.setTimeoutTimestamp(max(min(next_fire), wm_ms + 1))
         if out and out["rule_name"]:
             yield pd.DataFrame(out)
 
     return process
+
+
+def _make_event_time_processor(
+    rule_specs: list[dict],
+    value_cols: dict[int, str],
+    order_cols: tuple[str, ...],
+    ttl_ms: int | None = None,
+):
+    """Per-key event-time processor — see
+    :func:`_make_event_time_flush_processor`."""
+    return _make_event_time_flush_processor(
+        rule_specs, value_cols, order_cols, bucketed=False, ttl_ms=ttl_ms
+    )
 
 
 def _make_event_time_bucketed_processor(
     rule_specs: list[dict],
     value_cols: dict[int, str],
     order_cols: tuple[str, ...],
+    ttl_ms: int | None = None,
 ):
-    """Key-packed twin of :func:`_make_event_time_processor`: ONE
-    buffer + detector-state blob per hash bucket of keys. Buffered rows
-    carry their key; each flush evaluates the watermark-ready prefix
-    through :func:`_run_rules_over_bucket`, which sorts (key, ts,
-    *order_cols) and runs the shared per-key loop per slice — so the
-    per-key semantics (ordering, watermark bound, straggler drop) are
-    identical to the per-key mode while the framework round trip
-    amortizes over the bucket (see :func:`stateful_alerts_bucketed` for
-    the measured per-key cost this removes at extreme cardinality).
-
-    Detector entries whose histories are all empty are pruned each
-    flush (recreated-on-demand ≡ empty, so pruning is free), and a
-    bucket with nothing pending and no retained history drops its blob
-    entirely — state stays proportional to keys with live windows."""
-    import pandas as pd
-
-    buf_cols = [_KEY, _TSUS, _EVMAP, *order_cols, *value_cols.values()]
-
-    def process(key, pdfs: Iterator, state) -> Iterator:
-        wm_ms = state.getCurrentWatermarkMs()
-        blob = state.get[0] if state.exists else None
-        st: dict = json.loads(blob) if blob else {"det": {}, "buf": []}
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                for r in pdf[buf_cols].to_dict("records"):
-                    # same encode-on-arrival trick as the per-key mode:
-                    # the original-event map is the widest buffer field
-                    # and is only read at flush time
-                    r[_EVMAP] = json.dumps(r[_EVMAP])
-                    st["buf"].append(r)
-        ready = [r for r in st["buf"] if r[_TSUS] // 1000 <= wm_ms]
-        pending = [r for r in st["buf"] if r[_TSUS] // 1000 > wm_ms]
-        st["buf"] = pending
-        out = None
-        if ready:
-            for r in ready:
-                if isinstance(r[_EVMAP], str):
-                    r[_EVMAP] = json.loads(r[_EVMAP])
-            out = _run_rules_over_bucket(
-                st["det"],
-                [pd.DataFrame(ready, columns=buf_cols)],
-                rule_specs,
-                value_cols,
-                order_cols,
-            )
-        # bound the det map: a key whose every rule history is empty is
-        # indistinguishable from an absent key (setdefault recreates it)
-        dead = [k for k, d in st["det"].items() if not any(d.values())]
-        for k in dead:
-            del st["det"][k]
-        if not pending and not st["det"]:
-            state.remove()
-        else:
-            state.update((json.dumps(st),))
-            if pending:
-                # re-arm: fires as soon as the watermark moves again
-                state.setTimeoutTimestamp(wm_ms + 1)
-        if out and out["rule_name"]:
-            yield pd.DataFrame(out)
-
-    return process
+    """Key-packed event-time processor — see
+    :func:`_make_event_time_flush_processor` (one buffer + detector
+    blob per hash bucket; measured 11.14× the per-key mode at 295 k
+    keys, STRESS_r05_eventtime.json)."""
+    return _make_event_time_flush_processor(
+        rule_specs, value_cols, order_cols, bucketed=True, ttl_ms=ttl_ms
+    )
 
 
 def stateful_alerts_event_time(
@@ -892,6 +950,7 @@ def stateful_alerts_event_time(
     rule_indexes: Sequence[int] | None = None,
     event_columns: Sequence[str] | None = None,
     n_buckets: int | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """:func:`stateful_alerts` in EVENT-TIME order: detection windows
     see events ordered by ``(time_col, *order_cols)`` regardless of
@@ -914,14 +973,25 @@ def stateful_alerts_event_time(
     extreme-cardinality treatment of :func:`stateful_alerts_bucketed`):
     one buffer+state blob per ``xxhash64(key) mod n_buckets`` bucket,
     flushed per key slice in the same (ts, *order_cols) order — parity
-    with the per-key mode pinned in tests/test_streaming_event_time.py."""
+    with the per-key mode pinned in tests/test_streaming_event_time.py.
+
+    State bounds: the pending buffer is watermark-bounded and expired
+    rate windows are pruned automatically (both deterministic);
+    ``state_ttl_ms`` additionally evicts a key's whole detector state
+    once its last flushed EVENT TIME falls ``state_ttl_ms`` behind the
+    watermark — needed for statistical/cusum rules, whose count-based
+    windows never expire by time. Event-time idleness (not wall clock),
+    so eviction is deterministic and replay-stable; pick it ≫ the rule
+    windows, as with the arrival-order TTL."""
     keyed, specs, value_cols = _prepare_keyed(
         events, rules, key_field, time_col, order_cols, rule_indexes,
         event_columns, keep_time_col=True,
     )
     if n_buckets is None:
         alerts = keyed.groupBy(_KEY).applyInPandasWithState(
-            _make_event_time_processor(specs, value_cols, tuple(order_cols)),
+            _make_event_time_processor(
+                specs, value_cols, tuple(order_cols), state_ttl_ms
+            ),
             outputStructType=ALERT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
@@ -932,7 +1002,7 @@ def stateful_alerts_event_time(
             _BKT, F.pmod(F.xxhash64(F.col(_KEY)), F.lit(n_buckets))
         ).groupBy(_BKT).applyInPandasWithState(
             _make_event_time_bucketed_processor(
-                specs, value_cols, tuple(order_cols)
+                specs, value_cols, tuple(order_cols), state_ttl_ms
             ),
             outputStructType=ALERT_SCHEMA,
             stateStructType=STATE_SCHEMA,

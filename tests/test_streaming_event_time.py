@@ -291,14 +291,28 @@ def test_compile_rules_streaming_event_time_backends(spark, event_time_fixture):
         ]
         assert sorted(map(_key, streamed)) == sorted(map(_key, batch)), backend
 
+    # a TTL far beyond every rule window must not change the alert set
+    # (event-time idleness eviction only touches keys whose windows are
+    # semantically dead at eviction time)
     stream = read_file_stream(
         spark, path, full.schema, time_col="ts", watermark=DELAY,
+        max_files_per_trigger=1,
     )
-    with pytest.raises(ValueError, match="not applicable"):
-        compile_rules_streaming(
-            stream, RULES, key_field="user_id", time_col="ts",
-            backend="event_time", state_ttl_ms=1000,
-        )
+    alerts = compile_rules_streaming(
+        stream, rules, key_field="user_id", time_col="ts",
+        order_cols=("event_id",), backend="event_time",
+        state_ttl_ms=86_400_000 * 365,
+    )
+    q = (
+        alerts.writeStream.format("memory").queryName("evt_ttl")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = [
+        r for r in spark.table("evt_ttl").collect()
+        if r["key"] != str(SENTINEL_USER)
+    ]
+    assert sorted(map(_key, streamed)) == sorted(map(_key, batch))
 
 
 def test_processor_tolerates_pre_encoding_state_blob():
@@ -347,3 +361,157 @@ def test_processor_tolerates_pre_encoding_state_blob():
     assert len(out) == 1 and len(out[0]) == 2, "both formats flushed"
     assert all(isinstance(ev, dict) for ev in out[0]["original_event"])
     assert {ev.get("user_id") for ev in out[0]["original_event"]} == {"u1"}
+
+
+class _EvtFakeState:
+    def __init__(self, blob=None):
+        self._blob = blob
+        self.hasTimedOut = False
+        self.removed = False
+        self.armed_at = None
+        self.wm = 0
+
+    @property
+    def exists(self):
+        return self._blob is not None
+
+    @property
+    def get(self):
+        return (self._blob,)
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    def update(self, t):
+        self._blob = t[0]
+
+    def remove(self):
+        self.removed = True
+        self._blob = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.armed_at = ts
+
+
+def _rate_spec(win_s=60, threshold=100.0):
+    return {
+        "rule_index": 0, "name": "r", "type": "rate", "field": None,
+        "threshold": threshold, "window_seconds": win_s, "window_size": 0,
+        "deviation_factor": 0.0, "decimal_scale": None, "target": 0.0,
+    }
+
+
+def _stat_spec():
+    return {
+        "rule_index": 1, "name": "s", "type": "statistical", "field": "value",
+        "threshold": 0.0, "window_seconds": 0, "window_size": 10,
+        "deviation_factor": 2.5, "decimal_scale": 2, "target": 0.0,
+    }
+
+
+def _pdf(ids, key=None):
+    import pandas as pd
+
+    cols = {
+        "__ss_ts_us": [1_000_000 * i for i in ids],
+        "__ss_event": [{"n": str(i)} for i in ids],
+        "event_id": [f"e{i}" for i in ids],
+    }
+    if key is not None:
+        cols = {"__ss_key": [key] * len(ids), **cols}
+    return pd.DataFrame(cols)
+
+
+def test_rate_only_state_evicts_once_windows_expire():
+    """A rate-only key's detector state must disappear entirely once
+    the watermark passes every retained timestamp + window — the
+    semantic eviction that bounds event-time state without any TTL
+    (bit-safe: a future row's own eviction cutoff is >= wm - window).
+    The processor arms a timeout at the expiry point; firing it with an
+    advanced watermark removes the blob."""
+    import json as _json
+
+    from stream_sentinel_spark.streaming.state import (
+        _make_event_time_processor,
+    )
+
+    proc = _make_event_time_processor([_rate_spec(win_s=60)], {}, ("event_id",))
+    st = _EvtFakeState()
+    st.wm = 10_000  # both events (ts 1s, 2s) are ready
+    list(proc(("k",), iter([_pdf([1, 2])]), st))
+    blob = _json.loads(st._blob)
+    assert blob["det"]["r0"] == [1_000, 2_000]
+    assert st.armed_at == 2_000 + 60_000, "armed at the expiry point"
+    # watermark just short of expiry (boundary is STRICT): nothing dies
+    st.hasTimedOut = True
+    st.wm = 62_000
+    list(proc(("k",), iter([]), st))
+    assert not st.removed and _json.loads(st._blob)["det"]["r0"] == [2_000]
+    # watermark past the last entry's expiry: the whole blob goes
+    st.hasTimedOut = True
+    st.wm = 62_001
+    list(proc(("k",), iter([]), st))
+    assert st.removed
+
+
+def test_event_time_ttl_evicts_idle_statistical_state():
+    """Statistical windows are count-based and never expire by time;
+    the event-time TTL evicts a key once its last flushed EVENT TIME is
+    ttl behind the watermark — and never before."""
+    import json as _json
+
+    from stream_sentinel_spark.streaming.state import (
+        _make_event_time_processor,
+    )
+
+    proc = _make_event_time_processor(
+        [_stat_spec()], {1: "__ss_v1"}, ("event_id",), ttl_ms=5_000
+    )
+    import pandas as pd
+
+    pdf = _pdf([1, 2])
+    pdf["__ss_v1"] = [1.0, 2.0]
+    st = _EvtFakeState()
+    st.wm = 3_000  # events ready, but NOT yet idle (last+ttl=7000 > wm)
+    list(proc(("k",), iter([pdf]), st))
+    blob = _json.loads(st._blob)
+    # statistical history is stored as scaled ints (decimal_scale=2)
+    assert blob["det"]["r1"] == [100, 200] and blob["last"] == 2_000
+    assert st.armed_at == 2_000 + 5_000
+    st.hasTimedOut = True
+    st.wm = 7_000  # last + ttl == 7000: strict boundary — retained
+    list(proc(("k",), iter([]), st))
+    assert not st.removed
+    st.hasTimedOut = True
+    st.wm = 7_001
+    list(proc(("k",), iter([]), st))
+    assert st.removed
+
+
+def test_bucketed_event_time_ttl_evicts_only_idle_keys():
+    """In the packed mode the TTL prunes per KEY inside the blob: an
+    idle key's stat window goes, a recently-flushed sibling stays."""
+    import json as _json
+
+    import pandas as pd
+
+    from stream_sentinel_spark.streaming.state import (
+        _make_event_time_bucketed_processor,
+    )
+
+    proc = _make_event_time_bucketed_processor(
+        [_stat_spec()], {1: "__ss_v1"}, ("event_id",), ttl_ms=5_000
+    )
+    old = _pdf([1], key="idle")
+    old["__ss_v1"] = [1.0]
+    st = _EvtFakeState()
+    st.wm = 2_000  # idle's event flushes but is not yet TTL-expired
+    list(proc(("b",), iter([old]), st))
+    fresh = _pdf([12], key="live")
+    fresh["__ss_v1"] = [2.0]
+    st.hasTimedOut = False
+    st.wm = 12_000  # idle's last=1000: 12000-1000 > 5000 → evicted
+    list(proc(("b",), iter([fresh]), st))
+    blob = _json.loads(st._blob)
+    assert "idle" not in blob["det"] and "live" in blob["det"]
+    assert blob["last"] == {"live": 12_000}
