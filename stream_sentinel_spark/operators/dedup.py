@@ -1639,10 +1639,59 @@ def build_minhash_index(
     )
     write_plain(
         spark.createDataFrame(
-            [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+            [(n, num_hashes, bands, num_buckets)],
+            "n int, num_hashes int, bands int, num_buckets int",
         ),
         f"{table}_meta",
         path=_path("meta"),
+    )
+
+
+def append_minhash_index(
+    new: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Accept a batch of documents into a stored
+    :func:`build_minhash_index` without rebuilding — the text twin of
+    :func:`~stream_sentinel_spark.operators.similarity.append_lsh_index`
+    and the second half of the production ingest loop (match → accept →
+    index grows).
+
+    One Arrow kernel pass over the BATCH (the checkpointed
+    :func:`_kernel_frame` feeds both bucket-aligned appends), then:
+    band keys append into ``{table}_bands`` and shingle codes into
+    ``{table}_verify`` with ``mode("append").bucketBy(...)`` (spec
+    validated against the catalog; subsequent
+    :func:`match_minhash_index` still joins the corpus side with no
+    Exchange), and ``{table}_bandstats`` is delta-merged in place. The
+    corpus is never rescanned — per-append cost is O(batch), flat as
+    the index grows (tools/index_scale_stress.py records it). N
+    appends ≡ one rebuild bit-for-bit (tests/test_minhash_index.py).
+    Params and bucket count come from ``{table}_meta``.
+    """
+    from stream_sentinel_spark.operators.similarity import _merge_bandstats
+    from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+    spark = new.sparkSession
+    meta = spark.table(f"{table}_meta").head()
+    kernel = _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
+    band_keys = (
+        _banded_keys(kernel.select("id", "sig"), meta.num_hashes, meta.bands)
+        .withColumnRenamed("id", "old_id")
+    )
+    write_bucketed(
+        band_keys, f"{table}_bands", ["band", "bucket"], meta.num_buckets,
+        mode="append",
+    )
+    _merge_bandstats(
+        spark, f"{table}_bandstats", ["band", "bucket"],
+        band_keys.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_na")),
+    )
+    write_bucketed(
+        kernel.select(F.col("id").alias("old_id"), "codes", "sz"),
+        f"{table}_verify", ["old_id"], meta.num_buckets, mode="append",
     )
 
 

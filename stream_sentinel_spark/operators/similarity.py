@@ -575,11 +575,91 @@ def build_lsh_index(
     )
     write_plain(
         spark.createDataFrame(
-            [(bits, bands, dim, seed)], "bits int, bands int, dim int, seed int"
+            [(bits, bands, dim, seed, num_buckets)],
+            "bits int, bands int, dim int, seed int, num_buckets int",
         ),
         f"{table}_meta",
         path=_path("meta"),
     )
+
+
+def append_lsh_index(
+    new_df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Accept a batch into a stored :func:`build_lsh_index` WITHOUT
+    rebuilding it — the missing piece between "tested artifact" and the
+    production ingest loop (stream → match → accept → index grows).
+
+    Layout-preserving: the batch's band keys and vectors+norms are
+    written with ``mode("append").bucketBy(...)`` into the existing
+    bucketed tables (Spark validates the spec against the catalog and
+    appends bucket-aligned files, so every subsequent
+    :func:`match_lsh_index` still plans the corpus side as a bucketed
+    FileScan with no Exchange — pinned by
+    tests/test_embedding_index.py::test_plan_still_exchange_free_after_appends).
+    ``{table}_bandstats`` is DELTA-merged: the batch's (band, val)
+    counts union the stored counts and overwrite in place
+    (``insertInto(overwrite=True)`` keeps the table's identity and
+    location) — per-append cost is O(batch) + O(stats), never a corpus
+    rescan. Signature params and bucket count come from
+    ``{table}_meta``, so an append can't disagree with the build.
+
+    Per-append cost is therefore INDEPENDENT of index size (one Arrow
+    signature pass over the batch + bucket-aligned file appends), which
+    is what makes the loop viable at 100 TB corpus scale. Same
+    disjoint-id precondition as :func:`match_lsh_index`; N sequential
+    appends are bit-equal to one rebuild over the union (the match
+    aggregates — count / max / min — are order- and file-layout-
+    independent; proven in tests/test_embedding_index.py).
+    """
+    from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+    spark = new_df.sparkSession
+    meta = spark.table(f"{table}_meta").head()
+    sig = lsh_signatures(new_df, id_col, vec_col, meta.bits, meta.dim, meta.seed)
+    # one signature pass shared by the bands append and the stats delta
+    band_keys = (
+        sig.select(
+            F.col("id").alias("old_id"),
+            F.explode(_band_struct_expr(meta.bits, meta.bands)).alias("bb"),
+        )
+        .select("old_id", "bb.band", "bb.val")
+        .localCheckpoint(eager=True)
+    )
+    write_bucketed(
+        band_keys, f"{table}_bands", ["band", "val"], meta.num_buckets,
+        mode="append",
+    )
+    _merge_bandstats(
+        spark, f"{table}_bandstats", ["band", "val"],
+        band_keys.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_na")),
+    )
+    vecs = new_df.select(
+        F.col(id_col).alias("old_id"), F.col(vec_col).alias("old_vec")
+    ).withColumn("old_nrm", norm(_as_double(F.col("old_vec"))))
+    write_bucketed(
+        vecs, f"{table}_vecs", ["old_id"], meta.num_buckets, mode="append"
+    )
+
+
+def _merge_bandstats(spark, table: str, keys: list, delta: DataFrame) -> None:
+    """Delta-merge per-bucket counts into a stored stats table: stored ∪
+    delta → sum per key → overwrite IN PLACE. The merged frame is
+    localCheckpoint'd before the write so the overwrite never reads the
+    files it is replacing; ``insertInto(overwrite=True)`` (positional)
+    preserves the table's definition and external location, which a
+    ``saveAsTable("overwrite")`` drop-and-recreate would not."""
+    merged = (
+        spark.table(table)
+        .unionByName(delta)
+        .groupBy(*keys)
+        .agg(F.sum("_na").alias("_na"))
+        .localCheckpoint(eager=True)
+    )
+    merged.select(*keys, "_na").write.insertInto(table, overwrite=True)
 
 
 def index_candidates(

@@ -107,3 +107,68 @@ def test_per_batch_candidates_read_the_bucketed_index(
 def test_meta_makes_index_self_describing(spark, frames, index):
     meta = spark.table("doc_idx_meta").head()
     assert (meta.n, meta.num_hashes, meta.bands) == (3, 32, 8)
+
+
+# ---------------------------------------------------------------------------
+# APPEND — text twin of the embedding-index append tests (round 6).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def appended_index(spark, frames):
+    from stream_sentinel_spark.operators.dedup import append_minhash_index
+
+    old, _ = frames
+    build_minhash_index(
+        old.filter(F.col("doc_id") % 6 == 0), "doc_app", num_hashes=32, bands=8
+    )
+    append_minhash_index(old.filter(F.col("doc_id") % 6 == 2), "doc_app")
+    append_minhash_index(old.filter(F.col("doc_id") % 6 == 4), "doc_app")
+    yield "doc_app"
+    for suffix in ("bands", "verify", "bandstats", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS doc_app_{suffix}")
+
+
+def test_appends_equal_rebuild_bit_for_bit(spark, frames, index, appended_index):
+    _, new = frames
+    got = _rows(match_minhash_index(spark, new, appended_index, threshold=0.8))
+    want = _rows(match_minhash_index(spark, new, index, threshold=0.8))
+    assert len(want) > 0, "fixture split produced no matches — test is vacuous"
+    assert got == want
+
+
+def test_appended_tables_are_row_identical(spark, index, appended_index):
+    bands = lambda t: sorted(
+        (r.old_id, r.band, r.bucket)
+        for r in spark.table(f"{t}_bands").collect()
+    )
+    stats = lambda t: sorted(
+        (r.band, r.bucket, r._na)
+        for r in spark.table(f"{t}_bandstats").collect()
+    )
+    assert bands(appended_index) == bands(index)
+    assert stats(appended_index) == stats(index)
+
+
+def test_match_plan_exchange_free_after_appends(
+    spark, frames, appended_index, no_broadcast
+):
+    from stream_sentinel_spark.operators.dedup import (
+        _banded_keys,
+        _hot_salted_pair_join,
+        _kernel_frame,
+    )
+    from stream_sentinel_spark.sources.bucketing import bucketed
+
+    _, new = frames
+    meta = spark.table("doc_app_meta").head()
+    new_kernel = _kernel_frame(new, "doc_id", "text", meta.n, meta.num_hashes)
+    cands = _hot_salted_pair_join(
+        bucketed(spark, "doc_app_bands").withColumnRenamed("old_id", "id"),
+        _banded_keys(new_kernel.select("id", "sig"), meta.num_hashes, meta.bands),
+        ["band", "bucket"],
+        na=spark.table("doc_app_bandstats"),
+    )
+    plan = plan_of(cands)
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("hashpartitioning(band") == 1, plan
