@@ -1,0 +1,182 @@
+"""Streaming dedup ingest — the engine's two halves composed.
+
+The reference's streaming pipeline is source → keyed detection → sink
+(StreamSentinelJob.java:102-140); the curation twin of that loop is
+source → near-dup match → accept/reject → the INDEX ITSELF as the sink:
+a stream of incoming documents (or embedding vectors) is matched
+against a persisted MinHash/LSH index, the novel rows are accepted —
+appended to the index AND written to the accepted-data sink — and the
+near-duplicates are reported. The index grows as the stream runs, so
+later batches dedupe against earlier accepted batches automatically.
+
+Scale shape (the reason this loop is viable at 100 TB corpus size):
+
+- the corpus side of every per-batch match is a bucketed FileScan of
+  the stored index — no Exchange, no signature recompute
+  (``match_minhash_index`` / ``match_lsh_index``);
+- each accept is a bucket-aligned file append + an O(stats) delta
+  merge (``append_minhash_index`` / ``append_lsh_index``) — per-batch
+  cost depends on BATCH size, not index size
+  (tools/index_scale_stress.py records the flat curve);
+- everything driver-side is bounded: one ``take(1)`` empty-batch guard
+  and one meta-row read per batch.
+
+Semantics: the micro-batch is the atomicity unit, exactly like a
+sequential driver loop over the same batches (pinned bit-for-bit by
+tests/test_ingest_pipeline.py). Duplicates WITHIN one batch are all
+novel w.r.t. the index and are all accepted — same behavior as the
+one-shot incremental operators (old × new, never new × new); run
+:func:`~stream_sentinel_spark.operators.dedup.minhash_lsh_neardups`
+inside the batch first if intra-batch dedup is required.
+
+Restart safety: ``foreachBatch`` re-runs a failed epoch, which would
+double-append. ``commit_log_dir`` (the epoch commit log shared with
+:mod:`stream_sentinel_spark.streaming.exactly_once`) makes FULLY
+committed epochs idempotent under replay. An epoch that crashed midway
+through its appends can still leave partial rows behind — making the
+three-table append atomic needs a transactional table format (Delta /
+Iceberg), which this container doesn't ship; the seam is this module's
+batch function, and the caveat is deliberate and documented rather
+than hidden.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from stream_sentinel_spark.streaming.sources import INGEST_COL
+
+_KINDS = ("minhash", "lsh")
+
+
+def _family(kind: str):
+    if kind == "minhash":
+        from stream_sentinel_spark.operators.dedup import (
+            append_minhash_index,
+            match_minhash_index,
+        )
+
+        return match_minhash_index, append_minhash_index
+    if kind == "lsh":
+        from stream_sentinel_spark.operators.similarity import (
+            append_lsh_index,
+            match_lsh_index,
+        )
+
+        return match_lsh_index, append_lsh_index
+    raise ValueError(f"unknown index kind: {kind!r} (expected one of {_KINDS})")
+
+
+def make_dedup_ingest_batch_fn(
+    *,
+    table: str,
+    kind: str = "minhash",
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    threshold: float = 0.8,
+    cutoff: int | None = None,
+    accepted_path: str | None = None,
+    matches_path: str | None = None,
+    commit_log_dir: str | None = None,
+    refresh_session=None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` body: match the batch against the
+    stored ``{table}`` index, write duplicates to ``matches_path`` and
+    novel rows to ``accepted_path`` (both parquet, stamped with the
+    epoch id), then append the novel rows to the index. Exposed
+    separately so tests (and batch backfills) can drive individual
+    epochs without a streaming query.
+
+    ``refresh_session``: ``foreachBatch`` bodies run on a MICRO-BATCH
+    CLONE of the session, and a datasource table's file listing is
+    cached per-session — so an append made by the clone is invisible to
+    the PARENT session's cached relation (measured: the parent kept
+    reading the pre-append index until ``refreshTable``). Pass the
+    parent session (``run_dedup_ingest`` does this automatically) and
+    the batch fn invalidates its cache for the index tables after every
+    append; other concurrent sessions reading the same metastore must
+    refresh on their own schedule."""
+    match_fn, append_fn = _family(kind)
+    grown = {
+        "minhash": ("_bands", "_verify", "_bandstats"),
+        "lsh": ("_bands", "_vecs", "_bandstats"),
+    }[kind]
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if commit_log_dir is not None:
+            from stream_sentinel_spark.streaming.exactly_once import (
+                is_epoch_committed,
+            )
+
+            if is_epoch_committed(spark, commit_log_dir, epoch_id):
+                return
+        # the ingestion stamp is transport plumbing, not document
+        # payload — it must reach neither the index nor the sinks
+        payload = [c for c in batch_df.columns if c != INGEST_COL]
+        # checkpoint once: the batch feeds the match, the anti-join and
+        # the append — without this each consumer would re-read the
+        # source files (and the append's lineage would reach back into
+        # the index tables it is writing)
+        batch = batch_df.select(*payload).localCheckpoint(eager=True)
+        if batch.take(1):
+            matches = match_fn(
+                spark, batch, table, id_col, content_col,
+                threshold=threshold, cutoff=cutoff,
+            ).localCheckpoint(eager=True)
+            if matches_path is not None:
+                matches.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(matches_path)
+            accepted = batch.join(
+                matches.select(F.col("new_id").alias(id_col)), [id_col],
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            if accepted_path is not None:
+                accepted.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(accepted_path)
+            if accepted.take(1):
+                append_fn(accepted, table, id_col, content_col)
+                if refresh_session is not None:
+                    for suffix in grown:
+                        refresh_session.catalog.refreshTable(table + suffix)
+        if commit_log_dir is not None:
+            from stream_sentinel_spark.streaming.exactly_once import commit_epoch
+
+            commit_epoch(spark, commit_log_dir, epoch_id)
+
+    return run
+
+
+def run_dedup_ingest(
+    stream_df: DataFrame,
+    *,
+    checkpoint_location: str,
+    query_name: str = "sentinel-dedup-ingest",
+    available_now: bool = False,
+    **batch_kwargs,
+) -> StreamingQuery:
+    """Start the streaming dedup ingest loop over ``stream_df`` (any
+    streaming frame carrying ``id_col`` + ``content_col`` — e.g.
+    :func:`~stream_sentinel_spark.streaming.sources.read_file_stream`
+    over landing files, or the Kafka source). ``batch_kwargs`` go to
+    :func:`make_dedup_ingest_batch_fn`. Structured Streaming's offset
+    checkpoint makes batch boundaries replay-stable, so a restarted
+    query re-presents the SAME rows per epoch — which is what makes the
+    ``commit_log_dir`` idempotence above sound."""
+    batch_kwargs.setdefault("refresh_session", stream_df.sparkSession)
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            make_dedup_ingest_batch_fn(**batch_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
