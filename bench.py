@@ -100,7 +100,7 @@ def calibration(spark) -> float:
     return round(min(once(), once()), 4)
 
 
-def bench_streaming(spark, sf_dir: str) -> dict:
+def bench_streaming(spark, sf_dir: str, backend: str | None = None) -> dict:
     """Streaming leg of the BASELINE.md protocol: the 3-rule pipeline
     over a file stream of the events table, split into multiple files so
     several micro-batches execute; reports throughput + micro-batch
@@ -108,11 +108,15 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
     Measured on the SCALE-PATH state store: the RocksDB provider
     (changelog checkpointing, memory-bounded native state — the store
-    that survives 100 TB key cardinality), with the
-    transformWithStateInPandas backend when its protobuf dependency is
-    importable and applyInPandasWithState otherwise (identical alerts
-    either way — tests/test_streaming_tws.py). The JSON records which
-    combination actually ran."""
+    that survives 100 TB key cardinality). ``backend=None`` auto-picks
+    the per-key API — transformWithStateInPandas when its protobuf
+    dependency is importable, applyInPandasWithState otherwise
+    (identical alerts either way — tests/test_streaming_tws.py);
+    ``backend="bucketed"`` runs the key-packing backend (one state blob
+    per xxhash64 bucket — the 100 TB cardinality path, 8.15× the
+    per-key backend at 295 k keys, STRESS_r05_streaming.json; alerts
+    byte-identical, tests/test_streaming_bucketed.py). The JSON records
+    which combination actually ran."""
     import glob
     import shutil
     import tempfile
@@ -122,12 +126,13 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     from stream_sentinel_spark.sources.batch import load_table
     from stream_sentinel_spark.streaming import compile_rules_streaming, read_file_stream
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    if backend is None:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
 
-        backend = "tws"
-    except ImportError:
-        backend = "aiws"
+            backend = "tws"
+        except ImportError:
+            backend = "aiws"
     rocksdb = (
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
@@ -323,6 +328,18 @@ def main() -> None:
     except Exception as exc:
         log(f"STREAMING BENCH FAIL: {exc}")
         streaming = {"error": str(exc)[:200]}
+
+    # second streaming line: the key-packing backend at the same
+    # protocol shape — the 100 TB cardinality path promoted from stress
+    # artifact to the official bench (round-5 verdict item 4); at the
+    # protocol's 1,500-key shape the two should be within noise, the
+    # packed backend's 8× advantage appears past ~100k keys
+    # (STRESS_r05_streaming.json)
+    try:
+        streaming_bucketed = bench_streaming(spark, sf_dir, backend="bucketed")
+    except Exception as exc:
+        log(f"STREAMING BUCKETED BENCH FAIL: {exc}")
+        streaming_bucketed = {"error": str(exc)[:200]}
 
     calib_post = calibration(spark)
     try:

@@ -1322,6 +1322,7 @@ def novelty_scores(
     id_col: str,
     text_col: str,
     n: int = 3,
+    key_mode: str = "hash",
 ) -> DataFrame:
     """Per-document NOVELTY under ingestion order (ascending id): the
     fraction of the doc's distinct character n-grams whose FIRST
@@ -1335,12 +1336,26 @@ def novelty_scores(
     Output (doc_id, n_grams, n_novel, novelty) — novelty is one
     int/int division, bit-identical cross-engine. Docs shorter than
     ``n`` are absent (no grams — same universe as the Jaccard family,
-    :func:`~stream_sentinel_spark.operators.dedup.gram_arrays`)."""
+    :func:`~stream_sentinel_spark.operators.dedup.gram_arrays`).
+
+    ``key_mode`` picks the gram join/agg key: ``"hash"`` (default — the
+    engine path) keys the first-occurrence aggregation and the gram
+    join on ``xxhash64(gram)``, so the two shuffles move 8-byte longs
+    instead of n-char strings (~n/8× fewer shuffle bytes at 100 TB;
+    grams never appear in the output, so the result is identical up to
+    an xxhash64 collision — P ≈ G²·2⁻⁶⁴ over G distinct grams, zero at
+    any tested scale and oracle-checked collision-free at sf0.01/0.1).
+    ``"string"`` keys on the raw gram — the construction the DuckDB
+    oracle mirrors literally (no xxhash64 there)."""
     from stream_sentinel_spark.operators.dedup import gram_arrays
 
+    if key_mode not in ("hash", "string"):
+        raise ValueError(f"unknown key_mode: {key_mode!r}")
     sh = gram_arrays(docs, id_col, text_col, n).select(
         "id", F.explode("grams").alias("gram")
     )
+    if key_mode == "hash":
+        sh = sh.select("id", F.xxhash64("gram").alias("gram"))
     firsts = sh.groupBy("gram").agg(F.min("id").alias("first_id"))
     return (
         sh.join(firsts, "gram")
@@ -1366,6 +1381,7 @@ def duplicated_window_rate(
     id_col: str,
     text_col: str,
     k: int = 10,
+    key_mode: str = "hash",
 ) -> DataFrame:
     """Span-level duplication rate per document (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): the
@@ -1378,14 +1394,26 @@ def duplicated_window_rate(
     Output (doc_id, n_windows, n_dup, dup_rate); dup_rate is one
     int/int division. Docs with fewer than ``k`` whitespace tokens are
     absent. Scale: explode → one window-key hash agg → one key join →
-    one doc agg; the window join key is the joined token string (md5-
-    free — the string itself is the key, so the oracle is trivially the
-    same construction and Catalyst dedups the explode across the agg
-    and join consumers)."""
+    one doc agg; Catalyst dedups the explode across the agg and join
+    consumers.
+
+    ``key_mode`` picks the window join/agg key: ``"hash"`` (default —
+    the engine path) keys on ``xxhash64`` of the joined k-token string,
+    so the occurrence-count shuffle and the key join move 8-byte longs
+    instead of ~k-token strings (~10× fewer shuffle bytes at k=10 —
+    the dominant cost at 100 TB, where the exploded windows are ~k× the
+    corpus text; the window string never reaches the output, so the
+    result is identical up to an xxhash64 collision — P ≈ W²·2⁻⁶⁴,
+    zero at any tested scale and oracle-checked collision-free at
+    sf0.01/0.1). ``"string"`` keys on the raw window string — the
+    construction the DuckDB oracle mirrors literally."""
+    if key_mode not in ("hash", "string"):
+        raise ValueError(f"unknown key_mode: {key_mode!r}")
     toks = F.split(F.col("_t"), " ")
+    win_str = lambda i: F.array_join(F.slice("_t_arr", i, k), " ")  # noqa: E731
     wins = F.transform(
         F.sequence(F.lit(1), F.size("_t_arr") - (k - 1)),
-        lambda i: F.array_join(F.slice("_t_arr", i, k), " "),
+        (lambda i: F.xxhash64(win_str(i))) if key_mode == "hash" else win_str,
     )
     base = (
         docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))

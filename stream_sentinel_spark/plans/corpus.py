@@ -5434,7 +5434,11 @@ def x83(spark, sf):
     # memorization-risk signal document-level dedup misses (boilerplate
     # wrappers, quotes, templated spans). Probed non-vacuous at all SFs
     # (24/24/252 fully-duplicated docs). int/int rate; conditional SUM
-    # carries the outer BIGINT cast (the q53 HUGEINT lesson).
+    # carries the outer BIGINT cast (the q53 HUGEINT lesson). Engine
+    # path runs the default key_mode="hash" (xxhash64 window keys, ~10×
+    # fewer shuffle bytes at k=10) against the oracle's literal string-
+    # key construction — the driver hash-match doubles as the
+    # collision-free proof (tests pin hash ≡ string bit-equal).
     from stream_sentinel_spark.operators import curation
 
     return curation.duplicated_window_rate(
@@ -5472,7 +5476,10 @@ def x82(spark, sf):
     # note: the synthetic corpus has a FIXED ~377-trigram vocabulary, so
     # most docs score 0 here (probed; the spread still spans 0..1 and
     # the oracle SUMs carry the outer BIGINT cast — the q53 HUGEINT
-    # lesson). novelty is one int/int division, bit-identical.
+    # lesson). novelty is one int/int division, bit-identical. Engine
+    # path runs the default key_mode="hash" (xxhash64 gram keys — longs,
+    # not strings, through both shuffles) against the oracle's literal
+    # string-key construction; tests pin hash ≡ string bit-equal.
     from stream_sentinel_spark.operators import curation
 
     return curation.novelty_scores(

@@ -732,3 +732,32 @@ def test_duplicated_window_rate_properties(spark):
     assert out[3].dup_rate == 0.0
     assert out[4].n_dup > 0  # "r1 r2 r3" windows repeat within the doc
     assert out[1].n_windows == 3
+
+
+def test_hash_key_mode_equals_string_key_mode(spark):
+    """x82/x83 scale path: keying the gram/window shuffles on xxhash64
+    (8-byte longs) instead of the raw strings must not change a single
+    output row — the keys never reach the output, so equality holds up
+    to an xxhash64 collision (P ≈ G²·2⁻⁶⁴; this pins it bit-equal on
+    the real sf0.001 documents table, and the driver's oracle compare —
+    hash-mode engine vs string-key DuckDB SQL — re-proves it at sf0.01
+    every round)."""
+    from stream_sentinel_spark.operators.curation import (
+        duplicated_window_rate,
+        novelty_scores,
+    )
+    from stream_sentinel_spark.sources.batch import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for fn, kw in (
+        (novelty_scores, {"n": 3}),
+        (duplicated_window_rate, {"k": 10}),
+    ):
+        h = fn(docs, "doc_id", "text", key_mode="hash", **kw).collect()
+        s = fn(docs, "doc_id", "text", key_mode="string", **kw).collect()
+        assert h == s and len(h) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key_mode"):
+        novelty_scores(docs, "doc_id", "text", key_mode="md5")
