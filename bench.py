@@ -359,6 +359,7 @@ def main() -> None:
                 "cpus": cpus,
                 "spark": spark.version,
                 "streaming": streaming,
+                "streaming_bucketed": streaming_bucketed,
                 "warm_pass_sec": warm_sec,
                 "calibration_sec": {"pre": calib_pre, "post": calib_post},
                 "loadavg": {"pre": load_pre, "post": load_post},
@@ -404,6 +405,11 @@ def main() -> None:
             "eps": (
                 streaming.get("events_per_sec")
                 if isinstance(streaming, dict)
+                else None
+            ),
+            "eps_bucketed": (
+                streaming_bucketed.get("events_per_sec")
+                if isinstance(streaming_bucketed, dict)
                 else None
             ),
             "calib": [round(calib_pre, 2), round(calib_post, 2)],
