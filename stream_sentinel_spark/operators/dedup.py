@@ -1695,6 +1695,29 @@ def append_minhash_index(
     )
 
 
+def compact_minhash_index(spark, table: str) -> dict:
+    """Rewrite the grow-by-append index tables into one file per bucket
+    (:func:`~stream_sentinel_spark.sources.bucketing.compact_bucketed`
+    — Exchange-free: bucketed scan in, bucketed write out, each task
+    rewrites its own bucket). Run periodically in the ingest loop:
+    every append adds a file per bucket, and the per-batch MATCH cost
+    drifts up with accumulated file count — not index size
+    (STRESS_r06_append.json measures the drift and the reset).
+    Match results are bit-identical before/after (pinned in
+    tests/test_minhash_index.py). Returns per-table file counts."""
+    from stream_sentinel_spark.sources.bucketing import compact_bucketed
+
+    meta = spark.table(f"{table}_meta").head()
+    return {
+        f"{table}_bands": compact_bucketed(
+            spark, f"{table}_bands", ["band", "bucket"], meta.num_buckets
+        ),
+        f"{table}_verify": compact_bucketed(
+            spark, f"{table}_verify", ["old_id"], meta.num_buckets
+        ),
+    }
+
+
 def match_minhash_index(
     spark,
     new: DataFrame,

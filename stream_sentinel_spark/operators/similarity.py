@@ -645,6 +645,27 @@ def append_lsh_index(
     )
 
 
+def compact_lsh_index(spark, table: str) -> dict:
+    """The embedding twin of
+    :func:`~stream_sentinel_spark.operators.dedup.compact_minhash_index`:
+    rewrite the append-grown band-key and vector tables into one file
+    per bucket, Exchange-free (bucketed scan in → bucketed write out).
+    Periodic maintenance for the ingest loop — match results are
+    bit-identical before/after (tests/test_embedding_index.py).
+    Returns per-table file counts."""
+    from stream_sentinel_spark.sources.bucketing import compact_bucketed
+
+    meta = spark.table(f"{table}_meta").head()
+    return {
+        f"{table}_bands": compact_bucketed(
+            spark, f"{table}_bands", ["band", "val"], meta.num_buckets
+        ),
+        f"{table}_vecs": compact_bucketed(
+            spark, f"{table}_vecs", ["old_id"], meta.num_buckets
+        ),
+    }
+
+
 def _merge_bandstats(spark, table: str, keys: list, delta: DataFrame) -> None:
     """Delta-merge per-bucket counts into a stored stats table: stored ∪
     delta → sum per key → overwrite IN PLACE. The merged frame is

@@ -76,3 +76,58 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact (plain
     ``spark.read.parquet(path)`` would drop it)."""
     return spark.table(table)
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> int:
+    """Rewrite a bucketed table into one file per bucket and swap it in
+    under the same catalog name — the maintenance half of a
+    grow-by-append table. Every ``mode("append")`` bucketed write adds
+    one file per bucket per writing task, so a long-running ingest loop
+    accumulates small files and every subsequent scan pays the
+    open/footer cost per file (measured: the per-batch index match
+    drifting up with APPEND COUNT, not index size —
+    STRESS_r06_append.json). Compaction resets that.
+
+    Scale shape — this is deliberately EXCHANGE-FREE: with
+    ``autoBucketedScan`` pinned off for the rewrite, reading the table
+    yields one input partition per bucket (probed: the planner
+    otherwise disables the bucketed scan for a plain read-write and
+    each task then writes a file per bucket it happens to touch), and
+    a bucketed write requires no distribution, so each task rewrites
+    exactly its own bucket into exactly one file. No shuffle of the
+    index at any size; the whole rewrite streams through the executors
+    (no driver materialization, no localCheckpoint pinning).
+
+    The swap is write-to-new-table + DROP + ALTER RENAME (an in-place
+    ``saveAsTable("overwrite")`` would read the files it is deleting).
+    A crash between DROP and RENAME leaves ``{table}__compacting``
+    complete on disk — recovery is re-running the rename. Dropping an
+    EXTERNAL source table leaves its old files behind at the old
+    location (the caller owns that cleanup); pass ``path`` to give the
+    compacted table an explicit new external location, else it becomes
+    a managed table in the warehouse.
+
+    Returns the number of data files after compaction (≤ num_buckets)."""
+    tmp = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old_auto = spark.conf.get(auto_key)
+    spark.conf.set(auto_key, "false")
+    try:
+        write_bucketed(
+            spark.table(table), tmp, bucket_cols, num_buckets,
+            sort_cols=sort_cols, path=path,
+        )
+    finally:
+        spark.conf.set(auto_key, old_auto)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+    return len(spark.table(table).inputFiles())

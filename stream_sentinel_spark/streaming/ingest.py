@@ -17,7 +17,11 @@ Scale shape (the reason this loop is viable at 100 TB corpus size):
 - each accept is a bucket-aligned file append + an O(stats) delta
   merge (``append_minhash_index`` / ``append_lsh_index``) — per-batch
   cost depends on BATCH size, not index size
-  (tools/index_scale_stress.py records the flat curve);
+  (tools/index_append_stress.py records the growth curves);
+- appends accumulate files (one per bucket per append), which is what
+  actually drifts the per-batch match cost upward over many epochs —
+  ``compact_every`` triggers the Exchange-free one-file-per-bucket
+  rewrite (``compact_*_index``) that resets it;
 - everything driver-side is bounded: one ``take(1)`` empty-batch guard
   and one meta-row read per batch.
 
@@ -59,14 +63,17 @@ def _family(kind: str):
             match_minhash_index,
         )
 
-        return match_minhash_index, append_minhash_index
+        from stream_sentinel_spark.operators.dedup import compact_minhash_index
+
+        return match_minhash_index, append_minhash_index, compact_minhash_index
     if kind == "lsh":
         from stream_sentinel_spark.operators.similarity import (
             append_lsh_index,
+            compact_lsh_index,
             match_lsh_index,
         )
 
-        return match_lsh_index, append_lsh_index
+        return match_lsh_index, append_lsh_index, compact_lsh_index
     raise ValueError(f"unknown index kind: {kind!r} (expected one of {_KINDS})")
 
 
@@ -82,6 +89,7 @@ def make_dedup_ingest_batch_fn(
     matches_path: str | None = None,
     commit_log_dir: str | None = None,
     refresh_session=None,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: match the batch against the
     stored ``{table}`` index, write duplicates to ``matches_path`` and
@@ -98,12 +106,24 @@ def make_dedup_ingest_batch_fn(
     parent session (``run_dedup_ingest`` does this automatically) and
     the batch fn invalidates its cache for the index tables after every
     append; other concurrent sessions reading the same metastore must
-    refresh on their own schedule."""
-    match_fn, append_fn = _family(kind)
+    refresh on their own schedule.
+
+    ``compact_every``: every Nth APPEND (not epoch — empty batches
+    don't count), rewrite the grown index tables to one file per
+    bucket (``compact_minhash_index`` / ``compact_lsh_index``). Each
+    append adds a file per bucket, and the per-batch match cost drifts
+    up with accumulated FILE COUNT, not index size
+    (STRESS_r06_append.json) — periodic compaction is what keeps the
+    loop's per-batch cost genuinely flat over thousands of epochs. The
+    cadence counter is in-process; a restart resets it (maintenance
+    cadence, not semantics — match results are bit-identical across a
+    compaction, pinned in tests)."""
+    match_fn, append_fn, compact_fn = _family(kind)
     grown = {
         "minhash": ("_bands", "_verify", "_bandstats"),
         "lsh": ("_bands", "_vecs", "_bandstats"),
     }[kind]
+    n_appends = [0]
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -141,6 +161,9 @@ def make_dedup_ingest_batch_fn(
                 ).parquet(accepted_path)
             if accepted.take(1):
                 append_fn(accepted, table, id_col, content_col)
+                n_appends[0] += 1
+                if compact_every and n_appends[0] % compact_every == 0:
+                    compact_fn(spark, table)
                 if refresh_session is not None:
                     for suffix in grown:
                         refresh_session.catalog.refreshTable(table + suffix)

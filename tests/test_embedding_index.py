@@ -180,3 +180,36 @@ def test_plan_still_exchange_free_after_appends(
 
 def test_append_meta_carries_bucket_count(spark, index):
     assert spark.table(f"{index}_meta").head().num_buckets == 32
+
+
+def test_compaction_resets_files_and_preserves_matches(spark, frames):
+    """compact_lsh_index: the embedding twin of the minhash compaction
+    test — append-grown tables rewritten to ≤1 file per bucket (proof
+    the rewrite was bucket-aligned and Exchange-free), matches
+    bit-identical, bucket spec intact after the catalog swap."""
+    from stream_sentinel_spark.operators.similarity import (
+        append_lsh_index,
+        compact_lsh_index,
+    )
+
+    old, new = frames
+    try:
+        build_lsh_index(old.filter(F.col("vec_id") % 6 == 0), "emb_cmp")
+        append_lsh_index(old.filter(F.col("vec_id") % 6 == 2), "emb_cmp")
+        append_lsh_index(old.filter(F.col("vec_id") % 6 == 4), "emb_cmp")
+        meta = spark.table("emb_cmp_meta").head()
+        pre_files = len(spark.table("emb_cmp_bands").inputFiles())
+        pre = _rows(match_lsh_index(spark, new, "emb_cmp", threshold=0.40))
+        assert len(pre) > 0
+
+        counts = compact_lsh_index(spark, "emb_cmp")
+
+        assert counts["emb_cmp_bands"] <= meta.num_buckets < pre_files
+        assert counts["emb_cmp_vecs"] <= meta.num_buckets
+        post = _rows(match_lsh_index(spark, new, "emb_cmp", threshold=0.40))
+        assert post == pre
+    finally:
+        for suffix in ("bands", "vecs", "bandstats", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_cmp_{suffix}")
+        spark.sql("DROP TABLE IF EXISTS emb_cmp_bands__compacting")
+        spark.sql("DROP TABLE IF EXISTS emb_cmp_vecs__compacting")

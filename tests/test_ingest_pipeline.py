@@ -216,3 +216,72 @@ def test_lsh_kind_single_epoch(spark, tmp_path_factory):
         r.vec_id for r in spark.read.parquet(str(root / "acc")).collect()
     )
     assert got_accepted == sorted(r.vec_id for r in accepted.collect())
+
+
+def test_compact_every_preserves_results_and_caps_files(
+    spark, docs, sequential, tmp_path_factory
+):
+    """The ingest loop with periodic compaction (compact_every=2) must
+    produce the SAME per-epoch matches/accepts and the same final
+    matches as the sequential oracle, while the index file count stays
+    capped (each compaction rewrites to ≤1 file per bucket) — the
+    maintenance knob that keeps per-batch cost flat over thousands of
+    epochs."""
+    root = tmp_path_factory.mktemp("ingest_cmp")
+    src = str(root / "src")
+    for m in range(1, 1 + N_BATCHES):
+        _batch(docs, m).coalesce(1).write.mode("append").parquet(src)
+    _drop(spark, "ing_cmp")
+    build_minhash_index(_batch(docs, 0), "ing_cmp", num_hashes=32, bands=8)
+    try:
+        stream = read_file_stream(
+            spark, src, docs.schema, time_col=None, watermark=None,
+            max_files_per_trigger=1,
+        )
+        q = run_dedup_ingest(
+            stream,
+            checkpoint_location=str(root / "ckpt"),
+            available_now=True,
+            table="ing_cmp",
+            kind="minhash",
+            id_col="doc_id",
+            content_col="text",
+            threshold=THRESH,
+            matches_path=str(root / "matches"),
+            accepted_path=str(root / "accepted"),
+            compact_every=2,
+        )
+        q.awaitTermination(300)
+
+        matches = spark.read.parquet(str(root / "matches"))
+        accepted = spark.read.parquet(str(root / "accepted"))
+        for epoch, (want_matches, want_accepted) in enumerate(sequential):
+            got_m = _match_rows(matches.filter(F.col("epoch") == epoch))
+            got_a = sorted(
+                r.doc_id
+                for r in accepted.filter(F.col("epoch") == epoch).collect()
+            )
+            assert got_m == want_matches
+            assert got_a == want_accepted
+        # 3 appends with compact_every=2 -> one compaction after the
+        # 2nd append. Every write adds up to a file per bucket PER TASK,
+        # so the meaningful pin is against the same batches WITHOUT
+        # compaction (the sequential oracle's table): the compacted
+        # index must carry strictly fewer files — build + appends 1-2
+        # collapsed to <=1/bucket, only append 3's files on top.
+        n_files = len(spark.table("ing_cmp_bands").inputFiles())
+        n_files_nocompact = len(spark.table("ing_seq_bands").inputFiles())
+        assert n_files < n_files_nocompact, (n_files, n_files_nocompact)
+        # final index answers a probe identically to the sequential one
+        probe = _batch(docs, 4)
+        got = _match_rows(
+            match_minhash_index(spark, probe, "ing_cmp", threshold=THRESH)
+        )
+        want = _match_rows(
+            match_minhash_index(spark, probe, "ing_seq", threshold=THRESH)
+        )
+        assert got == want and len(got) > 0
+    finally:
+        _drop(spark, "ing_cmp")
+        spark.sql("DROP TABLE IF EXISTS ing_cmp_bands__compacting")
+        spark.sql("DROP TABLE IF EXISTS ing_cmp_verify__compacting")

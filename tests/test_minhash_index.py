@@ -172,3 +172,64 @@ def test_match_plan_exchange_free_after_appends(
     plan = plan_of(cands)
     assert "Bucketed: true" in plan, plan
     assert plan.count("hashpartitioning(band") == 1, plan
+
+
+def test_compaction_resets_files_and_preserves_matches(spark, frames):
+    """compact_minhash_index rewrites the append-grown tables into ≤1
+    file per bucket (the file count is the proof the rewrite was
+    bucket-aligned and Exchange-free: a shuffled or mis-partitioned
+    rewrite writes a file per bucket per task) with match results
+    bit-identical and the per-batch candidate plan still bucketed."""
+    from stream_sentinel_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+    )
+
+    old, new = frames
+    try:
+        build_minhash_index(
+            old.filter(F.col("doc_id") % 6 == 0), "doc_cmp",
+            num_hashes=32, bands=8,
+        )
+        append_minhash_index(old.filter(F.col("doc_id") % 6 == 2), "doc_cmp")
+        append_minhash_index(old.filter(F.col("doc_id") % 6 == 4), "doc_cmp")
+        meta = spark.table("doc_cmp_meta").head()
+        pre_files = len(spark.table("doc_cmp_bands").inputFiles())
+        pre = _rows(match_minhash_index(spark, new, "doc_cmp", threshold=0.8))
+        assert len(pre) > 0
+
+        counts = compact_minhash_index(spark, "doc_cmp")
+
+        assert counts["doc_cmp_bands"] <= meta.num_buckets < pre_files
+        assert counts["doc_cmp_verify"] <= meta.num_buckets
+        post = _rows(match_minhash_index(spark, new, "doc_cmp", threshold=0.8))
+        assert post == pre
+        # the bucket spec survived the swap: candidate join still reads
+        # a bucketed scan (same pin as the append test)
+        from stream_sentinel_spark.operators.dedup import (
+            _banded_keys,
+            _hot_salted_pair_join,
+            _kernel_frame,
+        )
+        from stream_sentinel_spark.sources.bucketing import bucketed
+
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            nk = _kernel_frame(new, "doc_id", "text", meta.n, meta.num_hashes)
+            cands = _hot_salted_pair_join(
+                bucketed(spark, "doc_cmp_bands").withColumnRenamed("old_id", "id"),
+                _banded_keys(nk.select("id", "sig"), meta.num_hashes, meta.bands),
+                ["band", "bucket"],
+                na=spark.table("doc_cmp_bandstats"),
+            )
+            plan = plan_of(cands)
+            assert "Bucketed: true" in plan, plan
+            assert plan.count("hashpartitioning(band") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        for suffix in ("bands", "verify", "bandstats", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS doc_cmp_{suffix}")
+        spark.sql("DROP TABLE IF EXISTS doc_cmp_bands__compacting")
+        spark.sql("DROP TABLE IF EXISTS doc_cmp_verify__compacting")

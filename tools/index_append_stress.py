@@ -11,11 +11,18 @@ Protocol per family (text MinHash / embedding sign-LSH):
 - after the last round, rebuild the index from scratch over
   base+appends and assert the probe match is bit-identical to the
   grown-by-append index (N appends ≡ one rebuild, at stress scale);
+- then COMPACT the grown index (compact_minhash_index /
+  compact_lsh_index — Exchange-free one-file-per-bucket rewrite) and
+  re-match: the probe must stay bit-identical while the file count
+  collapses and the match wall returns toward the build-time cost —
+  the proof that the observed match drift is the accumulated
+  small-files cost of appends, not index size, and that the ingest
+  loop's compact_every knob genuinely resets it;
 - flatness: append wall is O(batch) by construction (the corpus is
   never rescanned) — assert last/first < 2.5; match wall may grow
-  mildly with the corpus-side SCAN (bucket-local, Exchange-free — the
-  join never reshuffles), so assert its growth stays well under the
-  index growth factor.
+  with accumulated FILES between compactions (bucket-local,
+  Exchange-free — the join never reshuffles), so assert its growth
+  stays under the index growth factor and that compaction restores it.
 
 Run:  python tools/index_append_stress.py [--out STRESS_r06_append.json]
 """
@@ -46,11 +53,13 @@ def run(out_path: str) -> dict:
     from stream_sentinel_spark.operators.dedup import (
         append_minhash_index,
         build_minhash_index,
+        compact_minhash_index,
         match_minhash_index,
     )
     from stream_sentinel_spark.operators.similarity import (
         append_lsh_index,
         build_lsh_index,
+        compact_lsh_index,
         match_lsh_index,
     )
     from stream_sentinel_spark.testing import (
@@ -72,7 +81,7 @@ def run(out_path: str) -> dict:
 
     def family(
         tag, frame, id_col, base_pred, batch_pred, probe_pred,
-        build, append, match, match_cols, row_table_suffix,
+        build, append, match, match_cols, row_table_suffix, compact,
     ):
         base = frame.filter(base_pred)
         probe = frame.filter(probe_pred)
@@ -108,6 +117,23 @@ def run(out_path: str) -> dict:
         want = _rows(match(spark, probe, f"apx_{tag}_rebuilt"), match_cols)
         out["match_rows"] = len(got)
         out["append_equals_rebuild"] = got == want
+
+        # compaction resets the small-files drift; results bit-identical
+        out["files_before_compact"] = len(
+            spark.table(f"apx_{tag}_bands").inputFiles()
+        )
+        t0 = time.time()
+        compact(spark, f"apx_{tag}")
+        out["compact_sec"] = round(time.time() - t0, 2)
+        out["files_after_compact"] = len(
+            spark.table(f"apx_{tag}_bands").inputFiles()
+        )
+        t0 = time.time()
+        got_c = _rows(match(spark, probe, f"apx_{tag}"), match_cols)
+        out["match_after_compact_sec"] = round(time.time() - t0, 2)
+        out["compact_preserves_match"] = got_c == got
+        assert out["compact_preserves_match"], f"{tag}: compaction drifted"
+        assert out["files_after_compact"] < out["files_before_compact"]
         growth = out["index_rows"][-1] / out["index_rows"][0]
         out["index_growth"] = round(growth, 2)
         out["append_ratio_last_over_first"] = round(
@@ -139,6 +165,7 @@ def run(out_path: str) -> dict:
         lambda s, df, t: match_minhash_index(s, df, t, threshold=0.8),
         ("new_id", "n_matches", "best_jaccard", "first_match"),
         "_verify",
+        compact_minhash_index,
     )
 
     # embedding family: 20k vecs — base 5k, 4 appends x 2.5k, 2.5k probe
@@ -155,6 +182,7 @@ def run(out_path: str) -> dict:
         lambda s, df, t: match_lsh_index(s, df, t, threshold=0.9),
         ("new_id", "n_matches", "best_cos", "first_match"),
         "_vecs",
+        compact_lsh_index,
     )
 
     rec["all_assertions_pass"] = True
