@@ -115,9 +115,10 @@ def query(name: str, oracle: str | None = None):
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
 # covers all of them every run. Round 6 rotation (stalest-row selection,
 # judge-recomputed latest-green union over CORRECTNESS_r01-r05):
-# 1) the three NEW entries (no driver row yet): x84/x86 (the streaming
+# 1) the four NEW entries (no driver row yet): x84/x86 (the streaming
 #    engine run inside the gate — arrival-order packed and event-time
-#    packed) and x85 (the composed curation DAG);
+#    packed), x87 (stream-stream interval join) and x85 (the composed
+#    curation DAG);
 # 2) x82/x83 — their implementation changed this round (xxhash64 join
 #    keys are now the engine default; the driver compare against the
 #    string-key oracles doubles as the collision-free proof) — the
@@ -125,8 +126,10 @@ def query(name: str, oracle: str | None = None):
 # 3) the flagship, re-proven every round;
 # 4) q18-q22 — the ONLY latest-green=r02 rows (displaced by x79-x83
 #    last round, unchanged since r01, twice proven);
-# 5) all 38 latest-green=r03 rows (q30-q55 relational tails, the
-#    sketch/CDC/curation families x21-x47);
+# 5) 37 of the 38 latest-green=r03 rows (q30-q55 relational tails, the
+#    sketch/CDC/curation families x21-x42; x47_funnel_conversion is the
+#    one r03 row displaced by x87 — unchanged since r03, re-prove next
+#    round);
 # 6) x61 — latest-green r05, but its module (dedup.py) gained the
 #    index-append path this round (the build/match meta-table write
 #    changed in the same file), so it stays in the gate as the
@@ -137,6 +140,7 @@ _DRIVER_PRIORITY = [
     # --- new this round: streaming engine (both modes) + composed DAG ---
     "x84_streaming_detect_parity",
     "x86_streaming_event_time_parity",
+    "x87_streaming_interval_join_parity",
     "x85_curation_dag",
     # --- implementation changed this round (hash join keys) ---
     "x82_novelty_scores",
@@ -187,7 +191,6 @@ _DRIVER_PRIORITY = [
     "x40_sequence_packing",
     "x41_boilerplate_removal",
     "x42_c4_filters",
-    "x47_funnel_conversion",
     # --- changed-module row (index-append landed beside it) ---
     "x61_incremental_neardups",
 ]
@@ -5611,8 +5614,6 @@ def x79(spark, sf):
 
 # memory-sink names must be unique per invocation (the bench harness
 # calls every corpus entry several times per process)
-_X84_SEQ = iter(range(1, 1_000_000))
-
 #: sentinel key for the event-time entry's watermark-advance events —
 #: outside the synthetic user_id domain (always >= 0), filtered from
 #: the returned alerts so the oracle never sees it
@@ -5632,7 +5633,18 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
     watermark passes them — availableNow ends with the last data
     batch, so two trailing sentinel files (ts beyond max(ts) + delay;
     the second carries the first's watermark into effect) drain the
-    buffer; sentinel alerts are filtered by key."""
+    buffer; sentinel alerts are filtered by key.
+
+    Sink choice matters for the HOST of this entry, not its semantics:
+    a memory sink would pin every alert row (~73 k at sf0.1, original-
+    event map included) in the DRIVER for the session's lifetime — with
+    bench reps that measurably degrades everything that runs after it
+    (measured: the protocol streaming leg 7.3 k → 2.0 k ev/s and the
+    tail-position corpus queries 2-3× when four memory sinks had
+    accumulated). Alerts therefore drain to a parquet sink and the
+    returned frame reads it back; the source/checkpoint tmp is deleted,
+    the small output dir is left for the OS (the returned DataFrame
+    reads it lazily)."""
     import shutil
     import tempfile
 
@@ -5643,7 +5655,7 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
 
     ev = _t(spark, sf, "events")
     tmp = tempfile.mkdtemp(prefix="ss_xstream_")
-    name = f"xstream_alerts_{next(_X84_SEQ)}"
+    out_dir = tempfile.mkdtemp(prefix="ss_xstream_out_")
     try:
         ev.coalesce(1).write.parquet(f"{tmp}/ev")
         if watermark is not None:
@@ -5675,10 +5687,10 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
             order_cols=("event_id",), backend=backend,
         )
         q = (
-            alerts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
+            alerts.writeStream.format("parquet")
+            .option("path", f"{out_dir}/alerts")
             .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
@@ -5686,7 +5698,7 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return (
-        spark.table(name)
+        spark.read.parquet(f"{out_dir}/alerts")
         .filter(F.col("key") != str(_SENTINEL_KEY))
         .select(
             "rule_name",
@@ -5888,3 +5900,71 @@ def x86(spark, sf):
     return _streaming_detect(
         spark, sf, backend="event_time_bucketed", watermark=DEFAULT_WATERMARK
     )
+
+
+@query(
+    "x87_streaming_interval_join_parity",
+    """
+    SELECT a.event_id AS l_id, b.event_id AS r_id,
+           epoch_ms(a.ts) AS l_ms, epoch_ms(b.ts) AS r_ms,
+           b.event_type AS r_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+     AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 21600000
+    """,
+)
+def x87(spark, sf):
+    """STREAM-STREAM interval join inside the gate — the correlation
+    primitive the reference's per-key detector model cannot express
+    (SURVEY §2.5: one keyed stream, no second input): for every event,
+    the same user's events in the following 6 hours, joined as two
+    watermarked streams (streaming/relational.py:interval_join — the
+    time-range predicate is what lets Spark bound both sides' state to
+    the interval+watermark horizon per key instead of buffering the
+    streams forever). The oracle is the plain batch time-range
+    self-join — for an inner interval join, streaming emission is
+    exactly the batch join set, so one SQL checks the streaming stack.
+    Same parquet-sink discipline as x84/x86 (driver stays row-free).
+
+    Scale: the streaming state bound is the 6 h horizon per key; the
+    BATCH twin of the same predicate plans as x23's banded range join.
+    Probed non-vacuous at all SFs (1.5 k / 15.5 k / 155 k pairs, ~55%
+    beyond the trivial self-pairs)."""
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.streaming import read_file_stream
+    from stream_sentinel_spark.streaming.relational import interval_join
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="ss_x87_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x87_out_")
+    try:
+        ev.coalesce(1).write.parquet(f"{tmp}/ev")
+        src = lambda: read_file_stream(  # noqa: E731
+            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
+        )
+        joined = interval_join(
+            src(), src(), "user_id",
+            lower="0 seconds", upper="6 hours", watermark="5 seconds",
+        )
+        q = (
+            joined.select(
+                F.col("event_id").alias("l_id"),
+                F.col("event_id_r").alias("r_id"),
+                F.unix_millis("ts").alias("l_ms"),
+                F.unix_millis("ts_r").alias("r_ms"),
+                F.col("event_type_r").alias("r_type"),
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{out_dir}/pairs")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(f"{out_dir}/pairs")
