@@ -115,10 +115,11 @@ def query(name: str, oracle: str | None = None):
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
 # covers all of them every run. Round 6 rotation (stalest-row selection,
 # judge-recomputed latest-green union over CORRECTNESS_r01-r05):
-# 1) the five NEW entries (no driver row yet): x84/x86 (the streaming
+# 1) the six NEW entries (no driver row yet): x84/x86 (the streaming
 #    engine run inside the gate — arrival-order packed and event-time
 #    packed), x87 (stream-stream interval join), x88 (exactly-once
-#    stream dedup) and x85 (the composed curation DAG);
+#    stream dedup), x89 (stream-static enrichment) and x85 (the
+#    composed curation DAG);
 # 2) x82/x83 — their implementation changed this round (xxhash64 join
 #    keys are now the engine default; the driver compare against the
 #    string-key oracles doubles as the collision-free proof) — the
@@ -126,10 +127,10 @@ def query(name: str, oracle: str | None = None):
 # 3) the flagship, re-proven every round;
 # 4) q18-q22 — the ONLY latest-green=r02 rows (displaced by x79-x83
 #    last round, unchanged since r01, twice proven);
-# 5) 37 of the 38 latest-green=r03 rows (q30-q55 relational tails, the
-#    sketch/CDC/curation families x21-x42; x47_funnel_conversion is the
-#    one r03 row displaced by x87 — unchanged since r03, re-prove next
-#    round);
+# 5) 36 of the 38 latest-green=r03 rows (q30-q55 relational tails, the
+#    sketch/CDC/curation families x21-x41; x47_funnel_conversion and
+#    x42_c4_filters are the two r03 rows displaced by x87/x89 —
+#    unchanged since r03, re-prove next round);
 # x61/x78 (latest-green r05) are NOT re-fronted: their modules gained
 # the index-append/compaction paths this round, but the one-shot
 # operators' plan construction is untouched (the appends are additive
@@ -141,6 +142,7 @@ _DRIVER_PRIORITY = [
     "x86_streaming_event_time_parity",
     "x87_streaming_interval_join_parity",
     "x88_streaming_dedup_parity",
+    "x89_streaming_enrichment_parity",
     "x85_curation_dag",
     # --- implementation changed this round (hash join keys) ---
     "x82_novelty_scores",
@@ -190,7 +192,6 @@ _DRIVER_PRIORITY = [
     "x39_passage_dedup",
     "x40_sequence_packing",
     "x41_boilerplate_removal",
-    "x42_c4_filters",
 ]
 
 
@@ -6026,3 +6027,76 @@ def x88(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(f"{out_dir}/events")
+
+
+@query(
+    "x89_streaming_enrichment_parity",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def x89(spark, sf):
+    """STREAM-STATIC enrichment, the most common production streaming
+    join, inside the gate: a stream of orders joined to the static
+    customer dimension and aggregated per market segment in COMPLETE
+    output mode. On a micro-batch plan the static side is broadcast
+    per batch — dimension lookups never shuffle the stream (the same
+    broadcast the batch twin plans, which is why one oracle checks
+    both). Aggregates follow the corpus-wide decimal-sum convention so
+    streaming's incremental state merge and DuckDB's one-pass sum are
+    bit-identical. Same parquet-sink discipline as x84-x88 — complete
+    mode re-emits the whole (tiny, one row per segment) result per
+    trigger, and the single availableNow batch makes that exactly one
+    emission."""
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.streaming import read_file_stream
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    tmp = tempfile.mkdtemp(prefix="ss_x89_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x89_out_")
+    try:
+        orders.coalesce(1).write.parquet(f"{tmp}/orders")
+        stream = read_file_stream(
+            spark, f"{tmp}/orders", orders.schema, time_col=None,
+            watermark=None,
+        )
+        agg = (
+            stream.join(
+                F.broadcast(customer),
+                stream["o_custkey"] == customer["c_custkey"],
+            )
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("x89_seg")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # complete-mode memory sink holds ONE row per segment (≤5 rows
+        # total) — driver-side weight is nil, unlike the alert streams;
+        # copy out and return a local frame so the sink is not retained
+        rows = spark.table("x89_seg").orderBy("segment").collect()
+        spark.catalog.dropTempView("x89_seg")
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
