@@ -115,11 +115,11 @@ def query(name: str, oracle: str | None = None):
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
 # covers all of them every run. Round 6 rotation (stalest-row selection,
 # judge-recomputed latest-green union over CORRECTNESS_r01-r05):
-# 1) the six NEW entries (no driver row yet): x84/x86 (the streaming
+# 1) the seven NEW entries (no driver row yet): x84/x86 (the streaming
 #    engine run inside the gate — arrival-order packed and event-time
 #    packed), x87 (stream-stream interval join), x88 (exactly-once
-#    stream dedup), x89 (stream-static enrichment) and x85 (the
-#    composed curation DAG);
+#    stream dedup), x89 (stream-static enrichment), x90 (streaming
+#    windowed aggregation) and x85 (the composed curation DAG);
 # 2) x82/x83 — their implementation changed this round (xxhash64 join
 #    keys are now the engine default; the driver compare against the
 #    string-key oracles doubles as the collision-free proof) — the
@@ -127,10 +127,11 @@ def query(name: str, oracle: str | None = None):
 # 3) the flagship, re-proven every round;
 # 4) q18-q22 — the ONLY latest-green=r02 rows (displaced by x79-x83
 #    last round, unchanged since r01, twice proven);
-# 5) 36 of the 38 latest-green=r03 rows (q30-q55 relational tails, the
-#    sketch/CDC/curation families x21-x41; x47_funnel_conversion and
-#    x42_c4_filters are the two r03 rows displaced by x87/x89 —
-#    unchanged since r03, re-prove next round);
+# 5) 35 of the 38 latest-green=r03 rows (q30-q55 relational tails, the
+#    sketch/CDC/curation families x21-x40; x47_funnel_conversion,
+#    x42_c4_filters and x41_boilerplate_removal are the three r03 rows
+#    displaced by x87/x89/x90 — unchanged since r03, re-prove next
+#    round);
 # x61/x78 (latest-green r05) are NOT re-fronted: their modules gained
 # the index-append/compaction paths this round, but the one-shot
 # operators' plan construction is untouched (the appends are additive
@@ -142,6 +143,7 @@ _DRIVER_PRIORITY = [
     "x86_streaming_event_time_parity",
     "x87_streaming_interval_join_parity",
     "x88_streaming_dedup_parity",
+    "x90_streaming_windows_parity",
     "x89_streaming_enrichment_parity",
     "x85_curation_dag",
     # --- implementation changed this round (hash join keys) ---
@@ -191,7 +193,6 @@ _DRIVER_PRIORITY = [
     "x38_scd2_history",
     "x39_passage_dedup",
     "x40_sequence_packing",
-    "x41_boilerplate_removal",
 ]
 
 
@@ -6100,3 +6101,61 @@ def x89(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+@query(
+    "x90_streaming_windows_parity",
+    """
+    SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+           (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+           (epoch_ms(ts) // 21600000) * 21600000 + 21600000 AS window_end_ms,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def x90(spark, sf):
+    """Streaming WINDOWED AGGREGATION inside the gate (T5's streaming
+    half): the same per-key 6 h tumbling window plan as q22
+    (operators/windows.py:tumbling_counts — one code path, batch and
+    streaming frames alike) executed over a file stream in complete
+    output mode, against q22's oracle verbatim. Complete mode re-emits
+    the whole result per trigger and cannot drive the parquet sink, so
+    the drain goes through foreachBatch writing the (single,
+    availableNow) emission to parquet — the driver stays row-free, same
+    discipline as x84-x88. Decimal-sum aggregates keep streaming's
+    incremental merge bit-identical to DuckDB's one-pass sum."""
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.functions.coercion import key_column
+    from stream_sentinel_spark.operators.windows import tumbling_counts
+    from stream_sentinel_spark.streaming import read_file_stream
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="ss_x90_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x90_out_")
+    try:
+        ev.coalesce(1).write.parquet(f"{tmp}/ev")
+        stream = read_file_stream(
+            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
+        )
+        agg = tumbling_counts(
+            stream, key_column(stream, "user_id"), "ts", "6 hours",
+            value_col="value",
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("overwrite").parquet(
+                    f"{out_dir}/windows"
+                )
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(f"{out_dir}/windows")
