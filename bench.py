@@ -413,6 +413,26 @@ def main() -> None:
                 else None
             ),
             "calib": [round(calib_pre, 2), round(calib_post, 2)],
+            # host-contention forensics IN THE PARSED LINE (round-6
+            # verdict item 4): 1-min loadavg at bench start/end plus the
+            # top-6 per-query start-of-query loads. A driver-run spike
+            # cluster (e.g. r06's x08/x19/x20 at 3.8-5.9x with clean
+            # endpoint calibs) is then attributable by artifact — a
+            # disputed slow query either shows here with an elevated
+            # load (contention) or it doesn't (code). Full per-query
+            # load map is on the preceding full-JSON line.
+            "load": [
+                round(load_pre[0], 1) if load_pre else None,
+                round(load_post[0], 1) if load_post else None,
+            ],
+            "qload_hi": dict(
+                sorted(
+                    ((_short(k) if use_short else k, round(v, 1))
+                     for k, v in query_load.items()),
+                    key=lambda kv: kv[1],
+                    reverse=True,
+                )[:6]
+            ),
             "queries": qmap,
         }
 

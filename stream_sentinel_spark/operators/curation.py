@@ -1340,11 +1340,17 @@ def novelty_scores(
 
     ``key_mode`` picks the gram join/agg key: ``"hash"`` (default — the
     engine path) keys the first-occurrence aggregation and the gram
-    join on ``xxhash64(gram)``, so the two shuffles move 8-byte longs
-    instead of n-char strings (~n/8× fewer shuffle bytes at 100 TB;
-    grams never appear in the output, so the result is identical up to
+    join on ``xxhash64(gram)``, so the two shuffles move fixed 8-byte
+    longs instead of n-char strings. The byte savings scale with key
+    WIDTH: for this operator's short character grams they are nil
+    (measured: shuffle-bytes ratio 0.98 at n=3, STRESS_r06_hashkey.json
+    — a 3-char gram is already smaller than an 8-byte long; the wall
+    win there, 8.6→5.4 s, comes from cheaper fixed-width key compare/
+    hash, not bytes), while :func:`duplicated_window_rate`'s k-token
+    windows get the real byte reduction (2.99× at k=8, same artifact).
+    Grams never appear in the output, so the result is identical up to
     an xxhash64 collision — P ≈ G²·2⁻⁶⁴ over G distinct grams, zero at
-    any tested scale and oracle-checked collision-free at sf0.01/0.1).
+    any tested scale and oracle-checked collision-free at sf0.01/0.1.
     ``"string"`` keys on the raw gram — the construction the DuckDB
     oracle mirrors literally (no xxhash64 there)."""
     from stream_sentinel_spark.operators.dedup import gram_arrays

@@ -5662,7 +5662,25 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
             # watermark advance is data-driven: append sentinel events
             # 10 s and 20 s past max(ts) (NULL value — invisible to the
             # value rules; a single event per window never trips the
-            # rate rule) so the event-time buffers flush completely
+            # rate rule) so the event-time buffers flush completely.
+            #
+            # ORDERING IS LOAD-BEARING: maxFilesPerTrigger=1 picks files
+            # by modification time, and the data file must be processed
+            # strictly BEFORE the sentinels — an mtime TIE (coarse-
+            # resolution filesystem, fast writes) could process a
+            # sentinel first, jumping the watermark past max(ts) and
+            # dropping every real event as late (a loud gate failure,
+            # but a flaky one). Write order is therefore not trusted:
+            # each sentinel file's mtime is explicitly bumped 2 s / 4 s
+            # past the newest pre-existing file with os.utime.
+            import glob as _glob
+            import os as _os
+
+            def _ev_files():
+                return set(_glob.glob(f"{tmp}/ev/*"))
+
+            seen = _ev_files()
+            base_mtime = max(_os.stat(f).st_mtime for f in seen)
             max_ms = ev.agg(F.max(F.unix_millis("ts"))).head()[0]
             for i, off_ms in enumerate((10_000, 20_000)):
                 spark.createDataFrame(
@@ -5678,6 +5696,11 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
                 ).select(*ev.columns).coalesce(1).write.mode("append").parquet(
                     f"{tmp}/ev"
                 )
+                now = _ev_files()
+                for f in now - seen:
+                    st = _os.stat(f)
+                    _os.utime(f, (st.st_atime, base_mtime + 2.0 * (i + 1)))
+                seen = now
         stream = read_file_stream(
             spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=watermark,
             max_files_per_trigger=1 if watermark is not None else None,
@@ -5716,8 +5739,12 @@ def x84(spark, sf):
     gate: events → file stream → compile_rules_streaming on the
     key-packing backend (stateful_alerts_bucketed — the 100 TB
     cardinality path, 8.15× the per-key backend at 295 k keys) →
-    availableNow drain → memory sink, then the drained alerts are
-    hash-compared against the same DuckDB oracle the batch plan uses.
+    availableNow drain → parquet sink (NOT a memory sink — see
+    _streaming_detect's sink-choice rationale: memory sinks pin every
+    alert row in the driver for the session's lifetime, which round 6
+    measured degrading everything benched after it), then the drained
+    alerts are hash-compared against the same DuckDB oracle the batch
+    plan uses.
     This pins the whole streaming stack (S1 file twin → S2 schema →
     G2 rule eval → T4 checkpointed drain) to the batch semantics with
     a driver-recorded row every time it rotates into the gate — the
