@@ -1695,25 +1695,38 @@ def append_minhash_index(
     )
 
 
-def compact_minhash_index(spark, table: str) -> dict:
+def compact_minhash_index(
+    spark, table: str, paths: dict[str, str] | None = None
+) -> dict:
     """Rewrite the grow-by-append index tables into one file per bucket
-    (:func:`~stream_sentinel_spark.sources.bucketing.compact_bucketed`
+    (:func:`~stream_sentinel_spark.sources.bucketing.compact_bucketed_rotating`
     — Exchange-free: bucketed scan in, bucketed write out, each task
     rewrites its own bucket). Run periodically in the ingest loop:
     every append adds a file per bucket, and the per-batch MATCH cost
     drifts up with accumulated file count — not index size
     (STRESS_r06_append.json measures the drift and the reset).
     Match results are bit-identical before/after (pinned in
-    tests/test_minhash_index.py). Returns per-table file counts."""
-    from stream_sentinel_spark.sources.bucketing import compact_bucketed
+    tests/test_minhash_index.py). Returns per-table file counts.
+
+    An index built with ``base_path=...`` (EXTERNAL tables) keeps its
+    externality: each table compacts into a versioned sibling of its
+    current location (``…/bands`` → ``…/bands__c1`` → ``__c2`` …) and
+    the superseded directory is deleted after the swap — it is neither
+    silently relocated into the managed warehouse nor left leaking the
+    old files. ``paths`` overrides the target location per table name
+    (``{f"{table}_bands": "...", f"{table}_verify": "..."}``)."""
+    from stream_sentinel_spark.sources.bucketing import compact_bucketed_rotating
 
     meta = spark.table(f"{table}_meta").head()
+    paths = paths or {}
     return {
-        f"{table}_bands": compact_bucketed(
-            spark, f"{table}_bands", ["band", "bucket"], meta.num_buckets
+        f"{table}_bands": compact_bucketed_rotating(
+            spark, f"{table}_bands", ["band", "bucket"], meta.num_buckets,
+            path=paths.get(f"{table}_bands"),
         ),
-        f"{table}_verify": compact_bucketed(
-            spark, f"{table}_verify", ["old_id"], meta.num_buckets
+        f"{table}_verify": compact_bucketed_rotating(
+            spark, f"{table}_verify", ["old_id"], meta.num_buckets,
+            path=paths.get(f"{table}_verify"),
         ),
     }
 

@@ -645,23 +645,34 @@ def append_lsh_index(
     )
 
 
-def compact_lsh_index(spark, table: str) -> dict:
+def compact_lsh_index(
+    spark, table: str, paths: dict[str, str] | None = None
+) -> dict:
     """The embedding twin of
     :func:`~stream_sentinel_spark.operators.dedup.compact_minhash_index`:
     rewrite the append-grown band-key and vector tables into one file
     per bucket, Exchange-free (bucketed scan in → bucketed write out).
     Periodic maintenance for the ingest loop — match results are
     bit-identical before/after (tests/test_embedding_index.py).
-    Returns per-table file counts."""
-    from stream_sentinel_spark.sources.bucketing import compact_bucketed
+    Returns per-table file counts.
+
+    External tables (built with ``base_path=...``) keep their
+    externality: compaction rotates each table to a versioned sibling
+    location and deletes the superseded directory (see
+    :func:`~stream_sentinel_spark.sources.bucketing.compact_bucketed_rotating`);
+    ``paths`` overrides the target per table name."""
+    from stream_sentinel_spark.sources.bucketing import compact_bucketed_rotating
 
     meta = spark.table(f"{table}_meta").head()
+    paths = paths or {}
     return {
-        f"{table}_bands": compact_bucketed(
-            spark, f"{table}_bands", ["band", "val"], meta.num_buckets
+        f"{table}_bands": compact_bucketed_rotating(
+            spark, f"{table}_bands", ["band", "val"], meta.num_buckets,
+            path=paths.get(f"{table}_bands"),
         ),
-        f"{table}_vecs": compact_bucketed(
-            spark, f"{table}_vecs", ["old_id"], meta.num_buckets
+        f"{table}_vecs": compact_bucketed_rotating(
+            spark, f"{table}_vecs", ["old_id"], meta.num_buckets,
+            path=paths.get(f"{table}_vecs"),
         ),
     }
 

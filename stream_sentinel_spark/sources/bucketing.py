@@ -29,6 +29,7 @@ design, same family as `operators/skew.py` and the broadcast hints in
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,13 +109,19 @@ def compact_bucketed(
     The swap is write-to-new-table + DROP + ALTER RENAME (an in-place
     ``saveAsTable("overwrite")`` would read the files it is deleting).
     A crash between DROP and RENAME leaves ``{table}__compacting``
-    complete on disk — recovery is re-running the rename. Dropping an
+    complete on disk — :func:`recover_compaction` re-issues the rename,
+    and BOTH this function (on entry) and the ingest loop's
+    manifest recovery run it automatically, so a crashed compaction
+    never leaves ``{table}`` unbound past the next start. Dropping an
     EXTERNAL source table leaves its old files behind at the old
-    location (the caller owns that cleanup); pass ``path`` to give the
-    compacted table an explicit new external location, else it becomes
-    a managed table in the warehouse.
+    location (the caller owns that cleanup — ``compact_minhash_index``
+    / ``compact_lsh_index`` rotate external locations and delete the
+    old one); pass ``path`` to give the compacted table an explicit new
+    external location, else it becomes a managed table in the
+    warehouse.
 
     Returns the number of data files after compaction (≤ num_buckets)."""
+    recover_compaction(spark, table)
     tmp = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
@@ -131,3 +138,99 @@ def compact_bucketed(
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     spark.catalog.refreshTable(table)
     return len(spark.table(table).inputFiles())
+
+
+def table_meta(spark: SparkSession, table: str) -> tuple[str, str]:
+    """(type, location) of a catalog table via DESCRIBE FORMATTED —
+    type is ``MANAGED`` or ``EXTERNAL``. Bounded collect (a handful of
+    metadata rows)."""
+    info: dict[str, str] = {}
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        key = (r.col_name or "").strip()
+        if key and key not in info:
+            info[key] = (r.data_type or "").strip()
+    return info.get("Type", ""), info.get("Location", "")
+
+
+_ROTATION_RE = re.compile(r"^(.*?)__c(\d+)$")
+
+
+def _rotated_location(location: str) -> str:
+    """Next versioned sibling of an external location: ``…/bands`` →
+    ``…/bands__c1`` → ``…/bands__c2`` → …  A crashed attempt that never
+    swapped re-derives the SAME target (location unchanged) and the
+    overwrite-mode rewrite clears its leftovers."""
+    loc = location.rstrip("/")
+    m = _ROTATION_RE.match(loc)
+    if m:
+        return f"{m.group(1)}__c{int(m.group(2)) + 1}"
+    return f"{loc}__c1"
+
+
+def _delete_dir(spark: SparkSession, location: str) -> None:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(location)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def compact_bucketed_rotating(
+    spark: SparkSession,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> int:
+    """:func:`compact_bucketed` with external-table location handling —
+    the variant the index-level compaction APIs call. A MANAGED table
+    compacts in place (DROP deletes its old files, nothing leaks). An
+    EXTERNAL table gets a NEW location — ``path`` if given, else the
+    rotated sibling ``…__c{n+1}`` of its current one — and the old
+    directory is deleted after the swap, so an unattended
+    ``compact_every`` ingest loop neither silently converts a
+    deliberately-placed external index into a managed warehouse table
+    nor leaks the superseded files (the round-6 advisory). A crash
+    after the swap but before the old-dir delete leaks the old
+    directory once; the ingest loop's compact-pending recovery
+    (streaming/manifest.py) detects the relocation and completes the
+    delete on restart."""
+    recover_compaction(spark, table)  # DESCRIBE below needs the binding
+    ttype, old_loc = table_meta(spark, table)
+    if ttype.upper() != "EXTERNAL" or not old_loc:
+        return compact_bucketed(spark, table, bucket_cols, num_buckets, sort_cols)
+    new_loc = path if path is not None else _rotated_location(old_loc)
+    if new_loc.rstrip("/") == old_loc.rstrip("/"):
+        raise ValueError(
+            f"compaction target equals the current location ({old_loc!r}) — "
+            "the rewrite would read the files it is replacing"
+        )
+    # clear debris of a previous attempt that crashed before its swap:
+    # stale part files at the target would otherwise survive the
+    # overwrite-create and be read by the swapped-in table
+    _delete_dir(spark, new_loc)
+    n = compact_bucketed(
+        spark, table, bucket_cols, num_buckets, sort_cols, path=new_loc
+    )
+    if old_loc.rstrip("/") != new_loc.rstrip("/"):
+        _delete_dir(spark, old_loc)
+    return n
+
+
+def recover_compaction(spark: SparkSession, table: str) -> bool:
+    """Heal a compaction that crashed between DROP and RENAME: if
+    ``{table}`` is unbound but ``{table}__compacting`` exists, the tmp
+    table is COMPLETE (``saveAsTable`` only registers it after a
+    successful write), so re-issuing the rename restores the binding
+    with the compacted content. Returns True when a rename was issued.
+    Idempotent and cheap (two catalog lookups) — called on every
+    :func:`compact_bucketed` entry and by the ingest loop's manifest
+    recovery, so the streaming query's restart can never fail on a
+    'table not found' left by a mid-swap crash."""
+    tmp = f"{table}__compacting"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(tmp):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        spark.catalog.refreshTable(table)
+        return True
+    return False

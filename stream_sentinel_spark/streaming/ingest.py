@@ -23,47 +23,78 @@ Scale shape (the reason this loop is viable at 100 TB corpus size):
   ``compact_every`` triggers the Exchange-free one-file-per-bucket
   rewrite (``compact_*_index``) that resets it;
 - everything driver-side is bounded: one ``take(1)`` empty-batch guard
-  and one meta-row read per batch.
+  and one meta-row read per batch, plus (with the commit log) one
+  directory listing per grown location and one small JSON rename.
 
 Semantics: the micro-batch is the atomicity unit, exactly like a
 sequential driver loop over the same batches (pinned bit-for-bit by
-tests/test_ingest_pipeline.py). Duplicates WITHIN one batch are all
-novel w.r.t. the index and are all accepted — same behavior as the
-one-shot incremental operators (old × new, never new × new); run
-:func:`~stream_sentinel_spark.operators.dedup.minhash_lsh_neardups`
-inside the batch first if intra-batch dedup is required.
+tests/test_ingest_pipeline.py). By default, duplicates WITHIN one batch
+are all novel w.r.t. the index and are all accepted — same behavior as
+the one-shot incremental operators (old × new, never new × new).
+``dedup_within_batch=True`` adds the intra-batch stage: each batch is
+first run through the SAME near-dup operator family with the index's
+own parameters, rows that match a SMALLER-id row in the same batch are
+diverted to ``matches_path`` (marked ``within_batch=true``) and never
+reach the index match or the index. Semantics note: the intra stage is
+PAIRWISE (a row is a dup iff it matches any smaller-id batch row),
+which equals a sequential one-doc-per-batch feed whenever duplicate
+groups are stars/cliques around their smallest member — the
+overwhelmingly common shape; a strict CHAIN A–B–C (C similar to B but
+not to A) diverges: sequential-greedy re-accepts C because B was never
+indexed, pairwise diverts it. Greedy chain semantics would need an
+iterative per-component pass; the pairwise contract is the documented,
+oracle-checkable one (tests/test_ingest_pipeline.py pins both the
+star-shape equivalence and the diversion).
 
-Restart safety: ``foreachBatch`` re-runs a failed epoch, which would
-double-append. ``commit_log_dir`` (the epoch commit log shared with
-:mod:`stream_sentinel_spark.streaming.exactly_once`) makes FULLY
-committed epochs idempotent under replay. An epoch that crashed midway
-through its appends can still leave partial rows behind — making the
-three-table append atomic needs a transactional table format (Delta /
-Iceberg), which this container doesn't ship; the seam is this module's
-batch function, and the caveat is deliberate and documented rather
-than hidden.
+Restart safety — the epoch-manifest commit protocol
+(:mod:`stream_sentinel_spark.streaming.manifest`): ``foreachBatch``
+re-runs a failed epoch, which would double-append, and a crash midway
+through the epoch's three index appends (+ two sinks) would leave
+partial rows. With ``commit_log_dir`` set, every epoch ends with ONE
+atomic rename that both marks the epoch committed and records the
+exact per-location data-file inventory; fully committed epochs are
+replay-no-ops (checked first), and :func:`recover_dedup_ingest` — run
+automatically by :func:`run_dedup_ingest` before the query starts —
+deletes any file no manifest claims, rebuilds the overwrite-maintained
+``_bandstats`` from the recovered bands when its inventory disagrees,
+and finishes a crash-interrupted compaction from its intent marker. A
+replayed epoch therefore always runs against a byte-clean index: crash
+at ANY point between appends is recovered to ≡ a clean run
+(tests/test_ingest_pipeline.py's crash-injection matrix). This closes
+the round-6 documented gap without a transactional table format, using
+the same rename primitive the exactly-once alert sink trusts
+(reference anchor: the EXACTLY_ONCE checkpoint contract,
+StreamSentinelJob.java:154-165, extended to the index sink).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from stream_sentinel_spark.streaming.sources import INGEST_COL
 
 _KINDS = ("minhash", "lsh")
 
+#: per kind: (grown-table suffixes, append-table suffixes, stats keys,
+#: best-score column of the match/intra frames)
+_KIND_SPEC = {
+    "minhash": (("_bands", "_verify", "_bandstats"), ("_bands", "_verify"),
+                ["band", "bucket"], "best_jaccard"),
+    "lsh": (("_bands", "_vecs", "_bandstats"), ("_bands", "_vecs"),
+            ["band", "val"], "best_cos"),
+}
+
 
 def _family(kind: str):
     if kind == "minhash":
         from stream_sentinel_spark.operators.dedup import (
             append_minhash_index,
+            compact_minhash_index,
             match_minhash_index,
         )
-
-        from stream_sentinel_spark.operators.dedup import compact_minhash_index
 
         return match_minhash_index, append_minhash_index, compact_minhash_index
     if kind == "lsh":
@@ -75,6 +106,46 @@ def _family(kind: str):
 
         return match_lsh_index, append_lsh_index, compact_lsh_index
     raise ValueError(f"unknown index kind: {kind!r} (expected one of {_KINDS})")
+
+
+def _intra_batch_matches(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    kind: str,
+    id_col: str,
+    content_col: str,
+    threshold: float,
+) -> DataFrame:
+    """(new_id, n_matches, best_*, first_match) over pairs WITHIN the
+    batch — the same output contract as the index match, computed by
+    the same operator family with the index's own stored parameters so
+    intra- and cross-batch duplicates are judged identically. A row is
+    a dup iff it pairs with a smaller-id batch row (pairs come a_id <
+    b_id; the b-side is the diverted one)."""
+    meta = spark.table(f"{table}_meta").head()
+    if kind == "minhash":
+        from stream_sentinel_spark.operators.dedup import minhash_verified_pairs
+
+        pairs = minhash_verified_pairs(
+            batch, id_col, content_col,
+            n=meta.n, num_hashes=meta.num_hashes, bands=meta.bands,
+            threshold=threshold,
+        )
+        best = F.max("jaccard").alias("best_jaccard")
+        first = F.min("a_id").alias("first_match")
+    else:
+        from stream_sentinel_spark.operators.similarity import cosine_pairs_lsh
+
+        pairs = cosine_pairs_lsh(
+            batch, id_col, content_col, threshold=threshold,
+            bits=meta.bits, bands=meta.bands, dim=meta.dim, seed=meta.seed,
+        )
+        best = F.max("cos").alias("best_cos")
+        first = F.min("a_id").cast("long").alias("first_match")
+    return pairs.groupBy(F.col("b_id").alias("new_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"), best, first
+    )
 
 
 def make_dedup_ingest_batch_fn(
@@ -90,6 +161,7 @@ def make_dedup_ingest_batch_fn(
     commit_log_dir: str | None = None,
     refresh_session=None,
     compact_every: int | None = None,
+    dedup_within_batch: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: match the batch against the
     stored ``{table}`` index, write duplicates to ``matches_path`` and
@@ -117,12 +189,24 @@ def make_dedup_ingest_batch_fn(
     loop's per-batch cost genuinely flat over thousands of epochs. The
     cadence counter is in-process; a restart resets it (maintenance
     cadence, not semantics — match results are bit-identical across a
-    compaction, pinned in tests)."""
+    compaction, pinned in tests). With a commit log, the compaction
+    runs AFTER the epoch's commit under a ``compact-pending`` intent
+    marker, so a crash anywhere inside it is recovered (module doc).
+
+    ``dedup_within_batch``: opt-in intra-batch stage — pairwise
+    smaller-id-wins dedup of the batch against ITSELF with the index's
+    stored parameters, diverted rows land in ``matches_path`` marked
+    ``within_batch=true`` and never reach the index (module doc has the
+    exact semantics and the chain caveat). The marker column exists in
+    the matches output only when this is on, so a loop's matches
+    parquet keeps one schema.
+
+    ``commit_log_dir``: enables BOTH the committed-epoch replay guard
+    and the atomic-append manifest protocol (module doc). Run
+    :func:`recover_dedup_ingest` at loop start (automatic via
+    :func:`run_dedup_ingest`) to restore a crashed run's state."""
     match_fn, append_fn, compact_fn = _family(kind)
-    grown = {
-        "minhash": ("_bands", "_verify", "_bandstats"),
-        "lsh": ("_bands", "_vecs", "_bandstats"),
-    }[kind]
+    grown, _append_tables, _stats_keys, _best = _KIND_SPEC[kind]
     n_appends = [0]
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
@@ -142,16 +226,32 @@ def make_dedup_ingest_batch_fn(
         # source files (and the append's lineage would reach back into
         # the index tables it is writing)
         batch = batch_df.select(*payload).localCheckpoint(eager=True)
+        appended = False
         if batch.take(1):
+            survivors = batch
+            intra = None
+            if dedup_within_batch:
+                intra = _intra_batch_matches(
+                    spark, batch, table, kind, id_col, content_col, threshold
+                ).localCheckpoint(eager=True)
+                survivors = batch.join(
+                    intra.select(F.col("new_id").alias(id_col)), [id_col],
+                    "left_anti",
+                ).localCheckpoint(eager=True)
             matches = match_fn(
-                spark, batch, table, id_col, content_col,
+                spark, survivors, table, id_col, content_col,
                 threshold=threshold, cutoff=cutoff,
             ).localCheckpoint(eager=True)
             if matches_path is not None:
-                matches.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                out = matches
+                if intra is not None:
+                    out = matches.withColumn(
+                        "within_batch", F.lit(False)
+                    ).unionByName(intra.withColumn("within_batch", F.lit(True)))
+                out.withColumn("epoch", F.lit(epoch_id)).write.mode(
                     "append"
                 ).parquet(matches_path)
-            accepted = batch.join(
+            accepted = survivors.join(
                 matches.select(F.col("new_id").alias(id_col)), [id_col],
                 "left_anti",
             ).localCheckpoint(eager=True)
@@ -162,17 +262,98 @@ def make_dedup_ingest_batch_fn(
             if accepted.take(1):
                 append_fn(accepted, table, id_col, content_col)
                 n_appends[0] += 1
-                if compact_every and n_appends[0] % compact_every == 0:
-                    compact_fn(spark, table)
+                appended = True
                 if refresh_session is not None:
                     for suffix in grown:
                         refresh_session.catalog.refreshTable(table + suffix)
         if commit_log_dir is not None:
-            from stream_sentinel_spark.streaming.exactly_once import commit_epoch
+            from stream_sentinel_spark.streaming.manifest import (
+                commit_epoch_manifest,
+                snapshot_state,
+            )
 
-            commit_epoch(spark, commit_log_dir, epoch_id)
+            tables = [table + s for s in grown]
+            paths = [p for p in (accepted_path, matches_path) if p is not None]
+            commit_epoch_manifest(
+                spark, commit_log_dir, epoch_id,
+                snapshot_state(spark, epoch_id, tables, paths),
+            )
+        # maintenance AFTER the commit: the epoch's content is already
+        # durable and replay-guarded, so a crash anywhere inside the
+        # compaction can never double-append — recovery only has to
+        # finish (or re-snapshot after) a content-preserving swap
+        if compact_every and appended and n_appends[0] % compact_every == 0:
+            if commit_log_dir is not None:
+                from stream_sentinel_spark.streaming import manifest as mf
+
+                tables = [table + s for s in grown]
+                paths = [
+                    p for p in (accepted_path, matches_path) if p is not None
+                ]
+                mf.write_compact_pending(
+                    spark, commit_log_dir, epoch_id,
+                    [table + s for s in _append_tables],
+                )
+                compact_fn(spark, table)
+                mf.write_aux_snapshot(
+                    spark, commit_log_dir, epoch_id,
+                    mf.snapshot_state(spark, epoch_id, tables, paths),
+                )
+                mf.clear_compact_pending(spark, commit_log_dir)
+            else:
+                compact_fn(spark, table)
+            if refresh_session is not None:
+                for suffix in grown:
+                    refresh_session.catalog.refreshTable(table + suffix)
 
     return run
+
+
+def recover_dedup_ingest(
+    spark: SparkSession,
+    *,
+    table: str,
+    kind: str = "minhash",
+    commit_log_dir: str,
+    accepted_path: str | None = None,
+    matches_path: str | None = None,
+    refresh_session=None,
+) -> dict:
+    """Restore a possibly-crashed ingest loop's storage to exactly its
+    last committed epoch (module doc; the mechanics live in
+    :mod:`stream_sentinel_spark.streaming.manifest`). Idempotent and
+    cheap on a clean state (one listing per location); run it before
+    (re)starting the loop — :func:`run_dedup_ingest` does so
+    automatically. Returns the recovery action report."""
+    from stream_sentinel_spark.streaming.manifest import recover_ingest_state
+
+    grown, append_suffixes, stats_keys, _best = _KIND_SPEC[kind]
+    stats_table = f"{table}_bandstats"
+
+    def rebuild_stats() -> None:
+        # the stats table is derivable state: an Exchange-free groupBy
+        # of the (already-recovered) bucketed bands table, overwritten
+        # in place with the same writer the delta merge uses
+        spark.catalog.refreshTable(f"{table}_bands")
+        full = (
+            spark.table(f"{table}_bands")
+            .groupBy(*stats_keys)
+            .agg(F.count(F.lit(1)).alias("_na"))
+            .localCheckpoint(eager=True)
+        )
+        full.select(*stats_keys, "_na").write.insertInto(
+            stats_table, overwrite=True
+        )
+
+    return recover_ingest_state(
+        spark,
+        commit_log_dir,
+        append_tables=[table + s for s in append_suffixes],
+        stats_table=stats_table,
+        rebuild_stats=rebuild_stats,
+        paths=[p for p in (accepted_path, matches_path) if p is not None],
+        refresh_session=refresh_session,
+    )
 
 
 def run_dedup_ingest(
@@ -190,8 +371,20 @@ def run_dedup_ingest(
     :func:`make_dedup_ingest_batch_fn`. Structured Streaming's offset
     checkpoint makes batch boundaries replay-stable, so a restarted
     query re-presents the SAME rows per epoch — which is what makes the
-    ``commit_log_dir`` idempotence above sound."""
+    ``commit_log_dir`` idempotence above sound. When a commit log is
+    configured, :func:`recover_dedup_ingest` runs before the query
+    starts, so a crashed previous run's partial epoch is rolled back
+    before its replay."""
     batch_kwargs.setdefault("refresh_session", stream_df.sparkSession)
+    if batch_kwargs.get("commit_log_dir") is not None:
+        recover_dedup_ingest(
+            stream_df.sparkSession,
+            table=batch_kwargs["table"],
+            kind=batch_kwargs.get("kind", "minhash"),
+            commit_log_dir=batch_kwargs["commit_log_dir"],
+            accepted_path=batch_kwargs.get("accepted_path"),
+            matches_path=batch_kwargs.get("matches_path"),
+        )
     writer = (
         stream_df.writeStream.foreachBatch(
             make_dedup_ingest_batch_fn(**batch_kwargs)

@@ -1,0 +1,454 @@
+"""Epoch-manifest commit protocol — atomic multi-table index appends.
+
+The ingest loop (:mod:`stream_sentinel_spark.streaming.ingest`) grows a
+persisted MinHash/LSH index by appending to THREE tables per epoch
+(``_bands`` / ``_verify``-or-``_vecs`` / ``_bandstats``) plus up to two
+parquet sinks (accepted rows, match reports). Parquet has no cross-table
+transaction, so a crash mid-epoch used to leave partial rows behind —
+the one correctness-under-failure hole the round-6 record documented
+honestly (``ingest.py``) rather than hid. This module closes it without
+a transactional table format, with the same primitive the engine's
+exactly-once alert sink already trusts (``exactly_once.commit_epoch``:
+write-temp + atomic rename — the primitive Structured Streaming's own
+commit log is built on; reference anchor: the EXACTLY_ONCE checkpoint
+contract, flink-job StreamSentinelJob.java:154-165, extended here from
+the alert sink to the index sink):
+
+1. **Commit = snapshot.** After an epoch's appends succeed, the epoch
+   marker ``epoch-{id}`` is written with a JSON payload listing, per
+   table and per sink path, exactly the data files that are supposed to
+   exist. One atomic rename makes the epoch committed AND records the
+   expected file inventory — there is no window where one exists
+   without the other (a separate marker + manifest pair would reopen
+   the replay/double-append race between the two writes).
+2. **Recovery = delete what no manifest claims.** At loop start,
+   :func:`recover_ingest_state` lists each location and deletes any
+   data file absent from the latest snapshot — appends only ever ADD
+   files with collision-free UUID names, so an unclaimed file is
+   precisely an uncommitted epoch's leftover. Structured Streaming then
+   replays that epoch from its offset checkpoint against a byte-clean
+   index.
+3. **Stats tables rebuild, not prune.** ``_bandstats`` is maintained by
+   an in-place overwrite (``insertInto(overwrite=True)``), so a crash
+   inside ITS commit can lose old files rather than leave extras —
+   deletion can't recover that. The stats table is derivable state
+   (an Exchange-free groupBy of the recovered bucketed ``_bands``), so
+   recovery rebuilds it whenever its on-disk inventory differs from the
+   snapshot in either direction.
+4. **Compaction gets a WAL.** ``compact_*_index`` swaps entire tables
+   (new files everywhere), which snapshot-diffing would misread as one
+   giant orphan set. The loop therefore writes a ``compact-pending``
+   intent marker (old locations recorded) before compacting and a
+   fresh ``snap-*`` snapshot after; recovery finishes a half-done swap
+   (re-issuing the rename ``compact_bucketed`` documents), deletes a
+   completed-but-uncleaned old external location, and re-snapshots —
+   compaction only ever runs AFTER the epoch's commit marker, so the
+   replay guard already holds and content is correct in every crash
+   state (the swap is content-preserving and only renames a COMPLETE
+   table in).
+
+Scale shape: the per-epoch cost is one directory listing per grown
+location (the same listing every match's FileScan already performs) and
+one small JSON rename — O(index file count), reset by the same
+compaction that resets the match cost; no data is read or moved. At
+100 TB the listings are object-store LIST calls, the renames are the
+same atomic-visibility primitive Structured Streaming's checkpoint
+requires of the filesystem.
+
+Manifest ordering: ``epoch-{id}`` sorts by ``(id, 0)``; auxiliary
+snapshots ``snap-{id}.{k}`` (post-compaction / post-recovery, k ≥ 1)
+sort by ``(id, k)``; the init snapshot written before the first epoch is
+``epoch--1`` (id −1 — ``foreachBatch`` epochs are ≥ 0). The latest
+snapshot is the max key. Old entries are pruned on the same cadence and
+retention as the alert commit log.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+from stream_sentinel_spark.streaming.exactly_once import (
+    _MARKER_RETENTION,
+    _PRUNE_EVERY,
+    _hadoop_fs,
+)
+
+#: epoch id of the init snapshot written before the first real epoch
+INIT_EPOCH = -1
+
+_SNAP_RE = re.compile(r"^snap-(-?\d+)\.(\d+)$")
+_EPOCH_RE = re.compile(r"^epoch-(-?\d+)$")
+_PENDING = "compact-pending"
+
+
+# ---------------------------------------------------------------------------
+# filesystem inventory
+# ---------------------------------------------------------------------------
+
+
+def table_location(spark: SparkSession, table: str) -> str:
+    """Current storage location of a catalog table — re-derived at
+    every snapshot/recovery so a compaction's relocation is always
+    observed, never assumed."""
+    from stream_sentinel_spark.sources.bucketing import table_meta
+
+    return table_meta(spark, table)[1]
+
+
+def list_data_files(spark: SparkSession, location: str) -> set[str]:
+    """Names of the data files (``part-*``) directly under ``location``.
+    Names, not URIs: the location is recorded separately, and names are
+    stable across ``file:/`` normalization variants. Spark part-file
+    names embed a per-write UUID, so two epochs can never collide on a
+    name — which is what makes set-difference a sound orphan detector."""
+    fs, p = _hadoop_fs(spark, location)
+    if not fs.exists(p):
+        return set()
+    out = set()
+    for st in fs.listStatus(p):
+        if st.isFile() and st.getPath().getName().startswith("part-"):
+            out.add(st.getPath().getName())
+    return out
+
+
+def _delete_names(spark: SparkSession, location: str, names: set[str]) -> None:
+    fs, _ = _hadoop_fs(spark, location)
+    jvm = spark.sparkContext._jvm
+    for name in sorted(names):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{location.rstrip('/')}/{name}"), False)
+
+
+def _delete_staging(spark: SparkSession, location: str) -> int:
+    """Remove write-committer leftovers (``_temporary``,
+    ``.spark-staging*``) under ``location`` — debris of a crash DURING a
+    write job, invisible to readers but unbounded disk if never swept."""
+    fs, p = _hadoop_fs(spark, location)
+    if not fs.exists(p):
+        return 0
+    removed = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name == "_temporary" or name.startswith(".spark-staging"):
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed
+
+
+def delete_location(spark: SparkSession, location: str) -> None:
+    """Recursively remove a storage directory — used to clean the OLD
+    external location after a compaction swap relocates the table."""
+    fs, p = _hadoop_fs(spark, location)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def snapshot_state(
+    spark: SparkSession,
+    epoch_id: int,
+    tables: Sequence[str],
+    paths: Sequence[str],
+) -> dict:
+    """The manifest payload: per table (location + data-file names) and
+    per sink path (data-file names), as of now."""
+    return {
+        "epoch": int(epoch_id),
+        "tables": {
+            t: {
+                "location": table_location(spark, t),
+                "files": sorted(list_data_files(spark, table_location(spark, t))),
+            }
+            for t in tables
+        },
+        "paths": {
+            p: {"files": sorted(list_data_files(spark, p))} for p in paths
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# the commit log
+# ---------------------------------------------------------------------------
+
+
+def _write_atomic(spark: SparkSession, log_dir: str, name: str, payload: dict) -> None:
+    fs, final = _hadoop_fs(spark, f"{log_dir.rstrip('/')}/{name}")
+    fs.mkdirs(final.getParent())
+    tmp = final.suffix(".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(json.dumps(payload).encode("utf-8"))
+    finally:
+        out.close()
+    if not fs.rename(tmp, final):  # pragma: no cover - FS race
+        raise IOError(f"could not commit manifest {final}")
+
+
+def _read_json(spark: SparkSession, log_dir: str, name: str) -> dict | None:
+    fs, p = _hadoop_fs(spark, f"{log_dir.rstrip('/')}/{name}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    try:
+        parsed = json.loads(data.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+    return parsed if isinstance(parsed, dict) else None
+
+
+def _delete_entry(spark: SparkSession, log_dir: str, name: str) -> None:
+    fs, p = _hadoop_fs(spark, f"{log_dir.rstrip('/')}/{name}")
+    fs.delete(p, False)
+
+
+def commit_epoch_manifest(
+    spark: SparkSession, log_dir: str, epoch_id: int, payload: dict
+) -> None:
+    """ONE atomic rename = epoch committed + file inventory recorded.
+    The file is the same ``epoch-{id}`` name
+    :func:`~stream_sentinel_spark.streaming.exactly_once.is_epoch_committed`
+    checks, so the replay guard needs no second lookup. Prunes old
+    entries on the alert-commit-log cadence."""
+    _write_atomic(spark, log_dir, f"epoch-{int(epoch_id)}", payload)
+    if int(epoch_id) % _PRUNE_EVERY == 0:
+        prune_manifests(spark, log_dir, int(epoch_id) - _MARKER_RETENTION)
+
+
+def write_aux_snapshot(
+    spark: SparkSession, log_dir: str, epoch_id: int, payload: dict
+) -> str:
+    """A post-compaction / post-recovery snapshot ordered AFTER the
+    epoch's own manifest: ``snap-{epoch}.{k}`` with the next free k."""
+    ks = [
+        k
+        for (e, k) in _entries(spark, log_dir)
+        if e == int(epoch_id) and k >= 1
+    ]
+    name = f"snap-{int(epoch_id)}.{(max(ks) + 1) if ks else 1}"
+    _write_atomic(spark, log_dir, name, payload)
+    return name
+
+
+def _entries(spark: SparkSession, log_dir: str) -> list[tuple[int, int]]:
+    """(epoch, k) keys of every manifest in the log; epoch markers are
+    k=0, aux snapshots k≥1."""
+    fs, d = _hadoop_fs(spark, log_dir)
+    if not fs.exists(d):
+        return []
+    keys = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        m = _EPOCH_RE.match(name)
+        if m:
+            keys.append((int(m.group(1)), 0))
+            continue
+        m = _SNAP_RE.match(name)
+        if m:
+            keys.append((int(m.group(1)), int(m.group(2))))
+    return keys
+
+
+def _entry_name(key: tuple[int, int]) -> str:
+    epoch, k = key
+    return f"epoch-{epoch}" if k == 0 else f"snap-{epoch}.{k}"
+
+
+def latest_manifest(spark: SparkSession, log_dir: str) -> dict | None:
+    """The most recent snapshot payload ((epoch, k)-max), skipping any
+    entry whose content isn't a manifest (e.g. a plain alert-sink epoch
+    marker sharing the directory)."""
+    for key in sorted(_entries(spark, log_dir), reverse=True):
+        payload = _read_json(spark, log_dir, _entry_name(key))
+        if payload is not None and "tables" in payload:
+            return payload
+    return None
+
+
+def prune_manifests(
+    spark: SparkSession, log_dir: str, older_than_epoch: int
+) -> int:
+    """Expire manifests the streaming engine can never consult again
+    (strictly older than the retention horizon); the latest is always
+    retained by construction (horizon trails the newest commit)."""
+    if older_than_epoch <= INIT_EPOCH:
+        return 0
+    removed = 0
+    for key in _entries(spark, log_dir):
+        if key[0] < older_than_epoch and key != (INIT_EPOCH, 0):
+            _delete_entry(spark, log_dir, _entry_name(key))
+            removed += 1
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# compaction WAL
+# ---------------------------------------------------------------------------
+
+
+def write_compact_pending(
+    spark: SparkSession, log_dir: str, epoch_id: int, tables: Sequence[str]
+) -> None:
+    """Intent marker written BEFORE an in-loop compaction: records each
+    table's pre-compaction location so recovery can (a) finish the swap
+    and (b) delete a relocated table's abandoned old directory."""
+    _write_atomic(
+        spark,
+        log_dir,
+        _PENDING,
+        {
+            "epoch": int(epoch_id),
+            "tables": {t: {"location": table_location(spark, t)} for t in tables},
+        },
+    )
+
+
+def read_compact_pending(spark: SparkSession, log_dir: str) -> dict | None:
+    return _read_json(spark, log_dir, _PENDING)
+
+
+def clear_compact_pending(spark: SparkSession, log_dir: str) -> None:
+    _delete_entry(spark, log_dir, _PENDING)
+
+
+# ---------------------------------------------------------------------------
+# recovery
+# ---------------------------------------------------------------------------
+
+
+def recover_ingest_state(
+    spark: SparkSession,
+    log_dir: str,
+    *,
+    append_tables: Sequence[str],
+    stats_table: str | None = None,
+    rebuild_stats=None,
+    paths: Sequence[str] = (),
+    refresh_session: SparkSession | None = None,
+) -> dict:
+    """Run at ingest-loop start (and after any crash): restore every
+    grown location to exactly the latest committed snapshot, then let
+    Structured Streaming's offset checkpoint replay the crashed epoch
+    against the clean state.
+
+    ``append_tables``: grow-by-append bucketed tables — orphan files
+    (present on disk, absent from the snapshot) are deleted; a MISSING
+    expected file is unrecoverable data loss and raises.
+    ``stats_table``/``rebuild_stats``: the in-place-overwrite stats
+    table — any inventory mismatch triggers ``rebuild_stats()`` (an
+    Exchange-free re-aggregation of the recovered bands table).
+    ``paths``: plain parquet sink dirs (accepted/matches) — orphan
+    deletion only, same rule as the append tables.
+
+    Crash-interrupted compactions are finished first (see module doc);
+    that path re-snapshots and returns without orphan-diffing, because
+    compaction only runs after the epoch's commit — the table content
+    is already exactly the committed content, in new files.
+
+    If NO manifest exists yet, writes the ``epoch--1`` init snapshot of
+    the current (clean, just-built) state so the very first epoch's
+    crash is recoverable, and returns.
+
+    Returns an action report (counts per location) for tests/telemetry.
+    """
+    report: dict = {"orphans_deleted": {}, "stats_rebuilt": False,
+                    "compaction_recovered": False, "init_snapshot": False,
+                    "staging_cleaned": 0}
+    all_tables = list(append_tables) + ([stats_table] if stats_table else [])
+
+    pending = read_compact_pending(spark, log_dir)
+    if pending is not None:
+        from stream_sentinel_spark.sources.bucketing import recover_compaction
+
+        for t, info in pending.get("tables", {}).items():
+            recover_compaction(spark, t)
+            old_loc = info.get("location", "")
+            now_loc = table_location(spark, t)
+            if old_loc and now_loc and old_loc != now_loc:
+                # swap completed into a NEW (external) location before the
+                # crash; the abandoned old directory is pure leak
+                delete_location(spark, old_loc)
+            _refresh(spark, refresh_session, t)
+        snap = snapshot_state(
+            spark, int(pending.get("epoch", INIT_EPOCH)), all_tables, paths
+        )
+        write_aux_snapshot(spark, log_dir, snap["epoch"], snap)
+        clear_compact_pending(spark, log_dir)
+        report["compaction_recovered"] = True
+        return report
+
+    manifest = latest_manifest(spark, log_dir)
+    if manifest is None:
+        snap = snapshot_state(spark, INIT_EPOCH, all_tables, paths)
+        _write_atomic(spark, log_dir, f"epoch-{INIT_EPOCH}", snap)
+        report["init_snapshot"] = True
+        return report
+
+    for t in append_tables:
+        rec = manifest["tables"].get(t)
+        if rec is None:
+            continue  # table added to the loop config after the snapshot
+        loc = table_location(spark, t)
+        if rec["location"] and loc != rec["location"]:
+            raise RuntimeError(
+                f"{t}: location changed ({rec['location']!r} -> {loc!r}) "
+                "with no compact-pending marker — refusing to reconcile "
+                "(orphan deletion against a relocated table would destroy "
+                "data)"
+            )
+        expected = set(rec["files"])
+        actual = list_data_files(spark, loc)
+        missing = expected - actual
+        if missing:
+            raise RuntimeError(
+                f"{t}: {len(missing)} committed data files are gone "
+                f"(e.g. {sorted(missing)[:3]}) — appends never remove "
+                "files, so this is external interference or storage loss; "
+                "rebuild the index"
+            )
+        orphans = actual - expected
+        if orphans:
+            _delete_names(spark, loc, orphans)
+            report["orphans_deleted"][t] = len(orphans)
+        report["staging_cleaned"] += _delete_staging(spark, loc)
+        _refresh(spark, refresh_session, t)
+
+    if stats_table is not None:
+        rec = manifest["tables"].get(stats_table)
+        if rec is not None:
+            loc = table_location(spark, stats_table)
+            if list_data_files(spark, loc) != set(rec["files"]):
+                if rebuild_stats is None:
+                    raise RuntimeError(
+                        f"{stats_table}: inventory differs from the "
+                        "snapshot and no rebuild_stats callback was given"
+                    )
+                rebuild_stats()
+                report["stats_rebuilt"] = True
+            report["staging_cleaned"] += _delete_staging(spark, loc)
+            _refresh(spark, refresh_session, stats_table)
+
+    for p in paths:
+        rec = manifest["paths"].get(p)
+        if rec is None:
+            continue
+        actual = list_data_files(spark, p)
+        orphans = actual - set(rec["files"])
+        if orphans:
+            _delete_names(spark, p, orphans)
+            report["orphans_deleted"][p] = len(orphans)
+        report["staging_cleaned"] += _delete_staging(spark, p)
+
+    return report
+
+
+def _refresh(spark, refresh_session, table: str) -> None:
+    spark.catalog.refreshTable(table)
+    if refresh_session is not None and refresh_session is not spark:
+        refresh_session.catalog.refreshTable(table)
