@@ -1681,9 +1681,14 @@ def append_minhash_index(
         _banded_keys(kernel.select("id", "sig"), meta.num_hashes, meta.bands)
         .withColumnRenamed("id", "old_id")
     )
+    # align=True: appends repartition the (batch-sized) frame onto the
+    # bucket layout, so each append adds ≤1 file per bucket instead of
+    # tasks×buckets — per-append file count IS the loop's measured cost
+    # drift (STRESS_r06_append.json), so this stretches the compaction
+    # cadence ~tasks× for one cheap batch-sized shuffle
     write_bucketed(
         band_keys, f"{table}_bands", ["band", "bucket"], meta.num_buckets,
-        mode="append",
+        mode="append", align=True,
     )
     _merge_bandstats(
         spark, f"{table}_bandstats", ["band", "bucket"],
@@ -1692,6 +1697,7 @@ def append_minhash_index(
     write_bucketed(
         kernel.select(F.col("id").alias("old_id"), "codes", "sz"),
         f"{table}_verify", ["old_id"], meta.num_buckets, mode="append",
+        align=True,
     )
 
 

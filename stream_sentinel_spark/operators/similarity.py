@@ -629,9 +629,11 @@ def append_lsh_index(
         .select("old_id", "bb.band", "bb.val")
         .localCheckpoint(eager=True)
     )
+    # align=True: ≤1 file per bucket per append instead of tasks×buckets
+    # (see write_bucketed — the append-cost drift lever)
     write_bucketed(
         band_keys, f"{table}_bands", ["band", "val"], meta.num_buckets,
-        mode="append",
+        mode="append", align=True,
     )
     _merge_bandstats(
         spark, f"{table}_bandstats", ["band", "val"],
@@ -641,7 +643,8 @@ def append_lsh_index(
         F.col(id_col).alias("old_id"), F.col(vec_col).alias("old_vec")
     ).withColumn("old_nrm", norm(_as_double(F.col("old_vec"))))
     write_bucketed(
-        vecs, f"{table}_vecs", ["old_id"], meta.num_buckets, mode="append"
+        vecs, f"{table}_vecs", ["old_id"], meta.num_buckets, mode="append",
+        align=True,
     )
 
 

@@ -116,9 +116,11 @@ def query(name: str, oracle: str | None = None):
 # covers all of them every run. Round 7 rotation (stalest-row selection,
 # recomputed latest-green union over CORRECTNESS_r01-r06 — after r06 the
 # union is 146/146 with only x41/x42/x47 older than r04):
-# 1) x91 — NEW this round: the production ingest loop (run_dedup_ingest,
-#    epoch-manifest commit log, loop-start recovery) executed inside the
-#    gate against a text-equality oracle (VERDICT r06 item 8);
+# 1) x91/x92 — NEW this round: the production ingest loop
+#    (run_dedup_ingest, epoch-manifest commit log, loop-start recovery)
+#    executed inside the gate against a trigram-set-fingerprint oracle
+#    (VERDICT r06 item 8), and the intra-batch dedup stage driven
+#    through the actual foreachBatch body (VERDICT r06 item 3);
 # 2) x41/x42/x47 — the three r03 rows displaced by x87/x89/x90 last
 #    round; the re-front promised at the r06 rotation note and VERDICT
 #    item 2;
@@ -126,11 +128,13 @@ def query(name: str, oracle: str | None = None):
 # 4) x86 — implementation changed this round (sentinel watermark files
 #    now get explicit strictly-increasing mtimes; ADVICE r06) — the
 #    rotate-what-changed convention;
-# 5) 44 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 5) 43 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
-#    x55_skew_report and x56_join_size_probe are the two r04 rows that
-#    don't fit the 50 slots — pure relational diagnostics, unchanged
-#    since r04, locally oracle-proven every run; re-front next round.
+#    x55_skew_report, x56_join_size_probe and x54_bag_of_words_dedup
+#    are the three r04 rows that don't fit the 50 slots — x55/x56 are
+#    pure relational diagnostics, x54 shares dedup.py with the gated
+#    x02/x70 and its plan construction is unchanged since r04; all
+#    locally oracle-proven every run; re-front next round.
 # x82/x83/x84 (docstring-only edits this round) keep their fresh r06
 # rows; x61/x78's modules gained the compaction-rotation path but their
 # plan construction is untouched and the new behavior is pinned by
@@ -138,6 +142,7 @@ def query(name: str, oracle: str | None = None):
 _DRIVER_PRIORITY = [
     # --- new this round: the ingest loop made gate-visible ---
     "x91_ingest_loop_parity",
+    "x92_ingest_intra_batch",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -170,7 +175,6 @@ _DRIVER_PRIORITY = [
     "x51_pmi_collocations",
     "x52_language_rebalance",
     "x53_ewma_user_value",
-    "x54_bag_of_words_dedup",
     "x57_resample_fill",
     "x58_cusum_drift",
     "x59_benford_profile",
@@ -6326,4 +6330,128 @@ def x91(spark, sf):
         spark.read.parquet(f"{out_dir}/acc")
         .select("doc_id", F.col("epoch").cast("int").alias("epoch"))
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "x92_ingest_intra_batch",
+    """
+    WITH base AS (
+      SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+               list_transform(range(1, length(text)-1),
+                              i -> substring(text, i, 3)))), chr(31))) AS fp
+      FROM documents WHERE length(text) >= 3
+    ),
+    corpus AS (SELECT doc_id, fp FROM base WHERE doc_id % 5 = 0),
+    batch AS (
+      SELECT doc_id, fp FROM base WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT doc_id + 30000000 AS doc_id, fp
+      FROM base WHERE doc_id % 5 = 1 AND doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, fp
+      FROM corpus WHERE doc_id % 3 = 0
+    ),
+    intra AS (
+      SELECT b.doc_id AS new_id, COUNT(*) AS n_matches,
+             CAST(1.0 AS DOUBLE) AS best_jaccard,
+             MIN(a.doc_id) AS first_match, TRUE AS within_batch
+      FROM batch b JOIN batch a ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY b.doc_id
+    ),
+    idx AS (
+      SELECT s.doc_id AS new_id, COUNT(*) AS n_matches,
+             CAST(1.0 AS DOUBLE) AS best_jaccard,
+             MIN(c.doc_id) AS first_match, FALSE AS within_batch
+      FROM batch s JOIN corpus c ON c.fp = s.fp
+      WHERE s.doc_id NOT IN (SELECT new_id FROM intra)
+      GROUP BY s.doc_id
+    )
+    SELECT new_id, n_matches, best_jaccard, first_match, within_batch,
+           CAST(0 AS INTEGER) AS epoch
+    FROM intra
+    UNION ALL
+    SELECT new_id, n_matches, best_jaccard, first_match, within_batch,
+           CAST(0 AS INTEGER) AS epoch
+    FROM idx
+    ORDER BY new_id
+    """,
+)
+def x92(spark, sf):
+    """The INTRA-BATCH dedup stage of the ingest loop (VERDICT r06 item
+    3) made gate-visible: one epoch driven through the actual
+    ``foreachBatch`` body (``make_dedup_ingest_batch_fn`` with
+    ``dedup_within_batch=True``) over a batch that plants BOTH duplicate
+    kinds — +30M copies of in-batch rows (must be diverted with
+    ``within_batch=true``, pairwise smaller-id-wins, never reaching the
+    index) and +20M copies of corpus docs (must be rejected by the
+    INDEX match, ``within_batch=false``). The returned frame is the
+    epoch's full match report; the oracle recomputes both stages with
+    the same trigram-set fingerprints as x91 (threshold=1.0 ⇒ the
+    engine predicate is identical distinct-trigram-set; n_matches /
+    first_match / best_jaccard=1.0 are all exact under that predicate).
+    Natural trigram-set duplicates inside the batch slice (the word-
+    salad fixture has them) are handled symmetrically on both sides —
+    no planted-only assumption.
+
+    Scale shape: the intra stage is one banded LSH self-join of the
+    BATCH against itself (salted, candidate-verified) — O(batch)
+    signatures, never touching the index; the index stage stays the
+    Exchange-free bucketed FileScan match. Reference anchor: the
+    dedup twin of per-key rule evaluation feeding the alert sink
+    (StreamSentinelJob.java:102-140), here with the batch itself as the
+    first corpus."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.operators.dedup import build_minhash_index
+    from stream_sentinel_spark.streaming.ingest import (
+        make_dedup_ingest_batch_fn,
+    )
+
+    base = (
+        _t(spark, sf, "documents")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "text")
+    )
+    corpus = base.filter(F.col("doc_id") % 5 == 0)
+    originals = base.filter(F.col("doc_id") % 5 == 1)
+    batch = originals.unionByName(
+        originals.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 30_000_000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        corpus.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+        )
+    )
+    table = f"x92_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x92_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x92_out_")
+    try:
+        build_minhash_index(corpus, table, num_hashes=32, bands=8)
+        fn = make_dedup_ingest_batch_fn(
+            table=table,
+            kind="minhash",
+            id_col="doc_id",
+            content_col="text",
+            threshold=1.0,
+            matches_path=f"{out_dir}/match",
+            commit_log_dir=f"{tmp}/commits",
+            dedup_within_batch=True,
+        )
+        fn(batch, 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        for suffix in ("_bands", "_verify", "_bandstats", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
+    return (
+        spark.read.parquet(f"{out_dir}/match")
+        .select(
+            "new_id", "n_matches", "best_jaccard", "first_match",
+            "within_batch", F.col("epoch").cast("int").alias("epoch"),
+        )
+        .orderBy("new_id")
     )

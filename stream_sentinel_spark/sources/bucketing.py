@@ -32,7 +32,7 @@ from __future__ import annotations
 import re
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(
@@ -43,14 +43,33 @@ def write_bucketed(
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
     path: str | None = None,
+    align: bool = False,
 ) -> None:
     """Persist ``df`` as a parquet metastore table bucketed (and
     optionally sorted) by ``bucket_cols``. Sorting by the bucket key
     additionally removes the Sort from sort-merge joins. ``path`` makes
     it an external table (the warehouse dir is a static config, so
-    per-run locations must come through here)."""
+    per-run locations must come through here).
+
+    ``align=True`` repartitions ``df`` to ``num_buckets`` partitions ON
+    THE BUCKET COLUMNS before writing. A bucketed write emits one file
+    per (task × bucket-with-data), so an arbitrarily-partitioned frame
+    writes up to tasks×buckets files; DataFrame hash-repartitioning
+    uses the SAME Murmur3-pmod function as the bucket-id assignment
+    (probed: a 16-task frame wrote 512 files unaligned, exactly 32
+    aligned — one per bucket), so alignment collapses that to ≤1 file
+    per bucket at the cost of one shuffle of ``df``. Right for APPENDS
+    (the frame is batch-sized and per-append file count is the ingest
+    loop's measured drift term — STRESS_r06_append.json); deliberately
+    not the default for corpus-sized builds, where the extra full-data
+    shuffle is a real cost and compaction resets the file count anyway.
+    Row→bucket assignment is per-row in the writer, so alignment can
+    never change CONTENT — only file layout (match bit-equality across
+    the change is pinned by the existing N-appends ≡ rebuild tests)."""
     if num_buckets <= 0:
         raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    if align:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.format("parquet").mode(mode).bucketBy(
         num_buckets, *bucket_cols
     )
