@@ -2,7 +2,7 @@
 7): every number in the record through round 6 is sf0.1-sized (or the
 40-50 k synthetic stress corpora). This harness runs the heavy operator
 families once at an ~sf1-equivalent slice — 150 k documents, 150 k
-embeddings, 1.5 M events (10× the sf0.1 tables) — hunting SUPER-LINEAR
+embeddings, 1 M events (10× the sf0.1 tables) — hunting SUPER-LINEAR
 cliffs the smaller fixtures cannot show: hot-bucket salting at
 3 000-row buckets, candidate-join growth, IVF cell skew at 150 k
 vectors, ingest-loop file-count drift at 25 k-doc epochs, and the
@@ -29,7 +29,7 @@ Sections (all one Spark session, per-section wall + 1-min loadavg):
   through run_dedup_ingest (compact_every=2), per-epoch flatness
   (max/min excl. the init epoch < 2.5) and loop ≡ batch-rebuild
   bit-equality at this scale.
-- STREAMING detect at 1.5 M events: the sf0.1 events table replicated
+- STREAMING detect at 1 M events (10× sf0.1): the events table replicated
   10× (per-copy user_id/event_id offsets; per-copy ts blocks so the
   watermark advances file by file), run through BOTH execution
   disciplines — arrival-order key-packed and event-time packed
