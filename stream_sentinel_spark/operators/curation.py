@@ -942,6 +942,102 @@ def dsir_weights(
     )
 
 
+def nb_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ttr_num: int = 21,
+    ttr_den: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bootstrapped model-based quality filter — the DCLM/RefinedWeb
+    two-stage pattern (Li et al. 2024, arXiv:2406.11794; fastText
+    classifier seeded from heuristic labels), with a Naive-Bayes bag-of-
+    words standing in for fastText (no external model libs; NB is the
+    closed-form member of the same linear-scorer family):
+
+    1. **Heuristic seed labels**: a document is labeled high-quality iff
+       its type-token ratio clears ``ttr_num/ttr_den`` (default 21/50 =
+       0.42 — repetitive docs score low). The comparison is pure integer
+       arithmetic (``den·distinct >= num·total``), so the label is
+       engine-exact with no float boundary.
+    2. **Token log-odds** with add-1 smoothing over the shared
+       vocabulary ``V``:
+       ``w(t) = [ln(c_hi(t)+1) − ln(H+V)] − [ln(c_lo(t)+1) − ln(L+V)]``
+       where ``c_*`` are per-class token-instance counts and ``H/L`` the
+       class token totals.
+    3. **Model score** per document: the mean of ``w(t)`` over its token
+       instances (length-normalized, like :func:`dsir_weights`), rounded
+       to ``round_to``; ``pred_hi = score > 0``.
+
+    Distinct from :func:`dsir_weights`: DSIR reweights toward a GIVEN
+    target domain; this op LEARNS its target from the data's own
+    heuristic and returns label + prediction side by side, so the
+    actionable output is the disagreement set — docs the model rescues
+    (label lo, pred hi) or demotes (label hi, pred lo), exactly what a
+    curation pipeline escalates to stronger scoring.
+
+    Output: ``(doc_id, n_tokens, label_hi, score, pred_hi)``.
+
+    Scale shape: one token explode feeding (a) a per-doc hash-agg for
+    the label, (b) a per-token hash-agg for the two class counts (model
+    parameters — vocabulary-sized, broadcast back). The label joins the
+    token stream on doc_id (one corpus-sized shuffle), the weight table
+    joins on token (AQE broadcasts it), and the final per-doc agg is the
+    only other corpus-sized shuffle. Nothing iterates or collects; the
+    "training" is a single aggregation pass, which is what makes the
+    bootstrap viable at 100 TB. Determinism: counts are integers, the
+    log-odds expression tree matches the oracle's op-for-op, and only
+    per-doc sum order differs — absorbed by the round (dsir precedent).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(text_col)).alias("_w"),
+    ).filter(F.col("_w") != "")
+    labels = toks.groupBy("doc_id").agg(
+        (
+            F.lit(ttr_den) * F.countDistinct("_w")
+            >= F.lit(ttr_num) * F.count(F.lit(1))
+        ).alias("label_hi")
+    )
+    lab_toks = toks.join(labels, "doc_id")
+    counts = lab_toks.groupBy("_w").agg(
+        F.sum(F.when(F.col("label_hi"), 1).otherwise(0)).alias("_chi"),
+        F.sum(F.when(F.col("label_hi"), 0).otherwise(1)).alias("_clo"),
+    )
+    totals = counts.agg(
+        F.sum("_chi").alias("_h"),
+        F.sum("_clo").alias("_l"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    # composed EXACTLY as the oracle writes it — same expression tree,
+    # same IEEE ops, bit-identical per token.
+    log_odds = (
+        F.log(F.col("_chi") + F.lit(1)) - F.log(F.col("_h") + F.col("_v"))
+    ) - (F.log(F.col("_clo") + F.lit(1)) - F.log(F.col("_l") + F.col("_v")))
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "_w", log_odds.alias("_lw")
+    )
+    return (
+        lab_toks.join(F.broadcast(weights), "_w")
+        .groupBy("doc_id", "label_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # + 0.0 collapses IEEE negative zero (a doc whose rounded
+            # score is -0.0 here and +0.0 in the oracle is a value-hash
+            # mismatch on a semantically identical result)
+            (F.round(F.avg("_lw"), round_to) + F.lit(0.0)).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "label_hi",
+            "score",
+            (F.col("score") > 0).alias("pred_hi"),
+        )
+    )
+
+
 def quality_tiles(
     df: DataFrame,
     id_col: str,
@@ -1442,4 +1538,112 @@ def duplicated_window_rate(
             (F.col("n_dup").cast("double") / F.col("n_windows")).alias("dup_rate"),
         )
         .orderBy("doc_id")
+    )
+
+
+def excise_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring deduplication as a REWRITE (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better", at word granularity): every token covered by a k-token
+    window whose exact content occurs more than once in the corpus —
+    across documents or within one — is removed, EXCEPT the globally
+    first occurrence (ordered by (doc_id, position)), which survives.
+    This is the destructive counterpart to the scoring ops: x83
+    (:func:`duplicated_window_rate`) measures span-level duplication,
+    x39 (:func:`passage_dedup`) drops whole duplicated passages; this
+    rewrites the document itself, the form training-data pipelines
+    actually ship.
+
+    Semantics, deterministically: window at position ``i`` (1-based)
+    covers tokens ``i..i+k-1``; its identity is the md5 of the
+    chr(31)-joined token slice. Occurrences of each window are ranked by
+    (doc_id, pos); occurrences with rank > 1 mark all their positions
+    covered; a document's clean_text is its uncovered tokens rejoined in
+    order (may be empty — a verbatim duplicate document excises to '').
+    First-occurrence-wins makes the output stable under corpus
+    reordering of the input files (the rank key is data, not partition
+    order).
+
+    Output: ``(doc_id, n_kept, n_removed, clean_text)`` — one row per
+    input document, including untouched and fully-excised ones.
+
+    Scale shape: the window inventory is a map-side pass (one md5 per
+    token position — O(total tokens) rows, never materializing the
+    token slices beyond the hash input); ranking shuffles once on the
+    window hash (partitions are occurrence lists — tiny except for
+    pathological repeats, and a window function over them is one pass);
+    covered-position expansion is a bounded explode (×k) of only the
+    DUPLICATED occurrences (rare by construction); the rebuild is one
+    per-doc hash-agg. No self-join of windows against windows — the
+    rank-over-hash formulation replaces the quadratic pair enumeration
+    the naive formulation would do. At 100 TB the heavy object is the
+    (hash, doc, pos) inventory, linear in corpus tokens, exactly what
+    the suffix-array pipelines in the paper stream to disk; a
+    length-aware variant would band windows by hash prefix first (the
+    x19 discipline) — not needed while the inventory is linear.
+    """
+    sep = "\x1f"
+    d = df.select(F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("_toks"))
+    n = F.size("_toks")
+    tok = d.select(
+        "doc_id",
+        F.posexplode("_toks").alias("_p0", "tok"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "tok")
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(sep, F.slice("_toks", i, k))
+                        ).alias("wh"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
+        ).alias("_w"),
+    ).select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.wh").alias("wh"))
+    occ = Window.partitionBy("wh").orderBy("doc_id", "pos")
+    ranked = win.select(
+        "doc_id",
+        "pos",
+        F.row_number().over(occ).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("wh")).alias("_cnt"),
+    )
+    covered = (
+        ranked.filter((F.col("_cnt") > 1) & (F.col("_rk") > 1))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        d.select("doc_id", n.alias("_n"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

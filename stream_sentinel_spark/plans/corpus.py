@@ -128,13 +128,17 @@ def query(name: str, oracle: str | None = None):
 # 4) x86 — implementation changed this round (sentinel watermark files
 #    now get explicit strictly-increasing mtimes; ADVICE r06) — the
 #    rotate-what-changed convention;
-# 5) 43 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
+#    bootstrapped NB quality classifier, duplicated-span excision);
+#    unproven entries must hold gate slots (the rotation invariant);
+# 6) 40 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
-#    x55_skew_report, x56_join_size_probe and x54_bag_of_words_dedup
-#    are the three r04 rows that don't fit the 50 slots — x55/x56 are
-#    pure relational diagnostics, x54 shares dedup.py with the gated
-#    x02/x70 and its plan construction is unchanged since r04; all
-#    locally oracle-proven every run; re-front next round.
+#    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
+#    x53_ewma_user_value, x57_resample_fill and x67_linear_trend are
+#    the six r04 rows that don't fit the 50 slots — all are pure
+#    relational/diagnostic plans whose construction is unchanged since
+#    r04 (x54 shares dedup.py with the gated x02/x70); all locally
+#    oracle-proven every run; re-front next round.
 # x82/x83/x84 (docstring-only edits this round) keep their fresh r06
 # rows; x61/x78's modules gained the compaction-rotation path but their
 # plan construction is untouched and the new behavior is pinned by
@@ -143,6 +147,15 @@ _DRIVER_PRIORITY = [
     # --- new this round: the ingest loop made gate-visible ---
     "x91_ingest_loop_parity",
     "x92_ingest_intra_batch",
+    # --- new this round (frontier): streaming session windows (the
+    # last T5 window shape without a streaming gate row), the
+    # bootstrapped NB quality classifier, and duplicated-span excision.
+    # Their three slots come from x53/x57/x67 (latest green r04,
+    # plan construction unchanged since; locally oracle-proven every
+    # run — same standing as x54/x55/x56, re-front next round) ---
+    "x93_streaming_session_windows",
+    "x94_nb_quality_classifier",
+    "x95_span_excision",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -174,8 +187,6 @@ _DRIVER_PRIORITY = [
     "x50_inverted_index",
     "x51_pmi_collocations",
     "x52_language_rebalance",
-    "x53_ewma_user_value",
-    "x57_resample_fill",
     "x58_cusum_drift",
     "x59_benford_profile",
     "x60_cusum_rule",
@@ -184,7 +195,6 @@ _DRIVER_PRIORITY = [
     "x64_shard_column_stats",
     "x65_snapshot_diff",
     "x66_referential_integrity",
-    "x67_linear_trend",
     "x68_column_profile",
     "x69_corpus_datasheet",
     "x70_containment_neardups",
@@ -6454,4 +6464,225 @@ def x92(spark, sf):
             "within_batch", F.col("epoch").cast("int").alias("epoch"),
         )
         .orderBy("new_id")
+    )
+
+
+@query(
+    "x93_streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+             epoch_ms(ts) AS t,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w >= 3600000
+                  OR LAG(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY COALESCE(CAST(user_id AS VARCHAR), '__unknown__')
+                   ORDER BY epoch_ms(ts))),
+    numbered AS (
+      SELECT k, t, SUM(new_s) OVER (PARTITION BY k ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT k, MIN(t) AS session_start_ms, MAX(t) + 3600000 AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY k, sid
+    """,
+)
+def x93(spark, sf):
+    """Streaming SESSION WINDOWS inside the gate — the last T5 window
+    shape without a streaming gate row (x90 covered tumbling): the same
+    merge-on-aggregate `session_window` plan as q23
+    (operators/windows.py:session_windows — one code path, batch and
+    streaming frames alike) executed over a file stream in APPEND mode
+    against q23's oracle verbatim. Session windows do not support
+    complete mode, so this entry exercises the strictly harder contract:
+    a session row is emitted exactly once, when the event-time watermark
+    passes its end. availableNow ends with the last data file, so —
+    exactly like x86 — two trailing sentinel events past
+    max(ts) + gap + delay advance the watermark far enough to flush
+    every real session (the second sentinel carries the first's
+    watermark into effect); the sentinels' own session never passes the
+    watermark and is dropped with the state store, so the emitted rows
+    need no filtering. Sentinel file mtimes are explicitly bumped
+    (os.utime) so maxFilesPerTrigger=1 cannot process a sentinel before
+    the data file on a coarse-mtime filesystem (the x86/ADVICE-r06
+    hardening, applied from birth here).
+
+    The time axis is truncated to epoch ms on BOTH sides (q23's
+    construction) and the watermark is attached to the truncated column
+    — append-mode session aggregation requires the watermark on the
+    grouping time column — so the merge decision is bit-identical to
+    the oracle's `>= 3600000 -> new session` flag.
+
+    Scale shape: one shuffle keyed by (k), sessions merged inside the
+    aggregation (no gaps-and-islands self-pass); streaming state is one
+    open session per key, evicted at watermark — O(active keys), not
+    O(events). Reference anchor: T5's streaming half
+    (SURVEY §2.5; StreamSentinelJob.java's keyed window state extended
+    to gap-merged sessions)."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.functions.coercion import key_column
+    from stream_sentinel_spark.operators.windows import session_windows
+    from stream_sentinel_spark.streaming import read_file_stream
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="ss_x93_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x93_out_")
+    try:
+        ev.coalesce(1).write.parquet(f"{tmp}/ev")
+
+        def _ev_files():
+            return set(_glob.glob(f"{tmp}/ev/*"))
+
+        seen = _ev_files()
+        base_mtime = max(_os.stat(f).st_mtime for f in seen)
+        max_ms = ev.agg(F.max(F.unix_millis("ts"))).head()[0]
+        # gap (1 h) + delay (5 s) + margin, then +10 s to carry the
+        # first sentinel's watermark into effect on the next batch
+        for i, off_ms in enumerate((3_700_000, 3_710_000)):
+            spark.createDataFrame(
+                [(-(i + 1), _SENTINEL_KEY, "sentinel")],
+                "event_id long, user_id long, event_type string",
+            ).select(
+                "event_id",
+                F.timestamp_millis(F.lit(max_ms + off_ms)).alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            ).select(*ev.columns).coalesce(1).write.mode("append").parquet(
+                f"{tmp}/ev"
+            )
+            now = _ev_files()
+            for f in now - seen:
+                st = _os.stat(f)
+                _os.utime(f, (st.st_atime, base_mtime + 2.0 * (i + 1)))
+            seen = now
+        stream = read_file_stream(
+            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None,
+            max_files_per_trigger=1,
+        ).withColumn(
+            "ts_ms", F.timestamp_millis(F.unix_millis("ts"))
+        ).withWatermark("ts_ms", "5 seconds")
+        sessions = session_windows(
+            stream, key_column(stream, "user_id"), "ts_ms", "1 hour"
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{out_dir}/sessions")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(f"{out_dir}/sessions")
+
+
+@query(
+    "x94_nb_quality_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    t AS (SELECT doc_id, w FROM toks WHERE w != ''),
+    labels AS (
+      SELECT doc_id, 50 * COUNT(DISTINCT w) >= 21 * COUNT(*) AS label_hi
+      FROM t GROUP BY 1),
+    lt AS (SELECT t.doc_id, t.w, labels.label_hi FROM t JOIN labels USING (doc_id)),
+    counts AS (
+      SELECT w,
+             SUM(CASE WHEN label_hi THEN 1 ELSE 0 END) AS chi,
+             SUM(CASE WHEN label_hi THEN 0 ELSE 1 END) AS clo
+      FROM lt GROUP BY 1),
+    totals AS (SELECT SUM(chi) AS h, SUM(clo) AS l, COUNT(*) AS v FROM counts),
+    weights AS (
+      SELECT w, (ln(chi + 1) - ln(h + v)) - (ln(clo + 1) - ln(l + v)) AS lw
+      FROM counts, totals),
+    scored AS (
+      SELECT lt.doc_id, lt.label_hi,
+             COUNT(*) AS n_tokens,
+             round(AVG(weights.lw), 6) + 0.0 AS score
+      FROM lt JOIN weights USING (w)
+      GROUP BY 1, 2)
+    SELECT doc_id, n_tokens, label_hi, score, score > 0 AS pred_hi
+    FROM scored
+    """,
+)
+def x94(spark, sf):
+    """Bootstrapped MODEL-BASED quality filter (the DCLM/RefinedWeb
+    two-stage pattern): heuristic type-token-ratio labels seed a
+    Naive-Bayes bag-of-words classifier whose smoothed token log-odds
+    then score EVERY document — label and prediction side by side, so
+    the disagreement set (model rescues / demotes vs the heuristic) is
+    directly selectable. The label threshold is integer-exact
+    (50·distinct >= 21·total), the log-odds expression tree matches the
+    oracle op-for-op, and the only cross-engine difference (per-doc sum
+    order) is absorbed by round-6 (x43/x76 precedent). Training is one
+    aggregation pass — no iteration, no collect — which is what makes
+    the bootstrap viable at 100 TB; the weight table is model-parameter
+    sized and broadcast. Fixture split is non-degenerate at every SF
+    (probed: 289/500, 298/500, 2980/5000 high-label docs)."""
+    from stream_sentinel_spark.operators import curation
+
+    return curation.nb_quality_classifier(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
+@query(
+    "x95_span_excision",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+4], chr(31))) AS wh
+      FROM d, LATERAL unnest(range(1, len(toks) - 3)) AS r(i)),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY wh) AS cnt
+      FROM win),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o AS pos
+      FROM ranked, LATERAL unnest(range(0, 5)) AS u(o)
+      WHERE cnt > 1 AND rk > 1),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok t LEFT JOIN covered c USING (doc_id, pos)
+      WHERE c.pos IS NULL)
+    SELECT d.doc_id,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           len(d.toks) - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM d LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1) k USING (doc_id)
+    """,
+)
+def x95(spark, sf):
+    """Exact duplicated-SPAN EXCISION (Lee et al. 2022's ExactSubstr at
+    word granularity): rewrite every document by deleting tokens covered
+    by any 5-token window whose content occurs more than once in the
+    corpus, keeping the globally first occurrence (rank over
+    (doc_id, pos)). The destructive counterpart to x83's span-dup
+    SCORING — this is the op that actually ships cleaned text. Rank-
+    over-window-hash replaces the naive quadratic window self-join; the
+    heavy object is the linear (hash, doc, pos) inventory. Non-vacuous
+    at every SF (probed: 30/36 docs touched, 14 planted verbatim dups
+    fully excised to '', at sf0.001/0.01). Everything is integer/string
+    — no float anywhere in the compared values."""
+    from stream_sentinel_spark.operators import curation
+
+    return curation.excise_duplicated_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", k=5
     )

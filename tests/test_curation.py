@@ -761,3 +761,115 @@ def test_hash_key_mode_equals_string_key_mode(spark):
 
     with pytest.raises(ValueError, match="key_mode"):
         novelty_scores(docs, "doc_id", "text", key_mode="md5")
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_classifier (x94)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classifier_separates_planted_classes(spark):
+    # hi-class docs: all-distinct tokens from vocab A; lo-class docs:
+    # heavy repetition of vocab B. The learned token log-odds must give
+    # A-words positive weight and B-words negative weight, so a fresh
+    # mixed doc scores by its composition.
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),          # TTR 1.0  -> hi
+        (2, "zeta eta theta iota kappa"),               # TTR 1.0  -> hi
+        (3, "spam spam spam spam spam ham ham ham"),    # TTR 0.25 -> lo
+        (4, "noise noise noise noise junk junk junk"),  # TTR ~0.29-> lo
+    ]
+    out = {
+        r.doc_id: r
+        for r in curation.nb_quality_classifier(
+            _docs(spark, rows), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1].label_hi and out[2].label_hi
+    assert not out[3].label_hi and not out[4].label_hi
+    # model agrees with the seed labels on the training docs themselves
+    assert out[1].pred_hi and out[2].pred_hi
+    assert not out[3].pred_hi and not out[4].pred_hi
+    assert out[1].score > 0 > out[3].score
+
+
+def test_nb_classifier_label_threshold_integer_exact(spark):
+    # 21/50 boundary: 21 distinct out of 50 tokens is EXACTLY the
+    # threshold and must label hi (>=), 20 distinct must label lo.
+    hi_doc = " ".join([f"w{i}" for i in range(21)] + ["w0"] * 29)
+    lo_doc = " ".join([f"v{i}" for i in range(20)] + ["v0"] * 30)
+    out = {
+        r.doc_id: r.label_hi
+        for r in curation.nb_quality_classifier(
+            _docs(spark, [(1, hi_doc), (2, lo_doc)]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1] is True
+    assert out[2] is False
+
+
+def test_nb_classifier_row_per_doc_and_counts(spark):
+    rows = [(1, "a b c d"), (2, "a a a a a")]
+    out = curation.nb_quality_classifier(
+        _docs(spark, rows), "doc_id", "text"
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+    assert {r.doc_id: r.n_tokens for r in out} == {1: 4, 2: 5}
+
+
+# ---------------------------------------------------------------------------
+# excise_duplicated_spans (x95)
+# ---------------------------------------------------------------------------
+
+
+def test_excise_verbatim_duplicate_doc_empties(spark):
+    text = "one two three four five six seven"
+    out = {
+        r.doc_id: r
+        for r in curation.excise_duplicated_spans(
+            _docs(spark, [(1, text), (2, text), (3, "clean words only here now")]),
+            "doc_id", "text", k=5,
+        ).collect()
+    }
+    # first occurrence (doc 1) survives untouched; doc 2 excises fully
+    assert out[1].clean_text == text and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_kept == 0
+    assert out[2].n_removed == 7
+    # doc with no duplicated window is untouched (even though < 2 docs
+    # share its windows), and short-token docs (< k) produce no windows
+    assert out[3].clean_text == "clean words only here now"
+
+
+def test_excise_cross_doc_span_first_occurrence_wins(spark):
+    # doc 2 embeds a 5-token span of doc 1 — only doc 2's copy is cut,
+    # and only the covered tokens go (the flanks survive)
+    d1 = "alpha beta gamma delta epsilon zeta eta"
+    d2 = "left1 left2 alpha beta gamma delta epsilon right1 right2"
+    out = {
+        r.doc_id: r
+        for r in curation.excise_duplicated_spans(
+            _docs(spark, [(1, d1), (2, d2)]), "doc_id", "text", k=5
+        ).collect()
+    }
+    assert out[1].clean_text == d1
+    assert out[2].clean_text == "left1 left2 right1 right2"
+    assert out[2].n_removed == 5
+
+
+def test_excise_intra_doc_repeat(spark):
+    # the same 5-gram twice INSIDE one doc: second occurrence excised
+    span = "p q r s t"
+    text = f"{span} filler1 filler2 {span} tail"
+    out = curation.excise_duplicated_spans(
+        _docs(spark, [(1, text)]), "doc_id", "text", k=5
+    ).collect()[0]
+    assert out.clean_text == f"{span} filler1 filler2 tail"
+    assert out.n_removed == 5
+
+
+def test_excise_short_doc_passthrough(spark):
+    out = curation.excise_duplicated_spans(
+        _docs(spark, [(1, "a b c"), (2, "a b c")]), "doc_id", "text", k=5
+    ).collect()
+    # 3 tokens < k: no windows exist, so even identical docs pass through
+    assert all(r.n_removed == 0 for r in out)

@@ -159,3 +159,84 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         for r in spark.table("hll_stream").collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming session windows (x93's machinery): append-mode emission of
+# gap-merged sessions equals the batch session_window plan
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    import os
+
+    from stream_sentinel_spark.operators.windows import session_windows
+
+    # two keys; key 10 has two sessions separated by > gap (10 min),
+    # key 11 one session whose events arrive OUT OF ORDER across files
+    rows1 = [
+        (1, _ts(0), 10, 1.0),
+        (2, _ts(2), 10, 1.0),     # merges with event 1 (gap 2 min)
+        (4, _ts(30), 10, 1.0),    # new session (gap 28 min > 10)
+        (6, _ts(6), 11, 1.0),
+    ]
+    rows2 = [
+        (5, _ts(4), 11, 1.0),     # out-of-order: EARLIER than event 6
+    ]
+    sentinel = [(99, _ts(59), -1, None)]  # watermark push past all ends
+    path = str(tmp_path / "sess")
+    files = []
+    for i, chunk in enumerate((rows1, rows2, sentinel)):
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    # strictly increasing mtimes so maxFilesPerTrigger honors file order
+    parts = sorted(
+        (f for f in os.listdir(path) if f.endswith(".parquet")),
+        key=lambda f: os.stat(os.path.join(path, f)).st_mtime,
+    )
+    for i, f in enumerate(parts):
+        full = os.path.join(path, f)
+        st = os.stat(full)
+        os.utime(full, (st.st_atime, st.st_mtime + 2.0 * i))
+
+    batch = spark.createDataFrame(rows1 + rows2, SCHEMA)
+    stream = (
+        read_file_stream(
+            spark, path, batch.schema, time_col="ts", watermark=None,
+            max_files_per_trigger=1,
+        )
+        .withColumn("ts_ms", F.timestamp_millis(F.unix_millis("ts")))
+        .withWatermark("ts_ms", "5 seconds")
+    )
+    got = session_windows(
+        stream, F.col("user_id").cast("string"), "ts_ms", "10 minutes"
+    )
+    q = (
+        got.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    expected = {
+        tuple(r)
+        for r in session_windows(
+            batch.withColumn(
+                "ts_ms", F.timestamp_millis(F.unix_millis("ts"))
+            ),
+            F.col("user_id").cast("string"),
+            "ts_ms",
+            "10 minutes",
+        ).collect()
+    }
+    # the sentinel's own session never passes the watermark — emitted
+    # rows are exactly the real sessions, no filtering needed
+    assert streamed == expected
+    assert len(expected) == 3  # (10: two sessions), (11: one merged)
