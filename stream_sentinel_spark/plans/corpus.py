@@ -131,11 +131,12 @@ def query(name: str, oracle: str | None = None):
 # 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
 #    bootstrapped NB quality classifier, duplicated-span excision);
 #    unproven entries must hold gate slots (the rotation invariant);
-# 6) 40 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 6) 39 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
 #    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
-#    x53_ewma_user_value, x57_resample_fill and x67_linear_trend are
-#    the six r04 rows that don't fit the 50 slots — all are pure
+#    x53_ewma_user_value, x57_resample_fill, x58_cusum_drift and
+#    x67_linear_trend are the seven r04 rows that don't fit the 50
+#    slots — all are pure
 #    relational/diagnostic plans whose construction is unchanged since
 #    r04 (x54 shares dedup.py with the gated x02/x70); all locally
 #    oracle-proven every run; re-front next round.
@@ -156,6 +157,10 @@ _DRIVER_PRIORITY = [
     "x93_streaming_session_windows",
     "x94_nb_quality_classifier",
     "x95_span_excision",
+    # x96 (ingest loop over the embedding LSH index) takes x58's slot —
+    # x58 shares operators/cusum.py with the gated x60_cusum_rule and
+    # its plan construction is unchanged since r04
+    "x96_embedding_ingest_loop",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -187,7 +192,6 @@ _DRIVER_PRIORITY = [
     "x50_inverted_index",
     "x51_pmi_collocations",
     "x52_language_rebalance",
-    "x58_cusum_drift",
     "x59_benford_profile",
     "x60_cusum_rule",
     "x62_hll_merge_rollup",
@@ -6685,4 +6689,165 @@ def x95(spark, sf):
 
     return curation.excise_duplicated_spans(
         _t(spark, sf, "documents"), "doc_id", "text", k=5
+    )
+
+
+def _x96_oracle(threshold: float = 0.40, bits: int = 16, bands: int = 4,
+                dim: int = 64, seed: int = 42) -> str:
+    # The same inlined sign-LSH construction as x07/x78's oracles: the
+    # seeded hyperplanes are expanded to ±1 literals, so the CANDIDATE
+    # criterion (band chunk equality) — a property of the two
+    # signatures alone — and the exact-cosine verify are both computed
+    # in SQL. The match predicate is therefore replicated EXACTLY: no
+    # recall approximation anywhere. Planted copies share their source
+    # vector, so the pair set is computed over source ids and closed
+    # reflexively ((s,s) covers copy-vs-original: identical signature →
+    # candidate in every band, cos = 1).
+    planes = similarity._planes(dim, bits, seed)
+    sig_terms = "\n        + ".join(
+        "(CASE WHEN list_dot_product(vec, [{p}]) >= 0 THEN {w} ELSE 0 END)".format(
+            p=", ".join(str(x) for x in plane), w=1 << b
+        )
+        for b, plane in enumerate(planes)
+    )
+    width = bits // bands
+    chunk_vals = ", ".join(f"({c}, {1 << (c * width)})" for c in range(bands))
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    sigs AS (
+      SELECT id,
+        {sig_terms}
+        AS sig
+      FROM v),
+    chunked AS (
+      SELECT id, c.band, (sig // c.p) % {1 << width} AS val
+      FROM sigs, (VALUES {chunk_vals}) c(band, p)),
+    cand AS (
+      SELECT DISTINCT a.id AS x, b.id AS y
+      FROM chunked a
+      JOIN chunked b ON a.band = b.band AND a.val = b.val AND a.id <> b.id),
+    m AS (
+      SELECT c.x, c.y FROM cand c
+      JOIN v va ON va.id = c.x JOIN v vb ON vb.id = c.y
+      WHERE list_cosine_similarity(va.vec, vb.vec) >= {threshold}
+      UNION ALL
+      SELECT id, id FROM v),
+    corpus AS (SELECT id FROM v WHERE id % 5 = 0),
+    e1 AS (
+      SELECT id, id AS src FROM v WHERE id % 5 = 1
+      UNION ALL
+      SELECT id + 20000000 AS id, id AS src
+      FROM v WHERE id % 5 = 0 AND id % 3 = 0),
+    e2 AS (
+      SELECT id, id AS src FROM v WHERE id % 5 = 2
+      UNION ALL
+      SELECT id + 30000000 AS id, id AS src
+      FROM v WHERE id % 5 = 1 AND id % 3 = 1),
+    acc1 AS (
+      SELECT e1.id, e1.src FROM e1
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m JOIN corpus c ON c.id = m.y
+        WHERE m.x = e1.src)),
+    acc2 AS (
+      SELECT e2.id FROM e2
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m JOIN corpus c ON c.id = m.y
+        WHERE m.x = e2.src)
+        AND NOT EXISTS (
+        SELECT 1 FROM m JOIN acc1 a ON a.src = m.y
+        WHERE m.x = e2.src))
+    SELECT id AS vec_id, CAST(0 AS INTEGER) AS epoch FROM acc1
+    UNION ALL
+    SELECT id AS vec_id, CAST(1 AS INTEGER) AS epoch FROM acc2
+    ORDER BY vec_id
+    """
+
+
+@query("x96_embedding_ingest_loop", _x96_oracle())
+def x96(spark, sf):
+    """x91's production ingest loop over the SECOND index family: the
+    persisted sign-LSH EMBEDDING index (`build_lsh_index`) grown by the
+    same `run_dedup_ingest` machinery — file stream, forced epoch
+    order, foreachBatch match→accept→append, epoch-manifest commit log,
+    loop-start recovery — at cosine threshold 0.40 (x07/x78's measured
+    non-vacuous regime, so the accept sets are shaped by NATURAL
+    near-duplicate vectors, not only the planted copies). Epoch 1
+    plants exact copies of corpus vectors (+20M ids → rejected against
+    the built index, cos = 1); epoch 2 plants copies of epoch-1
+    originals (+30M ids → rejected against rows accepted in epoch 1 —
+    the index-grows-as-the-stream-runs property again).
+
+    Oracle expressibility is EXACT, not approximate: the sign-LSH
+    candidate criterion is a property of the two signatures alone, and
+    the oracle inlines the same seeded hyperplanes as ±1 literals
+    (x07/x78's construction), so candidates AND the exact-cosine verify
+    are replicated in SQL — `NOT EXISTS (candidate ∧ cos ≥ t)` is the
+    engine's accept predicate verbatim. Planted copies share their
+    source vector, handled by closing the pair set reflexively.
+
+    Scale shape: identical to x91 — Exchange-free bucketed FileScan on
+    the corpus side of every match, bucket-aligned O(batch) appends,
+    one atomic rename per epoch."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.operators.similarity import build_lsh_index
+    from stream_sentinel_spark.streaming.ingest import run_dedup_ingest
+    from stream_sentinel_spark.streaming.sources import read_file_stream
+
+    base = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    corpus = base.filter(F.col("vec_id") % 5 == 0)
+    e1 = base.filter(F.col("vec_id") % 5 == 1).unionByName(
+        corpus.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 20_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    e2 = base.filter(F.col("vec_id") % 5 == 2).unionByName(
+        base.filter(
+            (F.col("vec_id") % 5 == 1) & (F.col("vec_id") % 3 == 1)
+        ).select((F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding")
+    )
+    table = f"x96_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x96_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x96_out_")
+    try:
+        build_lsh_index(corpus, table)
+        src = f"{tmp}/src"
+        e1.coalesce(1).write.mode("append").parquet(src)
+        seen = set(_glob.glob(f"{src}/*"))
+        base_mtime = max(_os.stat(f).st_mtime for f in seen)
+        e2.coalesce(1).write.mode("append").parquet(src)
+        for f in set(_glob.glob(f"{src}/*")) - seen:
+            st = _os.stat(f)
+            _os.utime(f, (st.st_atime, base_mtime + 2.0))
+        stream = read_file_stream(
+            spark, src, e1.schema, time_col=None, watermark=None,
+            max_files_per_trigger=1,
+        )
+        q = run_dedup_ingest(
+            stream,
+            checkpoint_location=f"{tmp}/ckpt",
+            available_now=True,
+            table=table,
+            kind="lsh",
+            id_col="vec_id",
+            content_col="embedding",
+            threshold=0.40,
+            accepted_path=f"{out_dir}/acc",
+            commit_log_dir=f"{tmp}/commits",
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        for suffix in ("_bands", "_vecs", "_bandstats", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
+    return (
+        spark.read.parquet(f"{out_dir}/acc")
+        .select("vec_id", F.col("epoch").cast("int").alias("epoch"))
+        .orderBy("vec_id")
     )
