@@ -1574,18 +1574,21 @@ def excise_duplicated_spans(
 
     Scale shape: the window inventory is a map-side pass (one md5 per
     token position — O(total tokens) rows, never materializing the
-    token slices beyond the hash input); ranking shuffles once on the
-    window hash (partitions are occurrence lists — tiny except for
-    pathological repeats, and a window function over them is one pass);
-    covered-position expansion is a bounded explode (×k) of only the
-    DUPLICATED occurrences (rare by construction); the rebuild is one
+    token slices beyond the hash input). First occurrences come from a
+    HASH-AGG, not a window function: count + min(struct(doc_id, pos))
+    both partial-aggregate map-side, so the shuffle carries one row per
+    distinct window per map partition rather than every occurrence, and
+    the unique tail (the overwhelming bulk of a real corpus) is dropped
+    by the cnt>1 filter before anything joins — no sort-per-hash of the
+    full inventory ever happens. The duplicated-occurrence join is
+    skew-tolerant (a pathologically hot window is one hash key; AQE
+    skew-split applies); covered-position expansion is a bounded
+    explode (×k) of only the DUPLICATED occurrences; the rebuild is one
     per-doc hash-agg. No self-join of windows against windows — the
-    rank-over-hash formulation replaces the quadratic pair enumeration
+    min-over-hash formulation replaces the quadratic pair enumeration
     the naive formulation would do. At 100 TB the heavy object is the
     (hash, doc, pos) inventory, linear in corpus tokens, exactly what
-    the suffix-array pipelines in the paper stream to disk; a
-    length-aware variant would band windows by hash prefix first (the
-    x19 discipline) — not needed while the inventory is linear.
+    the suffix-array pipelines in the paper stream to disk.
     """
     sep = "\x1f"
     d = df.select(F.col(id_col).alias("doc_id"), word_tokens(text_col).alias("_toks"))
@@ -1611,15 +1614,29 @@ def excise_duplicated_spans(
             ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
         ).alias("_w"),
     ).select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.wh").alias("wh"))
-    occ = Window.partitionBy("wh").orderBy("doc_id", "pos")
-    ranked = win.select(
-        "doc_id",
-        "pos",
-        F.row_number().over(occ).alias("_rk"),
-        F.count(F.lit(1)).over(Window.partitionBy("wh")).alias("_cnt"),
+    # "rank > 1" ⇔ "not the min-(doc_id, pos) occurrence". Computing the
+    # min via hash-agg instead of row_number() matters at scale: both
+    # count and min(struct) PARTIAL-aggregate map-side (the shuffle
+    # carries one row per distinct window per map partition, not every
+    # occurrence), the filter drops the unique tail — the overwhelming
+    # bulk of any real corpus — before the join, and no sort-per-hash
+    # of the full window inventory ever happens (a window function
+    # would sort ALL occurrences inside every hash partition).
+    firsts = (
+        win.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("_first"),
+        )
+        .filter(F.col("_cnt") > 1)
+        .select("wh", "_first")
     )
     covered = (
-        ranked.filter((F.col("_cnt") > 1) & (F.col("_rk") > 1))
+        win.join(firsts, "wh")
+        .filter(
+            (F.col("doc_id") != F.col("_first.doc_id"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
