@@ -131,12 +131,12 @@ def query(name: str, oracle: str | None = None):
 # 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
 #    bootstrapped NB quality classifier, duplicated-span excision);
 #    unproven entries must hold gate slots (the rotation invariant);
-# 6) 39 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 6) 38 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
 #    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
-#    x53_ewma_user_value, x57_resample_fill, x58_cusum_drift and
-#    x67_linear_trend are the seven r04 rows that don't fit the 50
-#    slots — all are pure
+#    x53_ewma_user_value, x57_resample_fill, x58_cusum_drift,
+#    x64_shard_column_stats and x67_linear_trend are the eight r04
+#    rows that don't fit the 50 slots — all are pure
 #    relational/diagnostic plans whose construction is unchanged since
 #    r04 (x54 shares dedup.py with the gated x02/x70); all locally
 #    oracle-proven every run; re-front next round.
@@ -161,6 +161,10 @@ _DRIVER_PRIORITY = [
     # x58 shares operators/cusum.py with the gated x60_cusum_rule and
     # its plan construction is unchanged since r04
     "x96_embedding_ingest_loop",
+    # x97 (streaming upsert materialization — the CDC-apply loop) takes
+    # x64's slot — x64 shares curation.py's shard machinery with the
+    # gated x45_shard_manifest; plan construction unchanged since r04
+    "x97_streaming_upsert",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -196,7 +200,6 @@ _DRIVER_PRIORITY = [
     "x60_cusum_rule",
     "x62_hll_merge_rollup",
     "x63_zorder_layout",
-    "x64_shard_column_stats",
     "x65_snapshot_diff",
     "x66_referential_integrity",
     "x68_column_profile",
@@ -6851,3 +6854,132 @@ def x96(spark, sf):
         .select("vec_id", F.col("epoch").cast("int").alias("epoch"))
         .orderBy("vec_id")
     )
+
+
+@query(
+    "x97_streaming_upsert",
+    """
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice AS price, o_orderstatus AS status FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', o_totalprice * 2.0, 'R'
+      FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, 0, 'U', -1.0, 'X'
+      FROM orders WHERE o_orderkey % 7 = 2),
+    latest AS (
+      SELECT k, seq, op, price, status,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM ch)
+    SELECT k, CAST(seq AS BIGINT) AS seq, price, status
+    FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY k
+    """,
+)
+def x97(spark, sf):
+    """Streaming UPSERT MATERIALIZATION in the gate — the CDC-apply
+    loop (`streaming/upsert.py:run_upsert_ingest`): a keyed change
+    stream (three file-stream epochs over orders-derived changes)
+    maintained as a current-state table through the real machinery —
+    bucketed append-only log, epoch-manifest commit, loop-start
+    recovery, and an IN-LOOP merge-rewrite compaction (compact_every=2
+    fires between epochs, so the gate also proves the view survives the
+    log being rewritten mid-stream). The change set plants every
+    contract point: updates that supersede (seq 2 over 1), a delete
+    tombstone (%7==1), a re-insert AFTER the delete (seq 3 wins over
+    the tombstone), and STALE rows arriving last (epoch 3's seq-0 rows
+    must lose to epoch 1's seq-1 — latest-by-SEQUENCE, not
+    latest-by-arrival). The returned frame is the merge-on-read
+    snapshot (`read_upsert_snapshot` — an Exchange-free window over the
+    bucketed log, plan-asserted in tests/test_streaming_upsert.py).
+
+    Oracle: the same change set as UNION ALL CTEs + latest-per-key
+    ROW_NUMBER + tombstone filter — cdc.merge_latest's contract
+    verbatim ((k, seq) unique by construction, so the order is total).
+    Pass-through arithmetic only (price +100.0 / *2.0: identical IEEE
+    ops on identical doubles) — no aggregation, nothing to round.
+
+    Scale shape: per-epoch cost is O(batch) (one bucket-aligned append
+    + one atomic rename); the snapshot read shuffles NOTHING (bucketed
+    scan satisfies the window); compaction bounds read amplification at
+    live-key size and is itself one bucketed scan + write. Reference
+    anchor: the per-key latest-value state of SURVEY §2.3 G2 made
+    durable — the reference keeps it in Flink keyed state, the engine
+    keeps it in the table layout itself."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.streaming.sources import read_file_stream
+    from stream_sentinel_spark.streaming.upsert import (
+        read_upsert_snapshot,
+        run_upsert_ingest,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+
+    def ch(flt, seq, op, price, status):
+        return o.filter(flt).select(
+            k.alias("k"),
+            F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+            status.alias("status"),
+        )
+
+    e0 = ch(F.lit(True), 1, "U", F.col("o_totalprice"), F.col("o_orderstatus"))
+    e1 = ch(k % 7 == 0, 2, "U", F.col("o_totalprice") + 100.0,
+            F.col("o_orderstatus")).unionByName(
+        ch(k % 7 == 1, 2, "D", F.lit(None).cast("double"),
+           F.lit(None).cast("string"))
+    )
+    e2 = ch((k % 7 == 1) & (k % 11 == 0), 3, "U",
+            F.col("o_totalprice") * 2.0, F.lit("R")).unionByName(
+        ch(k % 7 == 2, 0, "U", F.lit(-1.0), F.lit("X"))
+    )
+    table = f"x97_ups_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x97_")
+    try:
+        src = f"{tmp}/src"
+        prev = set()
+        base_mtime = None
+        for i, ep in enumerate((e0, e1, e2)):
+            ep.coalesce(1).write.mode("append").parquet(src)
+            now = set(_glob.glob(f"{src}/*"))
+            if base_mtime is None:
+                base_mtime = max(_os.stat(f).st_mtime for f in now)
+            for f in now - prev:
+                st = _os.stat(f)
+                _os.utime(f, (st.st_atime, base_mtime + 2.0 * i))
+            prev = now
+        stream = read_file_stream(
+            spark, src, e0.schema, time_col=None, watermark=None,
+            max_files_per_trigger=1,
+        )
+        q = run_upsert_ingest(
+            stream,
+            checkpoint_location=f"{tmp}/ckpt",
+            available_now=True,
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=f"{tmp}/commits",
+            compact_every=2,
+        )
+        q.awaitTermination()
+        snap = read_upsert_snapshot(spark, table, ["k"], ["seq"], op_col="op")
+        rows = snap.select(
+            "k", F.col("seq").cast("bigint").alias("seq"), "price", "status"
+        ).orderBy("k").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+    return rows

@@ -25,10 +25,17 @@ from stream_sentinel_spark.streaming.exactly_once import (
 )
 from stream_sentinel_spark.streaming.relational import dedup_events, interval_join
 from stream_sentinel_spark.streaming.state import stateful_alerts
+from stream_sentinel_spark.streaming.upsert import (
+    compact_upsert_log,
+    read_upsert_snapshot,
+    recover_upsert_ingest,
+    run_upsert_ingest,
+)
 
 __all__ = [
     "DEFAULT_WATERMARK",
     "INGEST_COL",
+    "compact_upsert_log",
     "compile_rules_streaming",
     "dedup_events",
     "interval_join",
@@ -36,7 +43,10 @@ __all__ = [
     "parse_events",
     "read_file_stream",
     "read_kafka_stream",
+    "read_upsert_snapshot",
+    "recover_upsert_ingest",
     "run_available_now",
+    "run_upsert_ingest",
     "stateful_alerts",
     "write_alerts_exactly_once",
     "write_alerts_files",

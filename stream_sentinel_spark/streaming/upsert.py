@@ -1,0 +1,286 @@
+"""Streaming UPSERT materialization — maintain a current-state table
+from a keyed change stream (the CDC-apply loop).
+
+The batch half of this contract already exists: ``cdc.merge_latest``
+collapses a change set to its latest-wins snapshot (delete tombstones
+honored). This module is its streaming twin — the production shape
+"keep a dimension current from a change feed" — built on the same
+storage discipline as the dedup ingest loop:
+
+- **Merge-on-read, not rewrite-per-batch.** Each micro-batch APPENDS its
+  change rows to a single bucketed log table ``{table}_log`` (bucketed
+  by the key, ``align=True`` → ≤1 file per bucket per batch). The
+  current snapshot is a VIEW: ``read_upsert_snapshot`` runs
+  ``merge_latest`` over the log — and because the log is bucketed on
+  the key, the latest-wins window needs NO Exchange (the bucketed scan
+  already satisfies the window's partitioning; only the per-bucket sort
+  remains). Per-batch write cost is O(batch); nothing rewrites the
+  table on the hot path. This is the Hudi/Iceberg merge-on-read pattern
+  re-expressed with plain parquet + a metastore bucket spec.
+- **Compaction = merge-rewrite.** ``compact_upsert_log`` rewrites the
+  log to exactly the live snapshot rows (superseded versions and
+  tombstones dropped — nothing older remains that they could mask),
+  with the same tmp-table + DROP + RENAME swap and crash recovery
+  (``recover_compaction``) as the index compaction. The swap changes
+  the log's CONTENT but preserves the merged VIEW — the invariant tests
+  pin. Wired into the loop via ``compact_every`` (runs AFTER the
+  epoch's commit, under the same compact-pending WAL as the dedup
+  loop).
+- **Atomic epochs.** With ``commit_log_dir`` set, each epoch ends with
+  the ONE-rename manifest commit (streaming/manifest.py): committed
+  epochs are replay no-ops, and ``recover_upsert_ingest`` (run
+  automatically at loop start) deletes any log file no manifest claims
+  — a crash between the append and the commit marker rolls back to the
+  previous epoch and Structured Streaming replays it. One table, no
+  derived stats: the simplest instantiation of the protocol.
+
+Semantics: latest row per key by ``seq_cols`` (ties broken by the later
+``seq_cols`` entries — supply a total order, e.g. (seq, change_id));
+if ``op_col`` is given, a key whose latest row carries ``delete_op`` is
+absent from the snapshot. Changes WITHIN one batch are ordered by the
+same columns — a batch carrying three versions of a key lands all
+three in the log and the view picks the latest, identical to a
+sequential one-change-per-batch feed (pinned in
+tests/test_streaming_upsert.py).
+
+Scale shape at 100 TB: the log grows by exactly the change volume;
+the snapshot read is one Exchange-free window over the bucketed log;
+compaction bounds the read amplification (log size → live-key size)
+and is itself one bucketed scan + one bucketed write. Reference
+anchor: the keyed latest-value state of streaming/state.py made
+DURABLE — the reference's in-memory per-key state (SURVEY §2.3 G2)
+with the index-sink discipline of the dedup loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from stream_sentinel_spark.streaming.sources import INGEST_COL
+
+
+def _log_table(table: str) -> str:
+    return f"{table}_log"
+
+
+def read_upsert_snapshot(
+    spark: SparkSession,
+    table: str,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """The current snapshot: latest-wins merge over the bucketed log.
+    The window's partitioning is satisfied by the bucketed scan — no
+    Exchange (plan-asserted in tests); only the per-bucket sort runs."""
+    from stream_sentinel_spark.operators.cdc import merge_latest
+
+    return merge_latest(
+        spark.table(_log_table(table)).drop("_epoch"),
+        list(key_cols), list(seq_cols), op_col=op_col, delete_op=delete_op,
+    )
+
+
+def compact_upsert_log(
+    spark: SparkSession,
+    table: str,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> int:
+    """Merge-rewrite the log to exactly the live snapshot rows (latest
+    version per key; superseded versions AND delete tombstones dropped —
+    after the rewrite nothing older remains for a tombstone to mask).
+    Same swap-and-recover discipline as ``compact_bucketed``; the log's
+    content changes but the merged VIEW is preserved (pinned in tests).
+    Returns the post-compaction data-file count (≤ num_buckets)."""
+    from stream_sentinel_spark.operators.cdc import merge_latest
+    from stream_sentinel_spark.sources.bucketing import (
+        recover_compaction,
+        write_bucketed,
+    )
+
+    log = _log_table(table)
+    recover_compaction(spark, log)
+    num_buckets = spark.sql(f"DESCRIBE FORMATTED {log}").filter(
+        "col_name = 'Num Buckets'"
+    ).head().data_type
+    tmp = f"{log}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    live = merge_latest(
+        spark.table(log), list(key_cols), list(seq_cols),
+        op_col=op_col, delete_op=delete_op,
+    ).localCheckpoint(eager=True)  # sever lineage from the files the swap drops
+    write_bucketed(
+        live, tmp, list(key_cols), int(num_buckets), align=True,
+    )
+    spark.sql(f"DROP TABLE {log}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {log}")
+    spark.catalog.refreshTable(log)
+    return len(spark.table(log).inputFiles())
+
+
+def make_upsert_batch_fn(
+    *,
+    table: str,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+    num_buckets: int = 32,
+    commit_log_dir: str | None = None,
+    refresh_session: SparkSession | None = None,
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body: append the batch's change rows to the
+    bucketed ``{table}_log`` (creating it on the first non-empty batch),
+    commit the epoch manifest, optionally merge-compact every Nth
+    append. Exposed separately so tests and batch backfills can drive
+    epochs without a streaming query — same convention as
+    ``make_dedup_ingest_batch_fn``."""
+    from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+    log = _log_table(table)
+    n_appends = [0]
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if commit_log_dir is not None:
+            from stream_sentinel_spark.streaming.exactly_once import (
+                is_epoch_committed,
+            )
+
+            if is_epoch_committed(spark, commit_log_dir, epoch_id):
+                return
+        payload = [c for c in batch_df.columns if c != INGEST_COL]
+        batch = (
+            batch_df.select(*payload)
+            .withColumn("_epoch", F.lit(int(epoch_id)))
+            .localCheckpoint(eager=True)
+        )
+        appended = False
+        if batch.take(1):
+            exists = spark.catalog.tableExists(log)
+            write_bucketed(
+                batch, log, list(key_cols), num_buckets,
+                mode="append" if exists else "overwrite", align=True,
+            )
+            n_appends[0] += 1
+            appended = True
+            if refresh_session is not None:
+                refresh_session.catalog.refreshTable(log)
+        if commit_log_dir is not None:
+            from stream_sentinel_spark.streaming.manifest import (
+                commit_epoch_manifest,
+                snapshot_state,
+            )
+
+            tables = [log] if spark.catalog.tableExists(log) else []
+            commit_epoch_manifest(
+                spark, commit_log_dir, epoch_id,
+                snapshot_state(spark, epoch_id, tables, []),
+            )
+        if compact_every and appended and n_appends[0] % compact_every == 0:
+            if commit_log_dir is not None:
+                from stream_sentinel_spark.streaming import manifest as mf
+
+                mf.write_compact_pending(
+                    spark, commit_log_dir, epoch_id, [log]
+                )
+                compact_upsert_log(
+                    spark, table, key_cols, seq_cols,
+                    op_col=op_col, delete_op=delete_op,
+                )
+                mf.write_aux_snapshot(
+                    spark, commit_log_dir, epoch_id,
+                    mf.snapshot_state(spark, epoch_id, [log], []),
+                )
+                mf.clear_compact_pending(spark, commit_log_dir)
+            else:
+                compact_upsert_log(
+                    spark, table, key_cols, seq_cols,
+                    op_col=op_col, delete_op=delete_op,
+                )
+            if refresh_session is not None:
+                refresh_session.catalog.refreshTable(log)
+
+    return run
+
+
+def recover_upsert_ingest(
+    spark: SparkSession,
+    *,
+    table: str,
+    commit_log_dir: str,
+    refresh_session: SparkSession | None = None,
+) -> dict:
+    """Restore a possibly-crashed upsert loop's log to exactly its last
+    committed epoch (orphan-file deletion + crash-interrupted compaction
+    finish — streaming/manifest.py). Idempotent; run before (re)starting
+    the loop — :func:`run_upsert_ingest` does so automatically.
+
+    Unlike the dedup loop's index (built BEFORE the loop), the log is
+    created by the first non-empty batch, which adds one crash state the
+    generic recovery can't see: a crash after the first append but
+    before the first commit leaves a log table NO manifest mentions.
+    The init snapshot written at loop start pins the disambiguation — a
+    pre-existing log is recorded there (the adoption path for resuming
+    into an existing log), so a log that exists while the latest
+    manifest lacks it can ONLY be the uncommitted first epoch; recovery
+    drops it whole and the offset checkpoint replays the epoch."""
+    from stream_sentinel_spark.streaming.manifest import (
+        latest_manifest,
+        recover_ingest_state,
+    )
+
+    log = _log_table(table)
+    exists = spark.catalog.tableExists(log)
+    if exists:
+        manifest = latest_manifest(spark, commit_log_dir)
+        if manifest is not None and log not in manifest.get("tables", {}):
+            spark.sql(f"DROP TABLE {log}")
+            spark.sql(f"DROP TABLE IF EXISTS {log}__compacting")
+            exists = False
+    return recover_ingest_state(
+        spark,
+        commit_log_dir,
+        append_tables=[log] if exists else [],
+        refresh_session=refresh_session,
+    )
+
+
+def run_upsert_ingest(
+    stream_df: DataFrame,
+    *,
+    checkpoint_location: str,
+    query_name: str = "sentinel-upsert-ingest",
+    available_now: bool = False,
+    **batch_kwargs,
+) -> StreamingQuery:
+    """Start the streaming upsert loop over ``stream_df`` (a change
+    stream carrying the key, sequence and payload columns).
+    ``batch_kwargs`` go to :func:`make_upsert_batch_fn`. With a
+    ``commit_log_dir``, recovery runs before the query starts — same
+    contract as :func:`run_dedup_ingest`."""
+    batch_kwargs.setdefault("refresh_session", stream_df.sparkSession)
+    if batch_kwargs.get("commit_log_dir") is not None:
+        recover_upsert_ingest(
+            stream_df.sparkSession,
+            table=batch_kwargs["table"],
+            commit_log_dir=batch_kwargs["commit_log_dir"],
+        )
+    writer = (
+        stream_df.writeStream.foreachBatch(make_upsert_batch_fn(**batch_kwargs))
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,269 @@
+"""Streaming upsert materialization (streaming/upsert.py): the CDC-apply
+loop — append-only keyed log, Exchange-free merge-on-read snapshot,
+merge-rewrite compaction, manifest-committed epochs with crash recovery.
+Checked throughout against the batch twin (cdc.merge_latest over the
+same change set)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.operators.cdc import merge_latest
+from stream_sentinel_spark.streaming import read_file_stream
+from stream_sentinel_spark.streaming.upsert import (
+    compact_upsert_log,
+    make_upsert_batch_fn,
+    read_upsert_snapshot,
+    recover_upsert_ingest,
+    run_upsert_ingest,
+)
+
+SCHEMA = "k long, seq long, op string, val string"
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _table():
+    return f"ups_{uuid.uuid4().hex[:8]}"
+
+
+def _snap_rows(spark, table):
+    return sorted(
+        (r.k, r.seq, r.val)
+        for r in read_upsert_snapshot(
+            spark, table, ["k"], ["seq"], op_col="op"
+        ).collect()
+    )
+
+
+def _batch_twin(spark, all_rows):
+    return sorted(
+        (r.k, r.seq, r.val)
+        for r in merge_latest(
+            _changes(spark, all_rows), ["k"], ["seq"], op_col="op"
+        ).collect()
+    )
+
+
+# the three epochs every loop test drives: inserts; updates + a delete;
+# a re-insert after delete plus a fresh key
+E0 = [(1, 10, "U", "a0"), (2, 10, "U", "b0"), (3, 10, "U", "c0")]
+E1 = [(1, 20, "U", "a1"), (3, 20, "D", None), (4, 20, "U", "d0")]
+E2 = [(3, 30, "U", "c1"), (5, 30, "U", "e0"), (2, 5, "U", "stale")]
+
+
+def _drop(spark, table):
+    spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+
+
+def test_upsert_loop_end_to_end(spark, tmp_path):
+    table = _table()
+    src = str(tmp_path / "src")
+    for i, ep in enumerate((E0, E1, E2)):
+        _changes(spark, ep).coalesce(1).write.mode("append").parquet(src)
+    files = sorted(
+        (f for f in os.listdir(src) if f.startswith("part-")),
+        key=lambda f: os.stat(os.path.join(src, f)).st_mtime,
+    )
+    import time as _t
+
+    base = _t.time()
+    for i, f in enumerate(files):
+        os.utime(os.path.join(src, f), (base, base + 2.0 * i))
+    try:
+        stream = read_file_stream(
+            spark, src, _changes(spark, E0).schema, time_col=None,
+            watermark=None, max_files_per_trigger=1,
+        )
+        q = run_upsert_ingest(
+            stream,
+            checkpoint_location=str(tmp_path / "ckpt"),
+            available_now=True,
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=str(tmp_path / "commits"),
+        )
+        q.awaitTermination()
+        got = _snap_rows(spark, table)
+        assert got == _batch_twin(spark, E0 + E1 + E2)
+        # key 3 was deleted in E1 and re-inserted in E2; key 2's E2 row
+        # is STALE (seq 5 < 10) and must lose
+        as_map = {k: (s, v) for k, s, v in [(r[0], r[1], r[2]) for r in got]}
+        assert as_map[3] == (30, "c1")
+        assert as_map[2] == (10, "b0")
+        # stale row is IN the log (append-only), loses only in the view
+        log = spark.table(f"{table}_log")
+        assert log.filter("k = 2 AND seq = 5").count() == 1
+        # epoch column stamps provenance
+        assert log.select("_epoch").distinct().count() == 3
+    finally:
+        _drop(spark, table)
+
+
+def test_snapshot_plan_has_no_exchange(spark, tmp_path):
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(table=table, key_cols=["k"], seq_cols=["seq"])
+        fn(_changes(spark, E0), 0)
+        fn(_changes(spark, E1), 1)
+        plan = (
+            read_upsert_snapshot(spark, table, ["k"], ["seq"], op_col="op")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        _drop(spark, table)
+
+
+def test_intra_batch_versions_equal_sequential_feed(spark, tmp_path):
+    # three versions of key 7 inside ONE batch: the view must pick the
+    # latest, exactly as if they had arrived one per batch
+    rows = [(7, 1, "U", "v1"), (7, 3, "U", "v3"), (7, 2, "U", "v2"),
+            (8, 1, "U", "w1")]
+    t_one, t_seq = _table(), _table()
+    try:
+        make_upsert_batch_fn(table=t_one, key_cols=["k"], seq_cols=["seq"])(
+            _changes(spark, rows), 0
+        )
+        fn = make_upsert_batch_fn(table=t_seq, key_cols=["k"], seq_cols=["seq"])
+        for i, r in enumerate(rows):
+            fn(_changes(spark, [r]), i)
+        assert _snap_rows(spark, t_one) == _snap_rows(spark, t_seq)
+        assert dict(
+            (k, v) for k, _s, v in _snap_rows(spark, t_one)
+        )[7] == "v3"
+    finally:
+        _drop(spark, t_one)
+        _drop(spark, t_seq)
+
+
+def test_compaction_preserves_view_drops_tombstones(spark, tmp_path):
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
+        for i, ep in enumerate((E0, E1, E2)):
+            fn(_changes(spark, ep), i)
+        before = _snap_rows(spark, table)
+        n_files = compact_upsert_log(
+            spark, table, ["k"], ["seq"], op_col="op"
+        )
+        assert _snap_rows(spark, table) == before
+        log = spark.table(f"{table}_log")
+        # exactly one row per live key; superseded versions and the E1
+        # tombstone for key 3 are gone
+        assert log.count() == len(before)
+        assert log.filter("op = 'D'").count() == 0
+        assert n_files <= 32
+        # the loop keeps working after a compaction: another epoch
+        fn(_changes(spark, [(6, 40, "U", "f0"), (1, 40, "D", None)]), 3)
+        assert _snap_rows(spark, table) == _batch_twin(
+            spark, E0 + E1 + E2 + [(6, 40, "U", "f0"), (1, 40, "D", None)]
+        )
+    finally:
+        _drop(spark, table)
+
+
+def test_committed_epoch_replay_is_noop(spark, tmp_path):
+    table = _table()
+    commits = str(tmp_path / "commits")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_changes(spark, E0), 0)
+        n = spark.table(f"{table}_log").count()
+        fn(_changes(spark, E0), 0)  # replay of a committed epoch
+        assert spark.table(f"{table}_log").count() == n
+    finally:
+        _drop(spark, table)
+
+
+def test_crash_before_first_commit_rolls_back_whole_log(spark, tmp_path):
+    table = _table()
+    commits = str(tmp_path / "commits")
+    try:
+        # loop start: init snapshot records "no log yet"
+        recover_upsert_ingest(spark, table=table, commit_log_dir=commits)
+        # crash DURING epoch 0: the append happened, the commit didn't —
+        # simulated by writing the log directly, bypassing the commit
+        from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+        write_bucketed(
+            _changes(spark, E0).withColumn("_epoch", F.lit(0)),
+            f"{table}_log", ["k"], 32, align=True,
+        )
+        rep = recover_upsert_ingest(spark, table=table, commit_log_dir=commits)
+        assert not spark.catalog.tableExists(f"{table}_log"), rep
+        # the replayed epoch then runs clean
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_changes(spark, E0), 0)
+        assert _snap_rows(spark, table) == _batch_twin(spark, E0)
+    finally:
+        _drop(spark, table)
+
+
+def test_crash_mid_epoch_recovers_to_last_commit(spark, tmp_path):
+    table = _table()
+    commits = str(tmp_path / "commits")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_changes(spark, E0), 0)
+        committed = _snap_rows(spark, table)
+        # crash mid-epoch-1: files appended, no commit marker
+        from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+        write_bucketed(
+            _changes(spark, E1).withColumn("_epoch", F.lit(1)),
+            f"{table}_log", ["k"], 32, mode="append", align=True,
+        )
+        rep = recover_upsert_ingest(spark, table=table, commit_log_dir=commits)
+        assert rep["orphans_deleted"], rep
+        spark.catalog.refreshTable(f"{table}_log")
+        assert _snap_rows(spark, table) == committed
+        # replay epoch 1, then epoch 2 — final state == a clean run
+        fn(_changes(spark, E1), 1)
+        fn(_changes(spark, E2), 2)
+        assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
+    finally:
+        _drop(spark, table)
+
+
+def test_compaction_mid_swap_crash_recovers(spark, tmp_path):
+    table = _table()
+    log = f"{table}_log"
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
+        for i, ep in enumerate((E0, E1)):
+            fn(_changes(spark, ep), i)
+        before = _snap_rows(spark, table)
+        # simulate the DROP→RENAME crash window: the compacted tmp table
+        # is complete on disk, the original name is unbound
+        from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+        live = merge_latest(
+            spark.table(log), ["k"], ["seq"], op_col="op"
+        ).localCheckpoint(eager=True)
+        write_bucketed(live, f"{log}__compacting", ["k"], 32, align=True)
+        spark.sql(f"DROP TABLE {log}")
+        # next compaction entry heals the binding first
+        compact_upsert_log(spark, table, ["k"], ["seq"], op_col="op")
+        assert _snap_rows(spark, table) == before
+    finally:
+        _drop(spark, table)
