@@ -979,28 +979,32 @@ def nb_quality_classifier(
 
     Output: ``(doc_id, n_tokens, label_hi, score, pred_hi)``.
 
-    Scale shape: one token explode feeding (a) a per-doc hash-agg for
-    the label, (b) a per-token hash-agg for the two class counts (model
-    parameters — vocabulary-sized, broadcast back). The label joins the
-    token stream on doc_id (one corpus-sized shuffle), the weight table
-    joins on token (AQE broadcasts it), and the final per-doc agg is the
-    only other corpus-sized shuffle. Nothing iterates or collects; the
-    "training" is a single aggregation pass, which is what makes the
-    bootstrap viable at 100 TB. Determinism: counts are integers, the
-    log-odds expression tree matches the oracle's op-for-op, and only
-    per-doc sum order differs — absorbed by the round (dsir precedent).
+    Scale shape: the seed label is a MAP-SIDE expression (distinct count
+    over the doc's own token array rides the explode — no per-doc
+    aggregation, no label join-back), so the whole op is one labeled
+    token explode feeding (a) a per-token hash-agg for the two class
+    counts (model parameters — vocabulary-sized, broadcast back) and
+    (b) the final per-doc agg — exactly two corpus-sized shuffles.
+    Nothing iterates or collects; the "training" is a single
+    aggregation pass, which is what makes the bootstrap viable at
+    100 TB. Determinism: counts are integers, the log-odds expression
+    tree matches the oracle's op-for-op, and only per-doc sum order
+    differs — absorbed by the round (dsir precedent).
     """
-    toks = df.select(
+    # the seed label is computable MAP-SIDE from the token array
+    # (distinct count over a ~doc-length array is a per-row expression),
+    # so it rides the explode instead of costing a per-doc aggregation
+    # plus a corpus-sized join-back — two shuffles the first version of
+    # this operator paid for nothing
+    toks_arr = F.filter(word_tokens(text_col), lambda w: w != "")
+    lab_toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_tokens(text_col)).alias("_w"),
-    ).filter(F.col("_w") != "")
-    labels = toks.groupBy("doc_id").agg(
         (
-            F.lit(ttr_den) * F.countDistinct("_w")
-            >= F.lit(ttr_num) * F.count(F.lit(1))
-        ).alias("label_hi")
+            F.lit(ttr_den) * F.size(F.array_distinct(toks_arr))
+            >= F.lit(ttr_num) * F.size(toks_arr)
+        ).alias("label_hi"),
+        F.explode(toks_arr).alias("_w"),
     )
-    lab_toks = toks.join(labels, "doc_id")
     counts = lab_toks.groupBy("_w").agg(
         F.sum(F.when(F.col("label_hi"), 1).otherwise(0)).alias("_chi"),
         F.sum(F.when(F.col("label_hi"), 0).otherwise(1)).alias("_clo"),
