@@ -536,6 +536,22 @@ def build_lsh_index(
     a corpus-sized VECTOR frame to share one scan would pin the whole
     corpus in executor memory) plus an exchange-free groupBy on the
     written bands table; amortized over every subsequent ingest batch.
+
+    **Size ``bits``/``bands`` to the corpus's cluster structure.** The
+    band key is ``bits/bands`` bits wide; with the 16/4 default that is
+    4 bits (16 values), and a corpus whose vectors form tight clusters
+    collides ENTIRE clusters into single band buckets — candidate
+    volume then grows quadratically in cluster size and the verify
+    stage pays for every pair (measured on a 100 k-vector fixture with
+    a 10 k hot cluster: 25 k-batch candidates dropped 7.8× — 163 M →
+    20.9 M, candidate-stage wall 10.7× — going 16/4 → 32/4,
+    STRESS_r07_newops.json). Wider keys
+    keep genuinely near-identical vectors colliding (the match target)
+    while merely-correlated clusters separate; match recall for
+    threshold-θ pairs is ``1-(1-p^(bits/bands))^bands`` with
+    ``p = 1 - acos(θ)/π``, so width trades candidate volume against
+    recall — at 0.9 and 32/4, ~0.75 per pair and ~1.0 for exact
+    duplicates, the dedup regime the ingest loop runs in.
     """
     from stream_sentinel_spark.sources.bucketing import write_bucketed, write_plain
 
