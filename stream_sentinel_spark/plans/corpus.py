@@ -6682,8 +6682,10 @@ def x95(spark, sf):
     by any 5-token window whose content occurs more than once in the
     corpus, keeping the globally first occurrence (rank over
     (doc_id, pos)). The destructive counterpart to x83's span-dup
-    SCORING — this is the op that actually ships cleaned text. Rank-
-    over-window-hash replaces the naive quadratic window self-join; the
+    SCORING — this is the op that actually ships cleaned text. First
+    occurrences come from a partial-aggregable hash-agg (count +
+    min(struct(doc_id,pos)) — no window function, no per-hash sort of
+    the inventory), replacing the naive quadratic window self-join; the
     heavy object is the linear (hash, doc, pos) inventory. Non-vacuous
     at every SF (probed: 30/36 docs touched, 14 planted verbatim dups
     fully excised to '', at sf0.001/0.01). Everything is integer/string
