@@ -131,12 +131,12 @@ def query(name: str, oracle: str | None = None):
 # 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
 #    bootstrapped NB quality classifier, duplicated-span excision);
 #    unproven entries must hold gate slots (the rotation invariant);
-# 6) 38 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 6) 37 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
 #    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
-#    x53_ewma_user_value, x57_resample_fill, x58_cusum_drift,
-#    x64_shard_column_stats and x67_linear_trend are the eight r04
-#    rows that don't fit the 50 slots — all are pure
+#    x49_event_transitions, x53_ewma_user_value, x57_resample_fill,
+#    x58_cusum_drift, x64_shard_column_stats and x67_linear_trend
+#    are the nine r04 rows that don't fit the 50 slots — all are pure
 #    relational/diagnostic plans whose construction is unchanged since
 #    r04 (x54 shares dedup.py with the gated x02/x70); all locally
 #    oracle-proven every run; re-front next round.
@@ -165,6 +165,10 @@ _DRIVER_PRIORITY = [
     # x64's slot — x64 shares curation.py's shard machinery with the
     # gated x45_shard_manifest; plan construction unchanged since r04
     "x97_streaming_upsert",
+    # x98 (frame-sampling plumbing — the multimodal flatMap shape)
+    # takes x49's slot — x49 shares analytics.py with the gated
+    # x46/x48; plan construction unchanged since r04
+    "x98_frame_sampling",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -192,7 +196,6 @@ _DRIVER_PRIORITY = [
     "x45_shard_manifest",
     "x46_pagerank_handoff",
     "x48_retention_cohorts",
-    "x49_event_transitions",
     "x50_inverted_index",
     "x51_pmi_collocations",
     "x52_language_rebalance",
@@ -6985,3 +6988,64 @@ def x97(spark, sf):
         spark.sql(f"DROP TABLE IF EXISTS {table}_log")
         spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
     return rows
+
+
+@query(
+    "x98_frame_sampling",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text AS t, strlen(text) AS L
+      FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+    p AS (
+      SELECT media_id, t, L,
+             least(8, greatest(1, (L * 10) // 1000)) AS n
+      FROM m),
+    s AS (SELECT media_id, t, L, n, greatest(1, L // n) AS step FROM p)
+    SELECT media_id,
+           CAST(r.i AS INT) AS frame_idx,
+           CAST(r.i * 1000 AS BIGINT) AS frame_ms,
+           CAST(strlen(substr(t, CAST(r.i * step + 1 AS INT),
+                              CAST(step AS INT))) AS BIGINT) AS n_bytes,
+           md5(substr(t, CAST(r.i * step + 1 AS INT),
+                      CAST(step AS INT))) AS frame_md5
+    FROM s, LATERAL unnest(range(0, n)) AS r(i)
+    """,
+)
+def x98(spark, sf):
+    """Video FRAME SAMPLING plumbing in the gate (the multimodal
+    family's flatMap shape — x10 proved the 1:1 feature extraction,
+    this proves the 1:N expansion): `multimodal.sample_frames` runs the
+    real mapInPandas kernel — Arrow batches in, one frame row per
+    ``every_ms`` of (fake) duration out, rows staying in their input
+    partition — over the synthesized media frame (payload = utf-8 text
+    bytes, kind round-robin by id; only the `video` third produces
+    output). The decode itself is the documented deterministic STUB
+    (`fake=True`; the real path is the NotImplementedError capability
+    gate — no video codec in this container), which makes every frame
+    boundary pure byte arithmetic: duration = 10 ms/byte, n =
+    min(8, max(1, duration // 1000)), step = len // n, frame i =
+    payload[i·step : i·step+step]. The oracle reproduces exactly that
+    slicing over the ASCII payload in SQL and md5s each frame — binary
+    md5 engine-side ≡ substring md5 oracle-side on ASCII. Frames are
+    projected to (idx, ms, n_bytes, md5) scalars so the compare is
+    canonical.
+
+    Scale shape: mapInPandas flatMap — map-only, no shuffle, no
+    driver involvement; fan-out is bounded (≤ max_frames per row) so
+    partition skew is capped at 8×; at 100 TB the payload column prunes
+    away for any downstream op that doesn't select it."""
+    from stream_sentinel_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+    frames = multimodal.sample_frames(
+        media, every_ms=1000, max_frames=8, fake=True
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("frame_md5"),
+    )
