@@ -131,12 +131,13 @@ def query(name: str, oracle: str | None = None):
 # 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
 #    bootstrapped NB quality classifier, duplicated-span excision);
 #    unproven entries must hold gate slots (the rotation invariant);
-# 6) 37 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 6) 36 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
 #    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
 #    x49_event_transitions, x53_ewma_user_value, x57_resample_fill,
-#    x58_cusum_drift, x64_shard_column_stats and x67_linear_trend
-#    are the nine r04 rows that don't fit the 50 slots — all are pure
+#    x58_cusum_drift, x64_shard_column_stats, x67_linear_trend and
+#    x72_collapse_consecutive are the ten r04 rows that don't fit
+#    the 50 slots — all are pure
 #    relational/diagnostic plans whose construction is unchanged since
 #    r04 (x54 shares dedup.py with the gated x02/x70); all locally
 #    oracle-proven every run; re-front next round.
@@ -169,6 +170,11 @@ _DRIVER_PRIORITY = [
     # takes x49's slot — x49 shares analytics.py with the gated
     # x46/x48; plan construction unchanged since r04
     "x98_frame_sampling",
+    # x99 (image-resize plumbing — the multimodal 1:1 payload
+    # transform, completing the family's gate coverage) takes x72's
+    # slot — x72's consecutive-run collapse shares text.py/curation.py
+    # with the heavily-gated curation family; unchanged since r04
+    "x99_image_resize",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -209,7 +215,6 @@ _DRIVER_PRIORITY = [
     "x69_corpus_datasheet",
     "x70_containment_neardups",
     "x71_bigram_logprob",
-    "x72_collapse_consecutive",
     "x73_quality_tiles",
     "x74_bpe_merge_step",
     "x75_bpe_apply",
@@ -7048,4 +7053,61 @@ def x98(spark, sf):
         "frame_ms",
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.md5("payload").alias("frame_md5"),
+    )
+
+
+@query(
+    "x99_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             text AS t
+      FROM documents)
+    SELECT media_id, kind,
+           CAST(CASE WHEN kind = 'image' THEN 64 END AS INT) AS width,
+           CAST(CASE WHEN kind = 'image' THEN 64 END AS INT) AS height,
+           CAST(CASE WHEN kind = 'image' THEN 4096
+                     ELSE strlen(t) END AS BIGINT) AS resized_bytes,
+           md5(CASE WHEN kind = 'image'
+                    THEN substr(repeat(t, CAST(4096 // strlen(t) + 1 AS INT)),
+                                1, 4096)
+                    ELSE t END) AS payload_md5
+    FROM m
+    """,
+)
+def x99(spark, sf):
+    """Image RESIZE plumbing in the gate — the multimodal family's 1:1
+    payload-transform shape, completing the family's gate coverage
+    (x10 decode/feature-extract, x98 frame-sample, this resize):
+    `multimodal.resize_images` runs its real mapInPandas kernel — Arrow
+    batches, partition-preserving, payload replaced IN PLACE so
+    downstream size is bounded by the target dims — over synthesized
+    media; image rows resize to 64×64, non-image rows pass through
+    untouched with NULL dims (the passthrough is part of the contract
+    and the oracle checks it). Decode/encode is the documented
+    deterministic stub (`fake=True`; the real Pillow path is the
+    NotImplementedError capability gate, import-probed at plan BUILD
+    time, not mid-query): output = the payload tiled to width·height
+    bytes — which the oracle reproduces as repeat+substr over the ASCII
+    payload and md5s, same discipline as x98.
+
+    Scale shape: map-only, no shuffle, no driver involvement; the
+    payload column prunes for any downstream op not selecting it, and
+    post-resize size is capped at width·height per row regardless of
+    source size — the property that makes resize-early the right
+    pipeline order at 100 TB."""
+    from stream_sentinel_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+    resized = multimodal.resize_images(media, width=64, height=64, fake=True)
+    return resized.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "resized_bytes",
+        F.md5("payload").alias("payload_md5"),
     )

@@ -27,6 +27,7 @@ from stream_sentinel_spark.streaming.relational import dedup_events, interval_jo
 from stream_sentinel_spark.streaming.state import stateful_alerts
 from stream_sentinel_spark.streaming.upsert import (
     compact_upsert_log,
+    read_upsert_history,
     read_upsert_snapshot,
     recover_upsert_ingest,
     run_upsert_ingest,
@@ -43,6 +44,7 @@ __all__ = [
     "parse_events",
     "read_file_stream",
     "read_kafka_stream",
+    "read_upsert_history",
     "read_upsert_snapshot",
     "recover_upsert_ingest",
     "run_available_now",

@@ -86,6 +86,37 @@ def read_upsert_snapshot(
     )
 
 
+def read_upsert_history(
+    spark: SparkSession,
+    table: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The SCD2 HISTORY view over the same log: because the log IS the
+    change history, type-2 validity intervals fall out as a second read
+    of the identical storage (``cdc.scd2`` over the bucketed log — the
+    key window again plans without an Exchange). One loop, two views:
+    ``read_upsert_snapshot`` answers "what is current", this answers
+    "what was true as of seq S" (filter
+    ``valid_from <= S AND (valid_to IS NULL OR valid_to > S)``).
+
+    History horizon = compaction cadence: ``compact_upsert_log``
+    rewrites the log to live rows only, truncating history before the
+    compaction point — exactly the Hudi/Iceberg expire-snapshots
+    trade (retention is the compaction schedule, documented, not an
+    accident). Run history reads before compacting, or compact on the
+    retention boundary."""
+    from stream_sentinel_spark.operators.cdc import scd2
+
+    return scd2(
+        spark.table(_log_table(table)).drop("_epoch"),
+        list(key_cols), seq_col, list(attr_cols),
+        tiebreak_cols=list(tiebreak_cols) if tiebreak_cols else None,
+    )
+
+
 def compact_upsert_log(
     spark: SparkSession,
     table: str,

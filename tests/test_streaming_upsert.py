@@ -267,3 +267,49 @@ def test_compaction_mid_swap_crash_recovers(spark, tmp_path):
         assert _snap_rows(spark, table) == before
     finally:
         _drop(spark, table)
+
+
+def test_history_view_scd2_over_log(spark, tmp_path):
+    from stream_sentinel_spark.operators.cdc import scd2
+    from stream_sentinel_spark.streaming.upsert import read_upsert_history
+
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
+        for i, ep in enumerate((E0, E1, E2)):
+            fn(_changes(spark, ep), i)
+        hist = read_upsert_history(
+            spark, table, ["k"], "seq", ["op", "val"]
+        )
+        # the log IS the change history: the view equals scd2 over the
+        # full change set directly
+        want = scd2(
+            _changes(spark, E0 + E1 + E2), ["k"], "seq", ["op", "val"]
+        )
+        assert hist.exceptAll(want).count() == 0
+        assert want.exceptAll(hist).count() == 0
+        # as-of seq 25 (after E1, before E2): key 3 is a tombstone, key
+        # 1 carries its E1 update, key 2 its E0 insert
+        asof = {
+            r.k: (r.op, r.val)
+            for r in hist.filter(
+                "valid_from <= 25 AND (valid_to IS NULL OR valid_to > 25)"
+            ).collect()
+        }
+        assert asof[3] == ("D", None)
+        assert asof[1] == ("U", "a1")
+        assert asof[2] == ("U", "b0")
+        # the key window over the bucketed log plans without an Exchange
+        plan = hist._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # compaction truncates history to the live rows — the documented
+        # retention trade
+        compact_upsert_log(spark, table, ["k"], ["seq"], op_col="op")
+        n_hist = read_upsert_history(
+            spark, table, ["k"], "seq", ["op", "val"]
+        ).count()
+        assert n_hist == len(_snap_rows(spark, table))
+    finally:
+        _drop(spark, table)
