@@ -131,13 +131,13 @@ def query(name: str, oracle: str | None = None):
 # 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
 #    bootstrapped NB quality classifier, duplicated-span excision);
 #    unproven entries must hold gate slots (the rotation invariant);
-# 6) 36 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 6) 35 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
 #    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
 #    x49_event_transitions, x53_ewma_user_value, x57_resample_fill,
-#    x58_cusum_drift, x64_shard_column_stats, x67_linear_trend and
-#    x72_collapse_consecutive are the ten r04 rows that don't fit
-#    the 50 slots — all are pure
+#    x58_cusum_drift, x59_benford_profile, x64_shard_column_stats,
+#    x67_linear_trend and x72_collapse_consecutive are the eleven
+#    r04 rows that don't fit the 50 slots — all are pure
 #    relational/diagnostic plans whose construction is unchanged since
 #    r04 (x54 shares dedup.py with the gated x02/x70); all locally
 #    oracle-proven every run; re-front next round.
@@ -175,6 +175,10 @@ _DRIVER_PRIORITY = [
     # slot — x72's consecutive-run collapse shares text.py/curation.py
     # with the heavily-gated curation family; unchanged since r04
     "x99_image_resize",
+    # x100 (streaming sliding windows — the third and last T5 window
+    # shape, completing the streaming trio with x90/x93) takes x59's
+    # slot — x59 is a pure relational diagnostic; unchanged since r04
+    "x100_streaming_sliding_windows",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -205,7 +209,6 @@ _DRIVER_PRIORITY = [
     "x50_inverted_index",
     "x51_pmi_collocations",
     "x52_language_rebalance",
-    "x59_benford_profile",
     "x60_cusum_rule",
     "x62_hll_merge_rollup",
     "x63_zorder_layout",
@@ -7111,3 +7114,70 @@ def x99(spark, sf):
         "resized_bytes",
         F.md5("payload").alias("payload_md5"),
     )
+
+
+@query(
+    "x100_streaming_sliding_windows",
+    """
+    WITH offsets AS (SELECT unnest([0, 1]) AS off),
+    assigned AS (
+      SELECT COALESCE(CAST(user_id AS VARCHAR), '__unknown__') AS k,
+             ((epoch_ms(ts) - off * 10800000) // 21600000) * 21600000
+               + off * 10800000 AS window_start_ms
+      FROM events, offsets
+      WHERE (epoch_ms(ts) - off * 10800000) >= 0)
+    SELECT k, window_start_ms, window_start_ms + 21600000 AS window_end_ms,
+           COUNT(*) AS n
+    FROM assigned GROUP BY k, window_start_ms
+    """,
+)
+def x100(spark, sf):
+    """Streaming SLIDING-WINDOW aggregation inside the gate — the last
+    of T5's three window shapes without a streaming gate row (x90
+    tumbling, x93 session, this one overlapping): the same
+    `window(duration, slide)` plan as q24 (operators/windows.py:
+    sliding_counts — each event lands in duration/slide = 2 overlapping
+    windows inside ONE hash aggregation, no explode in the plan)
+    executed over a file stream in complete output mode against q24's
+    oracle verbatim. Same drain discipline as x90: complete mode
+    re-emits the whole result per trigger and cannot drive the parquet
+    sink, so the single availableNow emission goes through foreachBatch
+    → parquet and the driver stays row-free.
+
+    Scale shape: one shuffle keyed by (k, window); streaming state is
+    one row per open (key, window) pair — bounded by slide cadence ×
+    key cardinality, and in complete mode by the result size itself.
+    Reference anchor: SURVEY §2.5 T5's streaming half, third shape."""
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.functions.coercion import key_column
+    from stream_sentinel_spark.operators.windows import sliding_counts
+    from stream_sentinel_spark.streaming import read_file_stream
+
+    ev = _t(spark, sf, "events")
+    tmp = tempfile.mkdtemp(prefix="ss_x100_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x100_out_")
+    try:
+        ev.coalesce(1).write.parquet(f"{tmp}/ev")
+        stream = read_file_stream(
+            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
+        )
+        agg = sliding_counts(
+            stream, key_column(stream, "user_id"), "ts", "6 hours", "3 hours"
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("overwrite").parquet(
+                    f"{out_dir}/windows"
+                )
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(f"{out_dir}/windows")
