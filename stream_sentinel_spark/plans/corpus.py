@@ -131,13 +131,14 @@ def query(name: str, oracle: str | None = None):
 # 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
 #    bootstrapped NB quality classifier, duplicated-span excision);
 #    unproven entries must hold gate slots (the rotation invariant);
-# 6) 35 of the 46 latest-green=r04 rows (q25-q54 relational tails,
+# 6) 34 of the 46 latest-green=r04 rows (q25-q54 relational tails,
 #    x43-x77 curation/analytics/sketch families, x02/x22/x70).
 #    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
-#    x49_event_transitions, x53_ewma_user_value, x57_resample_fill,
-#    x58_cusum_drift, x59_benford_profile, x64_shard_column_stats,
-#    x67_linear_trend and x72_collapse_consecutive are the eleven
-#    r04 rows that don't fit the 50 slots — all are pure
+#    x44_random_projection, x49_event_transitions, x53_ewma_user_value,
+#    x57_resample_fill, x58_cusum_drift, x59_benford_profile,
+#    x64_shard_column_stats, x67_linear_trend and
+#    x72_collapse_consecutive are the twelve r04 rows that don't fit
+#    the 50 slots — all are pure
 #    relational/diagnostic plans whose construction is unchanged since
 #    r04 (x54 shares dedup.py with the gated x02/x70); all locally
 #    oracle-proven every run; re-front next round.
@@ -179,6 +180,11 @@ _DRIVER_PRIORITY = [
     # shape, completing the streaming trio with x90/x93) takes x59's
     # slot — x59 is a pure relational diagnostic; unchanged since r04
     "x100_streaming_sliding_windows",
+    # x101 (composed curation DAG v2 — this round's operators chained
+    # as one lazy plan, x85's discipline) takes x44's slot — x44's
+    # random projection shares similarity.py with the heavily-gated
+    # embedding family (x06/x07/x20/x96); unchanged since r04
+    "x101_curation_dag2",
     # --- stalest (latest green = r03, the promised re-front) ---
     "x41_boilerplate_removal",
     "x42_c4_filters",
@@ -202,7 +208,6 @@ _DRIVER_PRIORITY = [
     "x02_dedup_ngram_jaccard",
     "x22_sketch_metrics",
     "x43_unigram_logprob",
-    "x44_random_projection",
     "x45_shard_manifest",
     "x46_pagerank_handoff",
     "x48_retention_cohorts",
@@ -7181,3 +7186,151 @@ def x100(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(f"{out_dir}/windows")
+
+
+_X101_DAG_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    t AS (SELECT doc_id, w FROM toks WHERE w != ''),
+    labels AS (
+      SELECT doc_id, 50 * COUNT(DISTINCT w) >= 21 * COUNT(*) AS label_hi
+      FROM t GROUP BY 1),
+    lt AS (SELECT t.doc_id, t.w, labels.label_hi FROM t JOIN labels USING (doc_id)),
+    counts AS (
+      SELECT w,
+             SUM(CASE WHEN label_hi THEN 1 ELSE 0 END) AS chi,
+             SUM(CASE WHEN label_hi THEN 0 ELSE 1 END) AS clo
+      FROM lt GROUP BY 1),
+    totals AS (SELECT SUM(chi) AS h, SUM(clo) AS l, COUNT(*) AS v FROM counts),
+    weights AS (
+      SELECT w, (ln(chi + 1) - ln(h + v)) - (ln(clo + 1) - ln(l + v)) AS lw
+      FROM counts, totals),
+    scored AS (
+      SELECT lt.doc_id, round(AVG(weights.lw), 6) + 0.0 AS score
+      FROM lt JOIN weights USING (w) GROUP BY 1),
+    surv AS (SELECT doc_id FROM scored WHERE score > 0),
+    -- stage 2: duplicated-span excision WITHIN the survivor set (x95's
+    -- construction verbatim, input restricted to surv)
+    d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents JOIN surv USING (doc_id)),
+    tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS r(i)),
+    win AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+4], chr(31))) AS wh
+      FROM d, LATERAL unnest(range(1, len(toks) - 3)) AS r(i)),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY wh) AS cnt
+      FROM win),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o AS pos
+      FROM ranked, LATERAL unnest(range(0, 5)) AS u(o)
+      WHERE cnt > 1 AND rk > 1),
+    kept AS (
+      SELECT t2.doc_id, t2.pos, t2.tok
+      FROM tok t2 LEFT JOIN covered c USING (doc_id, pos)
+      WHERE c.pos IS NULL),
+    cleaned AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1),
+    -- stage 3: exact dedup on the CLEANED text, min-id survivor
+    deduped AS (
+      SELECT doc_id, n_kept FROM (
+        SELECT doc_id, n_kept,
+               MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS keep_id
+        FROM cleaned)
+      WHERE doc_id = keep_id),
+    -- stages 4+5: md5-bucket split + per-(split, shard) manifest
+    routed AS (
+      SELECT doc_id, n_kept,
+             CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 500 THEN 'val'
+                  WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10000 < 1000 THEN 'test'
+                  ELSE 'train' END AS split,
+             CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS sb
+      FROM deduped)
+    SELECT split, CAST(sb % 8 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_kept) AS BIGINT) AS n_tokens,
+           CAST(SUM(sb) AS BIGINT) AS checksum,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM routed GROUP BY 1, 2
+"""
+
+
+@query("x101_curation_dag2", _X101_DAG_ORACLE)
+def x101(spark, sf):
+    """The round-7 composed frontier entry — x85's discipline applied to
+    THIS round's operators, chained lazily so Catalyst sees ONE plan:
+
+    model-based quality gate (x94's bootstrapped NB classifier, keep
+    pred_hi) → duplicated-span EXCISION within the survivor set (x95,
+    k=5 — duplication is defined over what survived the gate, the order
+    a real pipeline uses: don't pay excision for docs the gate drops) →
+    drop fully-excised docs → exact dedup on the CLEANED text (x01's
+    groups — excision can make near-dups exactly equal, so dedup after
+    excision catches strictly more) → md5-bucket 90/5/5 split →
+    per-(split, shard) export manifest (x45's rollup shape: counts,
+    token totals, order-independent checksums).
+
+    No driver materialization between stages; the oracle embeds x94's
+    and x95's SQL verbatim as CTE prefixes (the embed-the-oracle
+    pattern — the DAG cannot drift from its parts) with stage wiring in
+    SQL. Output is the ~24-row manifest: what a training-data export
+    actually hands downstream.
+
+    Scale shape: the heavy stages are the ones already audited in
+    isolation (two corpus-sized shuffles in the classifier, the linear
+    window inventory + partial-agg first-occurrence in the excision);
+    the gate REDUCES the excision input, dedup/split/manifest run on
+    cleaned survivors only. Nothing here adds a shuffle the parts
+    didn't have."""
+    from pyspark.sql import Window as W
+
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents")
+    cls = curation.nb_quality_classifier(docs, "doc_id", "text")
+    kept = docs.join(cls.filter("pred_hi").select("doc_id"), "doc_id")
+    cleaned = curation.excise_duplicated_spans(
+        kept, "doc_id", "text", k=5
+    ).filter(F.col("n_kept") > 0)
+    deduped = (
+        cleaned.withColumn(
+            "keep_id",
+            F.min("doc_id").over(W.partitionBy(F.md5("clean_text"))),
+        )
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_kept")
+    )
+
+    def _b(tag):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+
+    split = (
+        F.when(_b("split") % 10000 < 500, "val")
+        .when(_b("split") % 10000 < 1000, "test")
+        .otherwise("train")
+    )
+    return deduped.groupBy(
+        split.alias("split"), (_b("shard") % 8).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_kept").cast("bigint").alias("n_tokens"),
+        F.sum(_b("shard")).cast("bigint").alias("checksum"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
