@@ -983,7 +983,10 @@ def nb_quality_classifier(
     over the doc's own token array rides the explode — no per-doc
     aggregation, no label join-back), so the whole op is one labeled
     token explode feeding (a) a per-token hash-agg for the two class
-    counts (model parameters — vocabulary-sized, broadcast back) and
+    counts (model parameters — vocabulary-sized, joined back: AQE picks
+    broadcast when the vocabulary fits and degrades to a shuffle join
+    when a web-scale typo/noise tail blows it past the broadcast limit,
+    instead of failing outright on a forced broadcast) and
     (b) the final per-doc agg — exactly two corpus-sized shuffles.
     Nothing iterates or collects; the "training" is a single
     aggregation pass, which is what makes the bootstrap viable at
@@ -1022,8 +1025,13 @@ def nb_quality_classifier(
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "_w", log_odds.alias("_lw")
     )
+    # no forced broadcast on the weights side: the vocabulary is
+    # unbounded on web-scale corpora (typo/noise tail), so a forced
+    # broadcast could exceed the driver/executor limit and fail
+    # outright — AQE broadcasts when the runtime size estimate fits
+    # and falls back to a shuffle join when it doesn't
     return (
-        lab_toks.join(F.broadcast(weights), "_w")
+        lab_toks.join(weights, "_w")
         .groupBy("doc_id", "label_hi")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

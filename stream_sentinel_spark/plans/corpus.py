@@ -7077,7 +7077,10 @@ def x98(spark, sf):
            CAST(CASE WHEN kind = 'image' THEN 64 END AS INT) AS height,
            CAST(CASE WHEN kind = 'image' THEN 4096
                      ELSE strlen(t) END AS BIGINT) AS resized_bytes,
-           md5(CASE WHEN kind = 'image'
+           md5(CASE WHEN kind = 'image' AND strlen(t) = 0
+                    -- _fake_resize's empty-payload branch: 4096 zero bytes
+                    THEN repeat(chr(0), 4096)
+                    WHEN kind = 'image'
                     THEN substr(repeat(t, CAST(4096 // strlen(t) + 1 AS INT)),
                                 1, 4096)
                     ELSE t END) AS payload_md5

@@ -159,15 +159,34 @@ def compact_bucketed(
     return len(spark.table(table).inputFiles())
 
 
-def table_meta(spark: SparkSession, table: str) -> tuple[str, str]:
-    """(type, location) of a catalog table via DESCRIBE FORMATTED —
-    type is ``MANAGED`` or ``EXTERNAL``. Bounded collect (a handful of
-    metadata rows)."""
+def table_info(spark: SparkSession, table: str) -> dict[str, str]:
+    """DESCRIBE FORMATTED as a first-wins dict (``Type``, ``Location``,
+    ``Num Buckets``, …). Bounded collect (a handful of metadata rows)."""
     info: dict[str, str] = {}
     for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         key = (r.col_name or "").strip()
         if key and key not in info:
             info[key] = (r.data_type or "").strip()
+    return info
+
+
+def table_num_buckets(spark: SparkSession, table: str) -> int:
+    """The table's bucket count, with a clear error when the bucket spec
+    is absent (un-bucketed table, or a Spark-version DESCRIBE format
+    drift) instead of an opaque AttributeError on a missing row."""
+    nb = table_info(spark, table).get("Num Buckets", "")
+    if not nb.strip().isdigit():
+        raise ValueError(
+            f"table {table!r} has no bucket spec (DESCRIBE FORMATTED lacks "
+            "'Num Buckets') — expected a table written by write_bucketed"
+        )
+    return int(nb)
+
+
+def table_meta(spark: SparkSession, table: str) -> tuple[str, str]:
+    """(type, location) of a catalog table via DESCRIBE FORMATTED —
+    type is ``MANAGED`` or ``EXTERNAL``."""
+    info = table_info(spark, table)
     return info.get("Type", ""), info.get("Location", "")
 
 

@@ -124,32 +124,59 @@ def compact_upsert_log(
     seq_cols: Sequence[str],
     op_col: str | None = None,
     delete_op: str = "D",
+    keep_since=None,
 ) -> int:
-    """Merge-rewrite the log to exactly the live snapshot rows (latest
-    version per key; superseded versions AND delete tombstones dropped —
-    after the rewrite nothing older remains for a tombstone to mask).
-    Same swap-and-recover discipline as ``compact_bucketed``; the log's
-    content changes but the merged VIEW is preserved (pinned in tests).
-    Returns the post-compaction data-file count (≤ num_buckets)."""
+    """Merge-rewrite the log. With ``keep_since=None`` (the default)
+    the rewrite keeps exactly the live snapshot rows (latest version per
+    key; superseded versions AND delete tombstones dropped — after the
+    rewrite nothing older remains for a tombstone to mask).
+
+    With ``keep_since=S`` (compared against ``seq_cols[0]``) the rewrite
+    is a RETENTION-HORIZON compaction: every version with seq >= S
+    survives verbatim, plus — per key — the latest version with
+    seq < S (the key's state as of the horizon; dropped if it is a
+    tombstone, which masks nothing once everything older is gone). The
+    merged snapshot is identical either way, and ``read_upsert_history``
+    as-of reads at any point >= S are preserved — only history strictly
+    before the horizon is truncated. This is Hudi/Iceberg
+    expire-snapshots with a configured retention point rather than
+    all-or-nothing.
+
+    Same swap-and-recover discipline as ``compact_bucketed``; no
+    lineage pinning is needed — ``write_bucketed`` fully materializes
+    the tmp table before the DROP, so the rewrite's source files outlive
+    every read of it. Returns the post-compaction data-file count
+    (≤ num_buckets)."""
     from stream_sentinel_spark.operators.cdc import merge_latest
     from stream_sentinel_spark.sources.bucketing import (
         recover_compaction,
+        table_num_buckets,
         write_bucketed,
     )
 
     log = _log_table(table)
     recover_compaction(spark, log)
-    num_buckets = spark.sql(f"DESCRIBE FORMATTED {log}").filter(
-        "col_name = 'Num Buckets'"
-    ).head().data_type
+    num_buckets = table_num_buckets(spark, log)
     tmp = f"{log}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-    live = merge_latest(
-        spark.table(log), list(key_cols), list(seq_cols),
-        op_col=op_col, delete_op=delete_op,
-    ).localCheckpoint(eager=True)  # sever lineage from the files the swap drops
+    if keep_since is None:
+        kept = merge_latest(
+            spark.table(log), list(key_cols), list(seq_cols),
+            op_col=op_col, delete_op=delete_op,
+        )
+    else:
+        log_df = spark.table(log)
+        horizon = F.col(seq_cols[0]) >= F.lit(keep_since)
+        # baseline: per-key state as of the horizon (filter on a bucketed
+        # scan preserves its partitioning — the merge window stays
+        # Exchange-free, same plan shape as the snapshot read)
+        baseline = merge_latest(
+            log_df.filter(~horizon), list(key_cols), list(seq_cols),
+            op_col=op_col, delete_op=delete_op,
+        )
+        kept = baseline.unionByName(log_df.filter(horizon))
     write_bucketed(
-        live, tmp, list(key_cols), int(num_buckets), align=True,
+        kept, tmp, list(key_cols), num_buckets, align=True,
     )
     spark.sql(f"DROP TABLE {log}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {log}")
@@ -175,13 +202,25 @@ def make_upsert_batch_fn(
     append. Exposed separately so tests and batch backfills can drive
     epochs without a streaming query — same convention as
     ``make_dedup_ingest_batch_fn``."""
-    from stream_sentinel_spark.sources.bucketing import write_bucketed
+    from stream_sentinel_spark.sources.bucketing import (
+        recover_compaction,
+        write_bucketed,
+    )
 
     log = _log_table(table)
     n_appends = [0]
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Heal a compaction that crashed between DROP and RENAME before
+        # ANY tableExists check: without this, the unbound-log window
+        # would make the append below recreate the log with
+        # mode='overwrite', silently discarding all pre-crash state —
+        # and compact_every WITHOUT commit_log_dir has no other recovery
+        # path (with commit_log_dir, loop-start recovery also heals it,
+        # but a same-process mid-loop compaction failure would not
+        # restart the loop). Idempotent, two catalog lookups.
+        recover_compaction(spark, log)
         if commit_log_dir is not None:
             from stream_sentinel_spark.streaming.exactly_once import (
                 is_epoch_committed,

@@ -12,6 +12,17 @@ from __future__ import annotations
 
 import math
 from collections import defaultdict, deque
+from decimal import Decimal, ROUND_HALF_UP
+
+
+def _jfmt(x, nd):
+    """Java ``String.format("%.<nd>f", double)``: HALF_UP rounding of the
+    double's exact decimal expansion. Python's ``%`` operator rounds
+    half-even and diverges on exact ties (e.g. -0.125 → Java "-0.13",
+    Python "-0.12") — the reference is Java, so the oracle must round
+    like Java (same contract as streaming/state.py _java_fmt)."""
+    q = Decimal(1).scaleb(-nd) if nd > 0 else Decimal(1)
+    return str(Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def simulate(events, rules, key_field="userId"):
@@ -30,8 +41,8 @@ def simulate(events, rules, key_field="userId"):
             if rule.type == "threshold":
                 v = _num(ev.get(rule.field))
                 if v is not None and v > rule.threshold:
-                    details = "Threshold exceeded: %s=%.2f (threshold: %.2f)" % (
-                        rule.field, v, float(rule.threshold))
+                    details = "Threshold exceeded: %s=%s (threshold: %s)" % (
+                        rule.field, _jfmt(v, 2), _jfmt(rule.threshold, 2))
                     alerts.append((rule.name, key, ev["ts"], details, idx))
             elif rule.type == "rate":
                 dq = rate_state[(key, idx)]
@@ -40,8 +51,8 @@ def simulate(events, rules, key_field="userId"):
                     dq.popleft()
                 dq.append(now_ms)
                 if len(dq) > rule.threshold:
-                    details = "Rate spike: %d events in %d seconds (threshold: %.0f)" % (
-                        len(dq), rule.window_seconds, float(rule.threshold))
+                    details = "Rate spike: %d events in %d seconds (threshold: %s)" % (
+                        len(dq), rule.window_seconds, _jfmt(rule.threshold, 0))
                     alerts.append((rule.name, key, ev["ts"], details, idx))
             elif rule.type == "statistical":
                 v = _num(ev.get(rule.field))
@@ -54,8 +65,9 @@ def simulate(events, rules, key_field="userId"):
                     bound = 0.0 if sd == 0 else rule.deviation_factor * sd
                     if abs(v - mean) > bound:
                         details = (
-                            "Statistical outlier: %s=%.2f (mean=%.2f, stddev=%.2f, factor=%.1f)"
-                            % (rule.field, v, mean, sd, rule.deviation_factor)
+                            "Statistical outlier: %s=%s (mean=%s, stddev=%s, factor=%s)"
+                            % (rule.field, _jfmt(v, 2), _jfmt(mean, 2),
+                               _jfmt(sd, 2), _jfmt(rule.deviation_factor, 1))
                         )
                         alerts.append((rule.name, key, ev["ts"], details, idx))
                 dq.append(v)

@@ -213,3 +213,32 @@ def test_compaction_resets_files_and_preserves_matches(spark, frames):
             spark.sql(f"DROP TABLE IF EXISTS emb_cmp_{suffix}")
         spark.sql("DROP TABLE IF EXISTS emb_cmp_bands__compacting")
         spark.sql("DROP TABLE IF EXISTS emb_cmp_vecs__compacting")
+
+
+def test_hot_bucket_build_warning(spark, frames):
+    """build_lsh_index warns when the hottest band bucket exceeds the
+    bound (the round-7 stress's measured 163M-candidate cliff at 16/4
+    on clustered corpora), and stays silent above the bound or when
+    disabled."""
+    import warnings as _w
+
+    old, _ = frames
+    try:
+        # sf0.001 has ~dozens of vectors per band bucket at 4-bit keys;
+        # a bound of 1 must fire, the 10k default must not
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            build_lsh_index(old, "emb_hot", hot_bucket_warn=1)
+        msgs = [str(r.message) for r in rec if r.category is UserWarning]
+        assert any("hottest band bucket" in m for m in msgs), msgs
+        for s in ("bands", "vecs", "bandstats", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_hot_{s}")
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            build_lsh_index(old, "emb_hot")  # default 10_000: silent
+        assert not any(
+            "hottest band bucket" in str(r.message) for r in rec
+        )
+    finally:
+        for s in ("bands", "vecs", "bandstats", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_hot_{s}")

@@ -9,6 +9,7 @@ batch plan must agree with the deque semantics on ANY input.
 from __future__ import annotations
 
 import json
+import os
 from datetime import datetime, timedelta, timezone
 
 import pytest
@@ -80,9 +81,7 @@ event_strategy = st.tuples(
 )
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
-@given(st.lists(event_strategy, min_size=1, max_size=40))
-def test_random_corpus_parity(spark, raw_events):
+def _run_corpus_parity(spark, raw_events):
     # distinct per-key timestamps: offset each duplicate (key, second) by
     # a unique ms so arrival order is total (SURVEY §7.4.4 ties caveat)
     seen: dict = {}
@@ -110,3 +109,29 @@ def test_random_corpus_parity(spark, raw_events):
     ]
     expected = simulate(sim_events, rules)
     assert got == expected
+
+
+@settings(
+    max_examples=int(os.environ.get("PARITY_MAX_EXAMPLES", "15")),
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(event_strategy, min_size=1, max_size=40))
+def test_random_corpus_parity(spark, raw_events):
+    _run_corpus_parity(spark, raw_events)
+
+
+def test_half_up_tie_regression(spark):
+    """Pinned hypothesis counterexample (round-7 judge): the statistical
+    window over [0.0, -0.5, 0.0, -2.00001] has mean exactly -0.125;
+    Java's %.2f (the reference, and Spark format_string) renders -0.13
+    (HALF_UP) while Python's ``%`` renders -0.12 (half-even). Engine and
+    simulator must both round HALF_UP on this exact tie."""
+    raw_events = [
+        ("a", 0.0, 0),
+        ("a", -0.5, 0),
+        ("a", 0.0, 0),
+        ("a", -2.00001, 101),
+        ("a", 0.0, 0),
+    ]
+    _run_corpus_parity(spark, raw_events)

@@ -313,3 +313,105 @@ def test_history_view_scd2_over_log(spark, tmp_path):
         assert n_hist == len(_snap_rows(spark, table))
     finally:
         _drop(spark, table)
+
+
+def test_compaction_retention_horizon(spark, tmp_path):
+    """keep_since=S: versions with seq >= S survive verbatim, each key
+    keeps its as-of-S baseline row, the snapshot is unchanged, and
+    as-of history reads AT OR AFTER the horizon are identical to the
+    uncompacted log — only history strictly before S is truncated."""
+    from stream_sentinel_spark.streaming.upsert import read_upsert_history
+
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
+        for i, ep in enumerate((E0, E1, E2)):
+            fn(_changes(spark, ep), i)
+        before_snap = _snap_rows(spark, table)
+
+        def asof(s):
+            return {
+                r.k: (r.op, r.val)
+                for r in read_upsert_history(
+                    spark, table, ["k"], "seq", ["op", "val"]
+                )
+                .filter(
+                    f"valid_from <= {s} AND (valid_to IS NULL OR valid_to > {s})"
+                )
+                .collect()
+            }
+
+        want_25, want_35 = asof(25), asof(35)
+        compact_upsert_log(
+            spark, table, ["k"], ["seq"], op_col="op", keep_since=20
+        )
+        # snapshot preserved
+        assert _snap_rows(spark, table) == before_snap
+        log = {
+            (r.k, r.seq, r.op, r.val)
+            for r in spark.table(f"{table}_log").collect()
+        }
+        # every version at/after the horizon survives verbatim —
+        # including the E1 tombstone for key 3 (it still masks the
+        # baseline row kept below the horizon)
+        for row in [(1, 20, "U", "a1"), (3, 20, "D", None),
+                    (4, 20, "U", "d0"), (3, 30, "U", "c1"),
+                    (5, 30, "U", "e0")]:
+            assert row in log
+        # below the horizon: one baseline row per key, superseded
+        # versions gone (key 2's seq-5 'stale' row is dropped)
+        assert (2, 10, "U", "b0") in log
+        assert (2, 5, "U", "stale") not in log
+        assert len(log) == 8
+        # as-of reads at/after the horizon are bit-identical
+        assert asof(25) == want_25
+        assert asof(35) == want_35
+        # the loop keeps working after a horizon compaction
+        fn(_changes(spark, [(2, 40, "D", None)]), 3)
+        assert _snap_rows(spark, table) == _batch_twin(
+            spark, E0 + E1 + E2 + [(2, 40, "D", None)]
+        )
+    finally:
+        _drop(spark, table)
+
+
+def test_compact_num_buckets_missing_is_clear_error(spark):
+    """A log that somehow lost its bucket spec fails with a clear
+    ValueError, not an AttributeError on a missing DESCRIBE row."""
+    table = _table()
+    try:
+        _changes(spark, E0).write.saveAsTable(f"{table}_log")  # un-bucketed
+        with pytest.raises(ValueError, match="Num Buckets"):
+            compact_upsert_log(spark, table, ["k"], ["seq"], op_col="op")
+    finally:
+        _drop(spark, table)
+
+
+def test_mid_swap_crash_heals_in_batch_fn_without_commit_log(spark):
+    """The round-7 advisory: compact_every WITHOUT commit_log_dir, crash
+    between DROP and RENAME — the next batch must heal the unbound log
+    (re-issue the rename) and APPEND, not recreate-with-overwrite."""
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
+        fn(_changes(spark, E0), 0)
+        fn(_changes(spark, E1), 1)
+        # simulate the mid-swap crash state: compacted tmp exists, log
+        # binding dropped
+        from stream_sentinel_spark.operators.cdc import merge_latest
+        from stream_sentinel_spark.sources.bucketing import write_bucketed
+
+        live = merge_latest(
+            spark.table(f"{table}_log"), ["k"], ["seq"], op_col="op"
+        ).localCheckpoint(eager=True)
+        write_bucketed(live, f"{table}_log__compacting", ["k"], 32, align=True)
+        spark.sql(f"DROP TABLE {table}_log")
+        # next epoch arrives: batch fn heals, then appends
+        fn(_changes(spark, E2), 2)
+        assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
+    finally:
+        _drop(spark, table)
