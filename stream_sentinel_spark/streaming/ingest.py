@@ -35,16 +35,21 @@ the one-shot incremental operators (old × new, never new × new).
 first run through the SAME near-dup operator family with the index's
 own parameters, rows that match a SMALLER-id row in the same batch are
 diverted to ``matches_path`` (marked ``within_batch=true``) and never
-reach the index match or the index. Semantics note: the intra stage is
-PAIRWISE (a row is a dup iff it matches any smaller-id batch row),
-which equals a sequential one-doc-per-batch feed whenever duplicate
-groups are stars/cliques around their smallest member — the
+reach the index match or the index. Semantics note: the default intra
+stage is PAIRWISE (a row is a dup iff it matches any smaller-id batch
+row), which equals a sequential one-doc-per-batch feed whenever
+duplicate groups are stars/cliques around their smallest member — the
 overwhelmingly common shape; a strict CHAIN A–B–C (C similar to B but
 not to A) diverges: sequential-greedy re-accepts C because B was never
-indexed, pairwise diverts it. Greedy chain semantics would need an
-iterative per-component pass; the pairwise contract is the documented,
-oracle-checkable one (tests/test_ingest_pipeline.py pins both the
-star-shape equivalence and the diversion).
+indexed, pairwise diverts it. ``dedup_within_batch="transitive"``
+closes that gap: connected components over the batch's pair graph,
+then the greedy pass (ids ascending, divert iff an ACCEPTED smaller
+partner exists) per component — batch feeds ≡ sequential feeds for
+chains too (pinned by a planted-chain test). Both modes share the
+residual caveat that the intra stage runs BEFORE the index match: a
+sequential feed where an intra-accepted row would itself have been
+diverted by the INDEX can differ — intra decisions are made on batch
+evidence only, in either mode.
 
 Restart safety — the epoch-manifest commit protocol
 (:mod:`stream_sentinel_spark.streaming.manifest`): ``foreachBatch``
@@ -116,13 +121,22 @@ def _intra_batch_matches(
     id_col: str,
     content_col: str,
     threshold: float,
+    mode: str = "pairwise",
 ) -> DataFrame:
     """(new_id, n_matches, best_*, first_match) over pairs WITHIN the
     batch — the same output contract as the index match, computed by
     the same operator family with the index's own stored parameters so
-    intra- and cross-batch duplicates are judged identically. A row is
-    a dup iff it pairs with a smaller-id batch row (pairs come a_id <
-    b_id; the b-side is the diverted one)."""
+    intra- and cross-batch duplicates are judged identically.
+
+    ``mode="pairwise"``: a row is a dup iff it pairs with ANY smaller-id
+    batch row (pairs come a_id < b_id; the b-side is the diverted one).
+    ``mode="transitive"``: greedy-by-id within each connected component
+    of the pair graph — a row is a dup iff it pairs with a smaller-id
+    row that was itself ACCEPTED, which is exactly the sequential
+    one-doc-per-batch feed's decision on chains (A~B~C, A≁C: sequential
+    diverts B but re-accepts C, because diverted B never entered the
+    index). Match stats count accepted partners only, mirroring what
+    the index match would have reported mid-feed."""
     meta = spark.table(f"{table}_meta").head()
     if kind == "minhash":
         from stream_sentinel_spark.operators.dedup import minhash_verified_pairs
@@ -132,8 +146,7 @@ def _intra_batch_matches(
             n=meta.n, num_hashes=meta.num_hashes, bands=meta.bands,
             threshold=threshold,
         )
-        best = F.max("jaccard").alias("best_jaccard")
-        first = F.min("a_id").alias("first_match")
+        score_col, best_name, first_long = "jaccard", "best_jaccard", False
     else:
         from stream_sentinel_spark.operators.similarity import cosine_pairs_lsh
 
@@ -141,10 +154,82 @@ def _intra_batch_matches(
             batch, id_col, content_col, threshold=threshold,
             bits=meta.bits, bands=meta.bands, dim=meta.dim, seed=meta.seed,
         )
-        best = F.max("cos").alias("best_cos")
-        first = F.min("a_id").cast("long").alias("first_match")
+        score_col, best_name, first_long = "cos", "best_cos", True
+    if mode == "transitive":
+        return _greedy_component_matches(
+            pairs.select("a_id", "b_id", F.col(score_col).alias("_score")),
+            best_name,
+            first_long,
+        )
+    first = F.min("a_id")
     return pairs.groupBy(F.col("b_id").alias("new_id")).agg(
-        F.count(F.lit(1)).alias("n_matches"), best, first
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max(score_col).alias(best_name),
+        (first.cast("long") if first_long else first).alias("first_match"),
+    )
+
+
+def _greedy_component_matches(
+    pairs: DataFrame, best_name: str, first_long: bool
+) -> DataFrame:
+    """The transitive intra-batch stage: connected components over the
+    batch's pair graph, then — per component, in one Arrow-batched
+    applyInPandas task — the sequential greedy: ids ascending, divert a
+    row iff it pairs with an already-accepted smaller id. Emits one row
+    per DIVERTED id with stats over its accepted partners.
+
+    Scale shape: the pair set is batch-sized (never corpus-sized), the
+    component id is the shuffle key, and each task holds one component's
+    EDGES — linear in chain length for the chains this mode exists for,
+    quadratic only for cliques (where pairwise mode already equals the
+    sequential feed and is the right choice)."""
+    from pyspark.sql import types as T
+
+    from stream_sentinel_spark.operators.dedup import connected_components
+
+    id_type = pairs.schema["b_id"].dataType
+    first_type = T.LongType() if first_long else pairs.schema["a_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("new_id", id_type),
+            T.StructField("n_matches", T.LongType()),
+            T.StructField(best_name, T.DoubleType()),
+            T.StructField("first_match", first_type),
+        ]
+    )
+
+    def greedy(pdf):
+        import pandas as pd
+
+        smaller = {}  # id -> [(smaller partner, score)]
+        for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["_score"]):
+            smaller.setdefault(b, []).append((a, s))
+        accepted: set = set()
+        rows = []
+        for i in sorted(set(pdf["a_id"]) | set(pdf["b_id"])):
+            hits = [(a, s) for a, s in smaller.get(i, ()) if a in accepted]
+            if hits:
+                rows.append(
+                    (
+                        i,
+                        len(hits),
+                        max(s for _, s in hits),
+                        min(a for a, _ in hits),
+                    )
+                )
+            else:
+                accepted.add(i)
+        return pd.DataFrame(
+            rows, columns=["new_id", "n_matches", best_name, "first_match"]
+        )
+
+    comp = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
+        "id", "a_id"
+    )
+    return (
+        pairs.join(comp, "a_id")
+        .groupBy("component")
+        .applyInPandas(greedy, out_schema)
     )
 
 
@@ -161,7 +246,7 @@ def make_dedup_ingest_batch_fn(
     commit_log_dir: str | None = None,
     refresh_session=None,
     compact_every: int | None = None,
-    dedup_within_batch: bool = False,
+    dedup_within_batch: bool | str = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` body: match the batch against the
     stored ``{table}`` index, write duplicates to ``matches_path`` and
@@ -193,13 +278,15 @@ def make_dedup_ingest_batch_fn(
     runs AFTER the epoch's commit under a ``compact-pending`` intent
     marker, so a crash anywhere inside it is recovered (module doc).
 
-    ``dedup_within_batch``: opt-in intra-batch stage — pairwise
-    smaller-id-wins dedup of the batch against ITSELF with the index's
-    stored parameters, diverted rows land in ``matches_path`` marked
-    ``within_batch=true`` and never reach the index (module doc has the
-    exact semantics and the chain caveat). The marker column exists in
-    the matches output only when this is on, so a loop's matches
-    parquet keeps one schema.
+    ``dedup_within_batch``: opt-in intra-batch stage — dedup of the
+    batch against ITSELF with the index's stored parameters, diverted
+    rows land in ``matches_path`` marked ``within_batch=true`` and
+    never reach the index. ``True`` (or ``"pairwise"``) is
+    smaller-id-wins over the raw pair set; ``"transitive"`` runs the
+    per-component greedy that also matches sequential feeds on chains
+    (module doc has the exact semantics of both). The marker column
+    exists in the matches output only when this is on, so a loop's
+    matches parquet keeps one schema.
 
     ``commit_log_dir``: enables BOTH the committed-epoch replay guard
     and the atomic-append manifest protocol (module doc). Run
@@ -207,6 +294,14 @@ def make_dedup_ingest_batch_fn(
     :func:`run_dedup_ingest`) to restore a crashed run's state."""
     match_fn, append_fn, compact_fn = _family(kind)
     grown, _append_tables, _stats_keys, _best = _KIND_SPEC[kind]
+    if dedup_within_batch not in (False, True, "pairwise", "transitive"):
+        raise ValueError(
+            f"dedup_within_batch={dedup_within_batch!r} — expected False, "
+            "True, 'pairwise' or 'transitive'"
+        )
+    intra_mode = (
+        "transitive" if dedup_within_batch == "transitive" else "pairwise"
+    )
     n_appends = [0]
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
@@ -232,7 +327,8 @@ def make_dedup_ingest_batch_fn(
             intra = None
             if dedup_within_batch:
                 intra = _intra_batch_matches(
-                    spark, batch, table, kind, id_col, content_col, threshold
+                    spark, batch, table, kind, id_col, content_col, threshold,
+                    mode=intra_mode,
                 ).localCheckpoint(eager=True)
                 survivors = batch.join(
                     intra.select(F.col("new_id").alias(id_col)), [id_col],

@@ -360,3 +360,95 @@ def test_dedup_within_batch_diverts_and_equals_sequential_feed(
     ]
     for t in ("ing_wb", "ing_wbref"):
         _drop(spark, t)
+
+
+def test_transitive_within_batch_equals_sequential_on_chains(
+    spark, tmp_path_factory
+):
+    """dedup_within_batch="transitive" (VERDICT r07 item 5): a planted
+    similarity CHAIN A~B~C with A≁C must reproduce the sequential
+    one-doc-per-batch feed — B diverted, C RE-ACCEPTED (B never entered
+    the index, so nothing C resembles is indexed) — where the pairwise
+    mode diverts C too. Chain built from disjoint 300-char segments so
+    trigram Jaccard is segment arithmetic: A=S1..S4, B=S2..S5, C=S3..S6
+    gives A~B = B~C = 3/5 = 0.6 >= 0.5 and A~C = 2/6 = 0.33 < 0.5."""
+    import random
+
+    rng = random.Random(7)
+    segs = [
+        "".join(rng.choice("bcdfghjklmnpqrstvwxz") for _ in range(300))
+        for _ in range(7)
+    ]
+    chain = [
+        (100, "".join(segs[1:5])),   # A
+        (200, "".join(segs[2:6])),   # B
+        (300, "".join(segs[3:7])),   # C
+    ]
+    batch = spark.createDataFrame(chain, "doc_id long, text string")
+    seed_doc = spark.createDataFrame([(1, segs[0] * 4)], "doc_id long, text string")
+    root = str(tmp_path_factory.mktemp("ing_chain"))
+
+    results = {}
+    for mode, tag in ((True, "pairwise"), ("transitive", "transitive")):
+        table = f"ing_ch_{tag}"
+        _drop(spark, table)
+        # width-2 bands: candidate recall at J=0.6 is ~1 - 0.64^32 ≈ 1,
+        # so the exact-Jaccard verify decides every pair
+        build_minhash_index(seed_doc, table, num_hashes=64, bands=32)
+        fn = make_dedup_ingest_batch_fn(
+            table=table, kind="minhash", id_col="doc_id",
+            content_col="text", threshold=0.5,
+            accepted_path=f"{root}/acc_{tag}",
+            matches_path=f"{root}/match_{tag}",
+            dedup_within_batch=mode,
+        )
+        fn(batch, 0)
+        acc = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{root}/acc_{tag}").collect()
+        )
+        div = {
+            r.new_id: (r.n_matches, r.first_match)
+            for r in spark.read.parquet(f"{root}/match_{tag}")
+            .filter(F.col("within_batch"))
+            .collect()
+        }
+        results[tag] = (acc, div)
+
+    # sequential one-doc-per-batch reference
+    _drop(spark, "ing_ch_seq")
+    build_minhash_index(seed_doc, "ing_ch_seq", num_hashes=64, bands=32)
+    ref_fn = make_dedup_ingest_batch_fn(
+        table="ing_ch_seq", kind="minhash", id_col="doc_id",
+        content_col="text", threshold=0.5,
+        accepted_path=f"{root}/acc_seq",
+    )
+    for i, row in enumerate(chain):
+        ref_fn(spark.createDataFrame([row], batch.schema), i)
+    seq_acc = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root}/acc_seq").collect()
+    )
+
+    # the sequential feed accepts A and C, diverting only B
+    assert seq_acc == [100, 300]
+    # transitive mode reproduces it; stats count ACCEPTED partners only
+    acc_t, div_t = results["transitive"]
+    assert acc_t == seq_acc
+    assert set(div_t) == {200}
+    assert div_t[200] == (1, 100)
+    assert _index_state(spark, "ing_ch_transitive") == _index_state(
+        spark, "ing_ch_seq"
+    )
+    # pairwise mode — the documented chain divergence — diverts C too
+    acc_p, div_p = results["pairwise"]
+    assert acc_p == [100]
+    assert set(div_p) == {200, 300}
+    for t in ("ing_ch_pairwise", "ing_ch_transitive", "ing_ch_seq"):
+        _drop(spark, t)
+
+
+def test_within_batch_mode_validated():
+    with pytest.raises(ValueError, match="dedup_within_batch"):
+        make_dedup_ingest_batch_fn(
+            table="t", kind="minhash", dedup_within_batch="bogus"
+        )
