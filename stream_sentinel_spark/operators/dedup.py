@@ -571,6 +571,31 @@ def containment_pairs(
     Score is one IEEE division of two exact integers — bit-identical
     cross-engine, no rounding needed.
     """
+    doc_sets, pos = _containment_doc_sets(
+        df, id_col, text_col, n, rare_frac, min_size
+    )
+    # Class-regime gate on the rank position (known without an action;
+    # df ties can push the actual rare vocab slightly past it, which
+    # only affects which regime gets TRIED, never the result).
+    if pos <= _CONTAIN_CLASS_VOCAB_MAX:
+        out = _containment_by_class(doc_sets, doc_sets.count(), threshold)
+        if out is not None:
+            return out
+    return _containment_by_prefix(doc_sets, threshold)
+
+
+def _containment_doc_sets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    rare_frac: float,
+    min_size: int,
+) -> tuple[DataFrame, int]:
+    """The blocking stage of :func:`containment_pairs`: (pinned per-doc
+    rare-sid sets, rank-cutoff position). Exposed separately so the
+    scale-stress tooling can measure the candidate space with exactly
+    the operator's own blocking (tools/x70_scale_stress.py)."""
     import math
 
     # Shingle ONCE into pinned per-doc arrays — the standard two-pass
@@ -615,15 +640,36 @@ def containment_pairs(
         .filter(F.col("sz") >= max(min_size, 1))
         .localCheckpoint()
     )
+    return doc_sets, pos
 
-    # Class-regime gate on the rank position (known without an action;
-    # df ties can push the actual rare vocab slightly past it, which
-    # only affects which regime gets TRIED, never the result).
-    if pos <= _CONTAIN_CLASS_VOCAB_MAX:
-        out = _containment_by_class(doc_sets, doc_sets.count(), threshold)
-        if out is not None:
-            return out
-    return _containment_by_prefix(doc_sets, threshold)
+
+def _containment_prefix_candidates(
+    doc_sets: DataFrame, threshold: float
+) -> DataFrame:
+    """The (s_id, l_id) candidate pairs of the prefix-filter regime —
+    every pair colliding on an indexed (rarest-prefix) sid, deduped.
+    Exposed so the scale-stress tooling can count the candidate space
+    the verify stage pays for (tools/x70_scale_stress.py)."""
+    plen = (
+        F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    ).cast("int")
+    idx = doc_sets.select(
+        "id", "sz", F.explode(F.slice("grams", F.lit(1), plen)).alias("sid")
+    )
+    prb = doc_sets.select(
+        F.col("id").alias("pid"),
+        F.col("sz").alias("psz"),
+        F.explode("grams").alias("sid"),
+    )
+    smaller_first = (F.col("sz") < F.col("psz")) | (
+        (F.col("sz") == F.col("psz")) & (F.col("id") < F.col("pid"))
+    )
+    return (
+        idx.join(prb, "sid")
+        .filter(smaller_first)
+        .select(F.col("id").alias("s_id"), F.col("pid").alias("l_id"))
+        .distinct()
+    )
 
 
 def _containment_by_prefix(doc_sets: DataFrame, threshold: float) -> DataFrame:
@@ -651,26 +697,7 @@ def _containment_by_prefix(doc_sets: DataFrame, threshold: float) -> DataFrame:
     partitioning.spread_pairs lesson), and joined back to the pinned
     sets for one sorted-int ``array_intersect`` per pair.
     """
-    plen = (
-        F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + F.lit(1)
-    ).cast("int")
-    idx = doc_sets.select(
-        "id", "sz", F.explode(F.slice("grams", F.lit(1), plen)).alias("sid")
-    )
-    prb = doc_sets.select(
-        F.col("id").alias("pid"),
-        F.col("sz").alias("psz"),
-        F.explode("grams").alias("sid"),
-    )
-    smaller_first = (F.col("sz") < F.col("psz")) | (
-        (F.col("sz") == F.col("psz")) & (F.col("id") < F.col("pid"))
-    )
-    cand = _spread_pairs(
-        idx.join(prb, "sid")
-        .filter(smaller_first)
-        .select(F.col("id").alias("s_id"), F.col("pid").alias("l_id"))
-        .distinct()
-    )
+    cand = _spread_pairs(_containment_prefix_candidates(doc_sets, threshold))
     s = doc_sets.select(
         F.col("id").alias("s_id"), F.col("grams").alias("_gs"),
         F.col("sz").alias("s_sz"),

@@ -113,121 +113,85 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate checks the first 50 queries() entries in
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
-# covers all of them every run. Round 7 rotation (stalest-row selection,
-# recomputed latest-green union over CORRECTNESS_r01-r06 — after r06 the
-# union is 146/146 with only x41/x42/x47 older than r04):
-# 1) x91/x92 — NEW this round: the production ingest loop
-#    (run_dedup_ingest, epoch-manifest commit log, loop-start recovery)
-#    executed inside the gate against a trigram-set-fingerprint oracle
-#    (VERDICT r06 item 8), and the intra-batch dedup stage driven
-#    through the actual foreachBatch body (VERDICT r06 item 3);
-# 2) x41/x42/x47 — the three r03 rows displaced by x87/x89/x90 last
-#    round; the re-front promised at the r06 rotation note and VERDICT
-#    item 2;
+# covers all of them every run. Round 8 rotation (stalest-row selection,
+# recomputed latest-green union over CORRECTNESS_r01-r07 — 157/157 with
+# distribution r07:50 / r06:48 / r05:47 / r04:12):
+# 1) x102/x103 — NEW this round: schema evolution in the CDC-apply loop
+#    (VERDICT r07 item 8) and the upsert-log retention horizon
+#    (VERDICT r07 item 6); unproven entries must hold gate slots;
+# 2) the twelve r04-latest rows (x44/x49/x53-x59/x64/x67/x72) — the
+#    re-front promised at the r07 rotation note and VERDICT r07 item 3;
+#    after this round no entry's latest green is older than r05;
 # 3) the flagship, re-proven every round;
-# 4) x86 — implementation changed this round (sentinel watermark files
-#    now get explicit strictly-increasing mtimes; ADVICE r06) — the
-#    rotate-what-changed convention;
-# 5) x93/x94/x95 — NEW frontier entries (streaming session windows,
-#    bootstrapped NB quality classifier, duplicated-span excision);
-#    unproven entries must hold gate slots (the rotation invariant);
-# 6) 34 of the 46 latest-green=r04 rows (q25-q54 relational tails,
-#    x43-x77 curation/analytics/sketch families, x02/x22/x70).
-#    x54_bag_of_words_dedup, x55_skew_report, x56_join_size_probe,
-#    x44_random_projection, x49_event_transitions, x53_ewma_user_value,
-#    x57_resample_fill, x58_cusum_drift, x59_benford_profile,
-#    x64_shard_column_stats, x67_linear_trend and
-#    x72_collapse_consecutive are the twelve r04 rows that don't fit
-#    the 50 slots — all are pure
-#    relational/diagnostic plans whose construction is unchanged since
-#    r04 (x54 shares dedup.py with the gated x02/x70); all locally
-#    oracle-proven every run; re-front next round.
-# x82/x83/x84 (docstring-only edits this round) keep their fresh r06
-# rows; x61/x78's modules gained the compaction-rotation path but their
-# plan construction is untouched and the new behavior is pinned by
-# tests/test_ingest_recovery.py — both carry r05 rows.
+# 4) rotate-what-changed: x91/x92 (streaming/ingest.py gained the
+#    transitive intra-batch mode — shared module), x94 (classifier
+#    weights join now AQE-chosen, ADVICE r07), x96 (build_lsh_index
+#    gained the hot-bucket warning — shared build path), x97 (upsert
+#    compaction: retention horizon + mid-swap heal + no localCheckpoint,
+#    ADVICE r07), x99 (oracle gained the empty-text guard, ADVICE r07),
+#    x70 (containment blocking refactored into _containment_doc_sets /
+#    _containment_prefix_candidates for the x70 stress decomposition);
+# 5) the 28 stalest r05 rows that fit the remaining slots: the full
+#    detection family q01-q10, relational q11-q17/q23/q24/q28/q53, and
+#    x01/x03-x08. The 19 r05 rows that don't fit (x09-x20 tail, x24,
+#    x35, x61, x78-x81) are all locally oracle-proven every run;
+#    re-front in r09.
 _DRIVER_PRIORITY = [
-    # --- new this round: the ingest loop made gate-visible ---
-    "x91_ingest_loop_parity",
-    "x92_ingest_intra_batch",
-    # --- new this round (frontier): streaming session windows (the
-    # last T5 window shape without a streaming gate row), the
-    # bootstrapped NB quality classifier, and duplicated-span excision.
-    # Their three slots come from x53/x57/x67 (latest green r04,
-    # plan construction unchanged since; locally oracle-proven every
-    # run — same standing as x54/x55/x56, re-front next round) ---
-    "x93_streaming_session_windows",
-    "x94_nb_quality_classifier",
-    "x95_span_excision",
-    # x96 (ingest loop over the embedding LSH index) takes x58's slot —
-    # x58 shares operators/cusum.py with the gated x60_cusum_rule and
-    # its plan construction is unchanged since r04
-    "x96_embedding_ingest_loop",
-    # x97 (streaming upsert materialization — the CDC-apply loop) takes
-    # x64's slot — x64 shares curation.py's shard machinery with the
-    # gated x45_shard_manifest; plan construction unchanged since r04
-    "x97_streaming_upsert",
-    # x98 (frame-sampling plumbing — the multimodal flatMap shape)
-    # takes x49's slot — x49 shares analytics.py with the gated
-    # x46/x48; plan construction unchanged since r04
-    "x98_frame_sampling",
-    # x99 (image-resize plumbing — the multimodal 1:1 payload
-    # transform, completing the family's gate coverage) takes x72's
-    # slot — x72's consecutive-run collapse shares text.py/curation.py
-    # with the heavily-gated curation family; unchanged since r04
-    "x99_image_resize",
-    # x100 (streaming sliding windows — the third and last T5 window
-    # shape, completing the streaming trio with x90/x93) takes x59's
-    # slot — x59 is a pure relational diagnostic; unchanged since r04
-    "x100_streaming_sliding_windows",
-    # x101 (composed curation DAG v2 — this round's operators chained
-    # as one lazy plan, x85's discipline) takes x44's slot — x44's
-    # random projection shares similarity.py with the heavily-gated
-    # embedding family (x06/x07/x20/x96); unchanged since r04
-    "x101_curation_dag2",
-    # --- stalest (latest green = r03, the promised re-front) ---
-    "x41_boilerplate_removal",
-    "x42_c4_filters",
-    "x47_funnel_conversion",
+    # --- new this round: CDC schema evolution + retention horizon ---
+    "x102_upsert_schema_evolution",
+    "x103_upsert_retention_horizon",
+    # --- stalest (latest green = r04, the promised re-front) ---
+    "x44_random_projection",
+    "x49_event_transitions",
+    "x53_ewma_user_value",
+    "x54_bag_of_words_dedup",
+    "x55_skew_report",
+    "x56_join_size_probe",
+    "x57_resample_fill",
+    "x58_cusum_drift",
+    "x59_benford_profile",
+    "x64_shard_column_stats",
+    "x67_linear_trend",
+    "x72_collapse_consecutive",
     # --- flagship, every round ---
     "detect_pipeline",
-    # --- implementation changed this round (sentinel mtime ordering) ---
-    "x86_streaming_event_time_parity",
-    # --- next-stalest (latest green = r04) ---
-    "q25_tpch_q1_pricing",
-    "q26_tpch_q5_volume",
-    "q27_promo_share",
-    "q29_tpch_q22_idle_balance",
-    "q33_tpch_q6_forecast",
-    "q35_tpch_q10_returns",
-    "q43_tpch_q7_volume_shipping",
-    "q44_tpch_q8_market_share",
-    "q45_tpch_q15_top_supplier",
-    "q51_tpch_q9_product_profit",
-    "q54_tpch_q20_excess_suppliers",
-    "x02_dedup_ngram_jaccard",
-    "x22_sketch_metrics",
-    "x43_unigram_logprob",
-    "x45_shard_manifest",
-    "x46_pagerank_handoff",
-    "x48_retention_cohorts",
-    "x50_inverted_index",
-    "x51_pmi_collocations",
-    "x52_language_rebalance",
-    "x60_cusum_rule",
-    "x62_hll_merge_rollup",
-    "x63_zorder_layout",
-    "x65_snapshot_diff",
-    "x66_referential_integrity",
-    "x68_column_profile",
-    "x69_corpus_datasheet",
+    # --- implementation changed this round ---
+    "x91_ingest_loop_parity",
+    "x92_ingest_intra_batch",
+    "x94_nb_quality_classifier",
+    "x96_embedding_ingest_loop",
+    "x97_streaming_upsert",
+    "x99_image_resize",
     "x70_containment_neardups",
-    "x71_bigram_logprob",
-    "x73_quality_tiles",
-    "x74_bpe_merge_step",
-    "x75_bpe_apply",
-    "x76_dsir_weights",
-    "x77_robust_outliers",
+    # --- next-stalest (latest green = r05) ---
+    "q01_scan_projection",
+    "q02_json_numeric_coercion",
+    "q03_threshold_rule",
+    "q04_threshold_alert_details",
+    "q05_keyby_sentinel_counts",
+    "q06_rate_rule_window",
+    "q07_rate_long_window",
+    "q08_statistical_rule",
+    "q09_statistical_sigma_zero",
+    "q10_counters",
+    "q11_join_orders_customer",
+    "q12_tpch_q3_topk",
+    "q13_anti_join_no_orders",
+    "q14_semi_join_region",
+    "q15_rollup_lineitem",
+    "q16_ranking_windows",
+    "q17_topk_orders",
+    "q23_session_windows",
+    "q24_sliding_windows",
+    "q28_tpch_q17_small_qty",
+    "q53_tpch_q12_priority_lines",
+    "x01_dedup_exact",
+    "x03_text_fingerprint",
+    "x04_text_quality",
+    "x05_lang_id",
+    "x06_ann_cosine_topk",
+    "x07_embedding_cosine_pairs",
+    "x08_minhash_lsh_candidates",
 ]
 
 
@@ -7337,3 +7301,242 @@ def x101(spark, sf):
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@query(
+    "x102_upsert_schema_evolution",
+    """
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice AS price, CAST(NULL AS VARCHAR) AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 50.0, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 5 = 1),
+    latest AS (
+      SELECT k, seq, op, price, status,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM ch)
+    SELECT k, CAST(seq AS BIGINT) AS seq, price, status
+    FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY k
+    """,
+)
+def x102(spark, sf):
+    """SCHEMA EVOLUTION in the CDC-apply loop (VERDICT r07 item 8) —
+    the production reality that a change stream WIDENS mid-life: the
+    source table gains a column, and because one running Structured
+    Streaming query's schema is fixed, the widening arrives as a query
+    RESTART with the wider schema against the same checkpoint. The
+    gate drives exactly that: epoch 0 (schema v1: k/seq/op/price)
+    through `run_upsert_ingest(evolve_schema=True)`, query drains;
+    epoch 1 lands with schema v2 (+status — superseding updates for
+    %5==0, delete tombstones for %5==1) and a SECOND run over the SAME
+    checkpoint + commit log processes only the new files. The append
+    site widens the log in place (`_align_log_schema`: ALTER TABLE ADD
+    COLUMNS — metadata-only; pre-evolution parquet files simply lack
+    the column and read as NULL, which IS the merge-on-read null
+    backfill) and the snapshot read returns the widened union with
+    latest-wins semantics unchanged.
+
+    Oracle: the widened change set as UNION ALL CTEs (v1 rows carry
+    CAST(NULL AS VARCHAR) status — the same null backfill) + the
+    latest-per-key ROW_NUMBER + tombstone filter, i.e. merge_latest
+    over the union-by-name of both schema generations. Pass-through
+    arithmetic only (+50.0 on doubles), nothing to round.
+
+    Scale shape: the evolution step is one metastore ALTER (no data
+    read or rewritten — at 100 TB that is the ONLY acceptable cost for
+    adding a column); per-epoch cost stays O(batch); the snapshot
+    window stays Exchange-free (the bucket spec is untouched by ADD
+    COLUMNS). Reference anchor: SURVEY §2.3 G2's keyed state, extended
+    along the Hudi/Iceberg schema-evolution axis."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.streaming.sources import read_file_stream
+    from stream_sentinel_spark.streaming.upsert import (
+        read_upsert_snapshot,
+        run_upsert_ingest,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    e0 = o.select(
+        k.alias("k"), F.lit(1).cast("int").alias("seq"),
+        F.lit("U").alias("op"), F.col("o_totalprice").alias("price"),
+    )
+    e1 = o.filter(k % 5 == 0).select(
+        k.alias("k"), F.lit(2).cast("int").alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 50.0).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    ).unionByName(
+        o.filter(k % 5 == 1).select(
+            k.alias("k"), F.lit(2).cast("int").alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(None).cast("string").alias("status"),
+        )
+    )
+    table = f"x102_ups_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x102_")
+    try:
+        src = f"{tmp}/src"
+        kwargs = dict(
+            checkpoint_location=f"{tmp}/ckpt", available_now=True,
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=f"{tmp}/commits", evolve_schema=True,
+        )
+        # generation 1: schema v1 files, first query run drains them
+        e0.coalesce(1).write.mode("append").parquet(src)
+        q = run_upsert_ingest(
+            read_file_stream(spark, src, e0.schema, time_col=None,
+                             watermark=None),
+            **kwargs,
+        )
+        q.awaitTermination()
+        # generation 2: v2 files land, RESTART with the wider schema
+        # over the same checkpoint — only the new files process
+        e1.coalesce(1).write.mode("append").parquet(src)
+        q = run_upsert_ingest(
+            read_file_stream(spark, src, e1.schema, time_col=None,
+                             watermark=None),
+            **kwargs,
+        )
+        q.awaitTermination()
+        snap = read_upsert_snapshot(spark, table, ["k"], ["seq"], op_col="op")
+        rows = snap.select(
+            "k", F.col("seq").cast("bigint").alias("seq"), "price", "status"
+        ).orderBy("k").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+    return rows
+
+
+@query(
+    "x103_upsert_retention_horizon",
+    """
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice AS price FROM orders
+      UNION ALL
+      SELECT o_orderkey, 0, 'U', -1.0
+      FROM orders WHERE o_orderkey % 7 = 2
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', o_totalprice * 2.0
+      FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 11 = 0),
+    asof AS (
+      SELECT k, seq, op, price,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM ch WHERE seq <= 2)
+    SELECT k, CAST(seq AS BIGINT) AS seq, price,
+           CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+                + (SELECT COUNT(*) FROM ch WHERE seq >= 2) AS BIGINT)
+             AS log_rows
+    FROM asof WHERE rn = 1 AND op <> 'D' ORDER BY k
+    """,
+)
+def x103(spark, sf):
+    """UPSERT-LOG RETENTION HORIZON in the gate (VERDICT r07 item 6) —
+    `compact_upsert_log(keep_since=2)` after the CDC-apply loop: the
+    rewrite keeps every version with seq >= 2 verbatim plus one
+    baseline row per key (its state as of the horizon), so SCD2 as-of
+    reads AT OR AFTER the horizon survive the compaction that
+    previously truncated ALL history (the documented all-or-nothing
+    expire-snapshots trade, now with a configured retention point).
+    The change set plants each contract point below and above the
+    horizon: stale seq-0 rows that the baseline merge must drop,
+    seq-2 updates and tombstones that must survive verbatim, and a
+    seq-3 re-insert after a tombstone.
+
+    Deliverable: the as-of-horizon read (latest per key with seq <= 2,
+    tombstoned keys absent) over the POST-COMPACTION log, plus
+    ``log_rows`` — the compacted log's exact row count (baseline = one
+    row per key, every key's latest-below-horizon is its seq-1 'U';
+    plus all seq >= 2 rows verbatim), pinning that the rewrite really
+    dropped the superseded sub-horizon versions and kept everything
+    else. The oracle computes both from the raw change set alone.
+
+    Scale shape: the horizon rewrite is one Exchange-free merge over
+    the bucketed log (filter preserves the bucketed scan's
+    partitioning) + one bucket-aligned write; retention cost is
+    independent of history depth below the horizon. Hudi/Iceberg
+    expire-snapshots re-expressed in plain parquet."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.streaming.sources import read_file_stream
+    from stream_sentinel_spark.streaming.upsert import (
+        compact_upsert_log,
+        read_upsert_history,
+        run_upsert_ingest,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+
+    def ch(flt, seq, op, price):
+        return o.filter(flt).select(
+            k.alias("k"), F.lit(seq).cast("int").alias("seq"),
+            F.lit(op).alias("op"), price.alias("price"),
+        )
+
+    changes = (
+        ch(F.lit(True), 1, "U", F.col("o_totalprice"))
+        .unionByName(ch(k % 7 == 2, 0, "U", F.lit(-1.0)))
+        .unionByName(ch(k % 7 == 0, 2, "U", F.col("o_totalprice") + 100.0))
+        .unionByName(ch(k % 7 == 1, 2, "D", F.lit(None).cast("double")))
+        .unionByName(
+            ch((k % 7 == 1) & (k % 11 == 0), 3, "U",
+               F.col("o_totalprice") * 2.0)
+        )
+    )
+    table = f"x103_ups_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x103_")
+    try:
+        src = f"{tmp}/src"
+        changes.coalesce(2).write.parquet(src)
+        q = run_upsert_ingest(
+            read_file_stream(spark, src, changes.schema, time_col=None,
+                             watermark=None),
+            checkpoint_location=f"{tmp}/ckpt", available_now=True,
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=f"{tmp}/commits",
+        )
+        q.awaitTermination()
+        compact_upsert_log(
+            spark, table, ["k"], ["seq"], op_col="op", keep_since=2
+        )
+        n_log = spark.table(f"{table}_log").count()
+        hist = read_upsert_history(spark, table, ["k"], "seq", ["op", "price"])
+        rows = (
+            hist.filter(
+                "valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2) "
+                "AND op <> 'D'"
+            )
+            # the version's sequence IS its valid_from (scd2 contract)
+            .select(
+                "k", F.col("valid_from").cast("bigint").alias("seq"), "price",
+                F.lit(n_log).cast("bigint").alias("log_rows"),
+            )
+            .orderBy("k")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+    return rows

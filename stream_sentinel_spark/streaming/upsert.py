@@ -184,6 +184,46 @@ def compact_upsert_log(
     return len(spark.table(log).inputFiles())
 
 
+def _align_log_schema(
+    spark: SparkSession, log: str, batch: DataFrame
+) -> DataFrame:
+    """Schema evolution at the append site: columns the batch carries
+    that the log lacks are ADDED to the log table (``ALTER TABLE ADD
+    COLUMNS`` — a metadata-only operation; parquet files written before
+    the widening simply lack the column and read as NULL, which is the
+    merge-on-read null backfill), and columns the log carries that the
+    batch lacks are backfilled as typed NULLs so the append matches the
+    (possibly widened) table schema column-for-column. Key and sequence
+    columns always exist on both sides — they are the loop's contract.
+    Existing columns must keep their type: a changed type raises (type
+    evolution would corrupt latest-wins comparisons, not just widen)."""
+    log_fields = {f.name: f for f in spark.table(log).schema.fields}
+    new_fields = [
+        f for f in batch.schema.fields if f.name not in log_fields
+    ]
+    for f in batch.schema.fields:
+        have = log_fields.get(f.name)
+        if have is not None and have.dataType != f.dataType:
+            raise ValueError(
+                f"upsert log {log!r}: column {f.name!r} arrived as "
+                f"{f.dataType.simpleString()} but the log stores "
+                f"{have.dataType.simpleString()} — schema evolution "
+                "adds columns, it never retypes them"
+            )
+    if new_fields:
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+        )
+        spark.sql(f"ALTER TABLE {log} ADD COLUMNS ({ddl})")
+        spark.catalog.refreshTable(log)
+    widened = spark.table(log).schema
+    out = batch
+    for f in widened.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.select(*[f.name for f in widened.fields])
+
+
 def make_upsert_batch_fn(
     *,
     table: str,
@@ -195,13 +235,25 @@ def make_upsert_batch_fn(
     commit_log_dir: str | None = None,
     refresh_session: SparkSession | None = None,
     compact_every: int | None = None,
+    evolve_schema: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body: append the batch's change rows to the
     bucketed ``{table}_log`` (creating it on the first non-empty batch),
     commit the epoch manifest, optionally merge-compact every Nth
     append. Exposed separately so tests and batch backfills can drive
     epochs without a streaming query — same convention as
-    ``make_dedup_ingest_batch_fn``."""
+    ``make_dedup_ingest_batch_fn``.
+
+    ``evolve_schema=True`` accepts batches that ADD columns (the
+    production CDC reality — a source table gains a column and the
+    change stream widens; in Structured Streaming this arrives via a
+    query RESTART with the wider schema, since one running query's
+    schema is fixed): the log table is widened in place
+    (:func:`_align_log_schema` — ALTER TABLE ADD COLUMNS, a metadata
+    operation), pre-evolution files read the new column as NULL
+    (merge-on-read null backfill), and narrower late batches are
+    backfilled with typed NULLs at write. Off by default: an unexpected
+    schema change should fail loudly unless evolution is opted into."""
     from stream_sentinel_spark.sources.bucketing import (
         recover_compaction,
         write_bucketed,
@@ -237,6 +289,8 @@ def make_upsert_batch_fn(
         appended = False
         if batch.take(1):
             exists = spark.catalog.tableExists(log)
+            if exists and evolve_schema:
+                batch = _align_log_schema(spark, log, batch)
             write_bucketed(
                 batch, log, list(key_cols), num_buckets,
                 mode="append" if exists else "overwrite", align=True,

@@ -415,3 +415,62 @@ def test_mid_swap_crash_heals_in_batch_fn_without_commit_log(spark):
         assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
     finally:
         _drop(spark, table)
+
+
+def test_schema_evolution_widens_log(spark):
+    """evolve_schema=True: a batch that ADDS a column widens the log in
+    place (ALTER TABLE ADD COLUMNS); pre-evolution rows read the new
+    column as NULL; a narrower late batch is backfilled with typed
+    NULLs; latest-wins semantics span both schema generations; and a
+    RETYPED column is rejected loudly."""
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            evolve_schema=True,
+        )
+        fn(_changes(spark, E0), 0)
+        # generation 2: +extra column; key 1 superseded, key 9 fresh
+        wide = spark.createDataFrame(
+            [(1, 20, "U", "a1", "x1"), (9, 20, "U", "i0", "x9")],
+            SCHEMA + ", extra string",
+        )
+        fn(wide, 1)
+        snap = {
+            r.k: (r.seq, r.val, r.extra)
+            for r in read_upsert_snapshot(
+                spark, table, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        assert snap[1] == (20, "a1", "x1")
+        assert snap[9] == (20, "i0", "x9")
+        # pre-evolution rows: merge-on-read null backfill
+        assert snap[2] == (10, "b0", None)
+        assert snap[3] == (10, "c0", None)
+        # generation 1-shaped batch AFTER the widening: typed-NULL backfill
+        fn(_changes(spark, [(2, 30, "U", "b1")]), 2)
+        snap2 = {
+            r.k: (r.seq, r.val, r.extra)
+            for r in read_upsert_snapshot(
+                spark, table, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        assert snap2[2] == (30, "b1", None)
+        # a retyped column is corruption, not evolution
+        bad = spark.createDataFrame(
+            [(1, 40, "U", 5, "y")], "k long, seq long, op string, "
+            "val int, extra string",
+        )
+        with pytest.raises(ValueError, match="never retypes"):
+            fn(bad, 3)
+        # compaction and the history view still work over the widened log
+        compact_upsert_log(spark, table, ["k"], ["seq"], op_col="op")
+        snap3 = {
+            r.k: (r.seq, r.val, r.extra)
+            for r in read_upsert_snapshot(
+                spark, table, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        assert snap3 == snap2
+    finally:
+        _drop(spark, table)
