@@ -7437,7 +7437,7 @@ def x102(spark, sf):
       UNION ALL
       SELECT o_orderkey, 3, 'U', o_totalprice * 2.0
       FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 11 = 0),
-    asof AS (
+    asof_state AS (
       SELECT k, seq, op, price,
              ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
       FROM ch WHERE seq <= 2)
@@ -7445,7 +7445,7 @@ def x102(spark, sf):
            CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders)
                 + (SELECT COUNT(*) FROM ch WHERE seq >= 2) AS BIGINT)
              AS log_rows
-    FROM asof WHERE rn = 1 AND op <> 'D' ORDER BY k
+    FROM asof_state WHERE rn = 1 AND op <> 'D' ORDER BY k
     """,
 )
 def x103(spark, sf):
