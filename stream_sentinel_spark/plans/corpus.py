@@ -133,13 +133,15 @@ def query(name: str, oracle: str | None = None):
 #    _containment_prefix_candidates for the x70 stress decomposition);
 # 5) the 28 stalest r05 rows that fit the remaining slots: the full
 #    detection family q01-q10, relational q11-q17/q23/q24/q28/q53, and
-#    x01/x03-x08. The 19 r05 rows that don't fit (x09-x20 tail, x24,
+#    x01/x03-x07. The 20 r05 rows that don't fit (x08-x20 tail, x24,
 #    x35, x61, x78-x81) are all locally oracle-proven every run;
 #    re-front in r09.
 _DRIVER_PRIORITY = [
-    # --- new this round: CDC schema evolution + retention horizon ---
+    # --- new this round: CDC schema evolution, retention horizon,
+    # transitive intra-batch dedup through the loop ---
     "x102_upsert_schema_evolution",
     "x103_upsert_retention_horizon",
+    "x104_ingest_transitive_chains",
     # --- stalest (latest green = r04, the promised re-front) ---
     "x44_random_projection",
     "x49_event_transitions",
@@ -191,7 +193,6 @@ _DRIVER_PRIORITY = [
     "x05_lang_id",
     "x06_ann_cosine_topk",
     "x07_embedding_cosine_pairs",
-    "x08_minhash_lsh_candidates",
 ]
 
 
@@ -7540,3 +7541,154 @@ def x103(spark, sf):
         spark.sql(f"DROP TABLE IF EXISTS {table}_log")
         spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
     return rows
+
+
+@query(
+    "x104_ingest_transitive_chains",
+    """
+    WITH c AS (SELECT o_orderkey AS ck FROM orders WHERE o_orderkey % 500 = 0),
+    segs AS (
+      SELECT ck, i,
+             md5('x104s' || CAST(ck AS VARCHAR) || ':' || CAST(i AS VARCHAR)) ||
+             translate(md5('x104t' || CAST(ck AS VARCHAR) || ':'
+                           || CAST(i AS VARCHAR)),
+                       '0123456789abcdef', 'ghijklmnopqrstuv') AS seg
+      FROM c, UNNEST([0,1,2,3,4]) AS u(i)),
+    docs AS (
+      SELECT c.ck AS ck, p, s0.seg || s1.seg || s2.seg AS t
+      FROM c, UNNEST([0,1,2]) AS u(p)
+      JOIN segs s0 ON s0.ck = c.ck AND s0.i = p
+      JOIN segs s1 ON s1.ck = c.ck AND s1.i = p + 1
+      JOIN segs s2 ON s2.ck = c.ck AND s2.i = p + 2),
+    tri AS (
+      SELECT ck, p, list_distinct(list_transform(range(1, length(t)-1),
+                  i -> substring(t, CAST(i AS INT), 3))) AS g
+      FROM docs),
+    j AS (
+      SELECT a.ck AS ck,
+        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.g, b.g))) AS j01,
+        CAST(len(list_intersect(b.g, cc.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(b.g, cc.g))) AS j12,
+        CAST(len(list_intersect(a.g, cc.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.g, cc.g))) AS j02
+      FROM tri a JOIN tri b ON a.ck = b.ck AND a.p = 0 AND b.p = 1
+      JOIN tri cc ON a.ck = cc.ck AND cc.p = 2),
+    acc AS (
+      SELECT ck, 0 AS p FROM j
+      UNION ALL
+      SELECT ck, 1 FROM j WHERE j01 < 0.35
+      UNION ALL
+      SELECT ck, 2 FROM j
+      WHERE NOT (j02 >= 0.35 OR (j12 >= 0.35 AND j01 < 0.35))
+    )
+    SELECT CAST(ck * 4 + p AS BIGINT) AS doc_id, CAST(p AS INT) AS pos
+    FROM acc ORDER BY doc_id
+    """,
+)
+def x104(spark, sf):
+    """TRANSITIVE intra-batch dedup driven through the production loop
+    IN THE GATE, against a closed-form SQL oracle — the entry that makes
+    round 8's `dedup_within_batch="transitive"` driver-checkable rather
+    than test-only. The fixture is a planted similarity-CHAIN corpus
+    with SQL-reproducible texts: per chain (orders keys %500==0), five
+    64-char segments built from md5 hex + a translate() into a disjoint
+    16-letter alphabet (32-char combined alphabet keeps cross-doc
+    trigram-collision noise ~0.04 Jaccard), and three docs per chain of
+    three consecutive segments each — measured trigram Jaccard 0.49-0.52
+    consecutive, 0.20-0.21 at distance 2, so threshold 0.35 splits the
+    chain A~B~C with A≁C by a wide margin. The greedy contract on a
+    LENGTH-3 chain is closed-form: pos0 accepted; pos1 diverted iff
+    J01>=t; pos2 diverted iff J02>=t OR (J12>=t AND pos1 accepted) —
+    which the oracle evaluates from the exact trigram Jaccards it
+    computes itself (list_intersect over the same distinct-trigram sets
+    the engine verifies with; same integer division, same literal), so
+    it is robust to the fixture's collision noise rather than assuming
+    the planted structure.
+
+    The engine side runs the REAL loop: seed MinHash index (one
+    unrelated doc; max chain-vs-anything background Jaccard 0.04 << t),
+    one file-stream epoch of all chain docs through `run_dedup_ingest
+    (dedup_within_batch="transitive")` — LSH candidacy uses width-1
+    bands (num_hashes=64, bands=64), where a true consecutive pair
+    (J≈0.5) is missed with probability 0.5^64 ≈ 5e-20 and every
+    candidate is then EXACT-verified, so engine and oracle decide every
+    pair identically; deterministic seed makes the run reproducible.
+
+    Scale shape: identical to x91's loop plus the transitive stage —
+    components are batch-sized, one applyInPandas task per component
+    holding only that component's edges (module doc's clique caveat)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as _F
+
+    from stream_sentinel_spark.operators.dedup import build_minhash_index
+    from stream_sentinel_spark.streaming.ingest import run_dedup_ingest
+    from stream_sentinel_spark.streaming.sources import read_file_stream
+
+    chains = _t(spark, sf, "orders").filter(
+        F.col("o_orderkey") % 500 == 0
+    ).select(F.col("o_orderkey").alias("ck"))
+
+    def seg(i: int):
+        def h(tag):
+            return F.md5(
+                F.concat(F.lit(tag), F.col("ck").cast("string"),
+                         F.lit(":"), F.lit(str(i)))
+            )
+
+        return F.concat(
+            h("x104s"),
+            F.translate(h("x104t"), "0123456789abcdef", "ghijklmnopqrstuv"),
+        )
+
+    parts = [
+        chains.select(
+            (F.col("ck") * 4 + p).alias("doc_id"),
+            F.concat(seg(p), seg(p + 1), seg(p + 2)).alias("text"),
+        )
+        for p in (0, 1, 2)
+    ]
+    docs = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # seed id -1: the index match requires DISJOINT id spaces (module
+    # contract), and orders carries o_orderkey=0 so chain ids start at 0
+    seed = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.concat(
+            F.md5(F.lit("x104seed:a")),
+            F.translate(F.md5(F.lit("x104seed:b")),
+                        "0123456789abcdef", "ghijklmnopqrstuv"),
+            F.md5(F.lit("x104seed:c")),
+        ).alias("text"),
+    )
+    table = f"x104_idx_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x104_")
+    out_dir = tempfile.mkdtemp(prefix="ss_x104_out_")
+    try:
+        build_minhash_index(seed, table, num_hashes=64, bands=64)
+        src = f"{tmp}/src"
+        docs.coalesce(1).write.parquet(src)
+        q = run_dedup_ingest(
+            read_file_stream(spark, src, docs.schema, time_col=None,
+                             watermark=None),
+            checkpoint_location=f"{tmp}/ckpt", available_now=True,
+            table=table, kind="minhash", id_col="doc_id",
+            content_col="text", threshold=0.35,
+            accepted_path=f"{out_dir}/acc",
+            matches_path=f"{out_dir}/match",
+            commit_log_dir=f"{tmp}/commits",
+            dedup_within_batch="transitive",
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        for suffix in ("_bands", "_verify", "_bandstats", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+            spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
+    return (
+        spark.read.parquet(f"{out_dir}/acc")
+        .select("doc_id", (F.col("doc_id") % 4).cast("int").alias("pos"))
+        .orderBy("doc_id")
+    )
