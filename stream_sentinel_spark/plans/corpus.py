@@ -7610,8 +7610,9 @@ def x104(spark, sf):
     unrelated doc; max chain-vs-anything background Jaccard 0.04 << t),
     one file-stream epoch of all chain docs through `run_dedup_ingest
     (dedup_within_batch="transitive")` — LSH candidacy uses width-1
-    bands (num_hashes=64, bands=64), where a true consecutive pair
-    (J≈0.5) is missed with probability 0.5^64 ≈ 5e-20 and every
+    bands (num_hashes=32, bands=32), where a true consecutive pair
+    (J≈0.5) is missed with probability 0.5^32 ≈ 2e-10 (×600 true pairs
+    at sf0.1 → ~1e-7 per run, deterministic seed) and every
     candidate is then EXACT-verified, so engine and oracle decide every
     pair identically; deterministic seed makes the run reproducible.
 
@@ -7667,7 +7668,7 @@ def x104(spark, sf):
     tmp = tempfile.mkdtemp(prefix="ss_x104_")
     out_dir = tempfile.mkdtemp(prefix="ss_x104_out_")
     try:
-        build_minhash_index(seed, table, num_hashes=64, bands=64)
+        build_minhash_index(seed, table, num_hashes=32, bands=32)
         src = f"{tmp}/src"
         docs.coalesce(1).write.parquet(src)
         q = run_dedup_ingest(
