@@ -182,10 +182,17 @@ def _greedy_component_matches(
     component id is the shuffle key, and each task holds one component's
     EDGES — linear in chain length for the chains this mode exists for,
     quadratic only for cliques (where pairwise mode already equals the
-    sequential feed and is the right choice)."""
+    sequential feed and is the right choice). The verified pair set is
+    pinned ONCE up front: three consumers read it (the component
+    edges, the label iteration's first materialization, the final
+    component join), and each unpinned read would re-run the whole
+    LSH-candidate + exact-verify computation — measured 350 s → 87 s
+    on the 15 k-doc / 5 k-chain stress (STRESS_r08_ops.json)."""
     from pyspark.sql import types as T
 
     from stream_sentinel_spark.operators.dedup import connected_components
+
+    pairs = pairs.localCheckpoint(eager=True)
 
     id_type = pairs.schema["b_id"].dataType
     first_type = T.LongType() if first_long else pairs.schema["a_id"].dataType

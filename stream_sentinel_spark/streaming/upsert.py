@@ -236,6 +236,7 @@ def make_upsert_batch_fn(
     refresh_session: SparkSession | None = None,
     compact_every: int | None = None,
     evolve_schema: bool = False,
+    compact_horizon: Callable[[DataFrame], object] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The ``foreachBatch`` body: append the batch's change rows to the
     bucketed ``{table}_log`` (creating it on the first non-empty batch),
@@ -253,7 +254,16 @@ def make_upsert_batch_fn(
     operation), pre-evolution files read the new column as NULL
     (merge-on-read null backfill), and narrower late batches are
     backfilled with typed NULLs at write. Off by default: an unexpected
-    schema change should fail loudly unless evolution is opted into."""
+    schema change should fail loudly unless evolution is opted into.
+
+    ``compact_horizon``: retention policy for the IN-LOOP compactions —
+    a callable receiving the current LOG frame and returning the
+    ``keep_since`` sequence point for :func:`compact_upsert_log` (e.g.
+    ``lambda log: log.agg(F.max("seq")).head()[0] - 100`` for "keep the
+    last 100 sequence units of history"; the policy is domain-defined
+    because ``seq_cols[0]`` is). Returning None compacts to live rows
+    only (the default, history-truncating behavior). The callable runs
+    only at compaction points, never on the append hot path."""
     from stream_sentinel_spark.sources.bucketing import (
         recover_compaction,
         write_bucketed,
@@ -311,6 +321,11 @@ def make_upsert_batch_fn(
                 snapshot_state(spark, epoch_id, tables, []),
             )
         if compact_every and appended and n_appends[0] % compact_every == 0:
+            keep_since = (
+                compact_horizon(spark.table(log))
+                if compact_horizon is not None
+                else None
+            )
             if commit_log_dir is not None:
                 from stream_sentinel_spark.streaming import manifest as mf
 
@@ -320,6 +335,7 @@ def make_upsert_batch_fn(
                 compact_upsert_log(
                     spark, table, key_cols, seq_cols,
                     op_col=op_col, delete_op=delete_op,
+                    keep_since=keep_since,
                 )
                 mf.write_aux_snapshot(
                     spark, commit_log_dir, epoch_id,
@@ -330,6 +346,7 @@ def make_upsert_batch_fn(
                 compact_upsert_log(
                     spark, table, key_cols, seq_cols,
                     op_col=op_col, delete_op=delete_op,
+                    keep_since=keep_since,
                 )
             if refresh_session is not None:
                 refresh_session.catalog.refreshTable(log)

@@ -474,3 +474,47 @@ def test_schema_evolution_widens_log(spark):
         assert snap3 == snap2
     finally:
         _drop(spark, table)
+
+
+def test_in_loop_compaction_with_retention_policy(spark):
+    """compact_horizon wires the retention horizon into the loop's own
+    compaction cadence: the policy callable maps the current log to a
+    keep_since point, so in-loop compactions preserve history up to the
+    configured horizon instead of truncating it all."""
+    from pyspark.sql import functions as F2
+
+    from stream_sentinel_spark.streaming.upsert import read_upsert_history
+
+    table = _table()
+    try:
+        # keep the last 15 sequence units of history
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            compact_every=3,
+            compact_horizon=lambda log: log.agg(F2.max("seq")).head()[0] - 15,
+        )
+        for i, ep in enumerate((E0, E1, E2)):  # compaction fires after E2
+            fn(_changes(spark, ep), i)
+        # horizon = 30 - 15 = 15: key 1's seq-10/seq-20 history straddles
+        # it — the seq-20 version must survive the in-loop compaction,
+        # the seq-10 baseline stays as the as-of-horizon row, and key
+        # 2's stale seq-5 row is gone
+        log = {
+            (r.k, r.seq) for r in spark.table(f"{table}_log").collect()
+        }
+        assert (1, 20) in log and (1, 10) in log
+        assert (2, 5) not in log
+        # as-of 20 reads work after the in-loop compaction
+        asof = {
+            r.k: (r.op, r.val)
+            for r in read_upsert_history(
+                spark, table, ["k"], "seq", ["op", "val"]
+            )
+            .filter("valid_from <= 20 AND (valid_to IS NULL OR valid_to > 20)")
+            .collect()
+        }
+        assert asof[1] == ("U", "a1")
+        assert asof[3] == ("D", None)
+        assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
+    finally:
+        _drop(spark, table)
