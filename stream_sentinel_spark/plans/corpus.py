@@ -7623,8 +7623,6 @@ def x104(spark, sf):
     import tempfile
     import uuid
 
-    from pyspark.sql import functions as _F
-
     from stream_sentinel_spark.operators.dedup import build_minhash_index
     from stream_sentinel_spark.streaming.ingest import run_dedup_ingest
     from stream_sentinel_spark.streaming.sources import read_file_stream
