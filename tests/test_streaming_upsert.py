@@ -463,6 +463,13 @@ def test_schema_evolution_widens_log(spark):
         )
         with pytest.raises(ValueError, match="never retypes"):
             fn(bad, 3)
+        # the widening is metadata-only: the bucket spec is untouched,
+        # so the merge-on-read window still plans WITHOUT an Exchange
+        plan = (
+            read_upsert_snapshot(spark, table, ["k"], ["seq"], op_col="op")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
         # compaction and the history view still work over the widened log
         compact_upsert_log(spark, table, ["k"], ["seq"], op_col="op")
         snap3 = {
