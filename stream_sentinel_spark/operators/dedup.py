@@ -734,6 +734,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 20,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """(id, component) — connected components of the similarity graph,
     component = min reachable id. THE step that turns near-dup pairs
@@ -741,14 +742,30 @@ def connected_components(
 
     Iterative min-label propagation (the standard large-graph
     formulation, e.g. Kiveris et al. "Connected Components in MapReduce",
-    SoCC'14): each round every node adopts the minimum label in its
-    neighborhood; converges in O(diameter) rounds — near-dup clusters
-    are small and dense, so a handful of rounds suffices. Each round is
-    one groupBy over the (undirected) edge list — all shuffles keyed,
-    results checkpointed via localCheckpoint to keep lineage flat.
-    Convergence is detected with a count of changed labels (a driver
-    scalar per round, not a collect of data).
+    SoCC'14) with POINTER DOUBLING each round: every node adopts the
+    minimum label in its neighborhood, then additionally the label OF
+    its new label (the hash-to-min shortcut, Rastogi et al. ICDE'13).
+    One-hop propagation alone converges in O(diameter) rounds — so a
+    duplicate CHAIN longer than ``max_iterations`` would silently come
+    back split into several components; the doubling step lets labels
+    travel the distance already covered by their label, making
+    convergence O(log diameter): 20 rounds cover any component of
+    diameter < 2^19, i.e. any input that fits a machine. Each round is
+    one groupBy over the (undirected) edge list plus one self-join on
+    the node-sized label frame — all shuffles keyed, results
+    checkpointed via localCheckpoint to keep lineage flat.
+
+    Convergence is detected with a changed-label probe (a driver scalar
+    per round, not a collect of data). If the cap is exhausted while
+    labels still move, the result is WRONG (components split) — this
+    emits a ``UserWarning`` by default and raises with
+    ``require_convergence=True``, the mode callers whose downstream
+    contract depends on exact components must use (the ingest loop's
+    transitive intra-batch mode does: its sequential-feed equivalence
+    breaks on a split chain).
     """
+    import warnings
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -759,15 +776,27 @@ def connected_components(
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("component", F.col("id"))
     edges = edges.localCheckpoint(eager=False)
+    converged = True  # an empty/self-labeled graph is converged at round 0
     for _ in range(max_iterations):
         # propagate: new label = min(own, min over neighbors' labels)
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "component")
-        new_labels = (
+        prop = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: adopt the label of my label. Every label IS
+        # a node id (labels start as own id and only ever take mins of
+        # node ids), so the lookup join always hits; the adopted label
+        # is ≤ the current one by the same monotonicity.
+        lookup = prop.select(
+            F.col("id").alias("component"), F.col("component").alias("_c2")
+        )
+        new_labels = (
+            prop.join(lookup, "component")
+            .select("id", F.col("_c2").alias("component"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -778,8 +807,20 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        if changed == 0:
+        converged = changed == 0
+        if converged:
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations — labels were still moving "
+            "after the final round, so at least one component is SPLIT "
+            "into several labels. Raise max_iterations (with pointer "
+            "doubling each extra round doubles the reachable diameter)."
+        )
+        if require_convergence:
+            raise RuntimeError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
     return labels
 
 

@@ -230,9 +230,14 @@ def _greedy_component_matches(
             rows, columns=["new_id", "n_matches", best_name, "first_match"]
         )
 
-    comp = connected_components(pairs, "a_id", "b_id").withColumnRenamed(
-        "id", "a_id"
-    )
+    # require_convergence: a split chain would let a boundary doc be
+    # diverted in one group while accepted in another — silently
+    # breaking the sequential-feed equivalence this mode contracts.
+    # With pointer doubling, the default 20 rounds cover diameter
+    # < 2^19, so the raise is a backstop, not an expected path.
+    comp = connected_components(
+        pairs, "a_id", "b_id", require_convergence=True
+    ).withColumnRenamed("id", "a_id")
     return (
         pairs.join(comp, "a_id")
         .groupBy("component")

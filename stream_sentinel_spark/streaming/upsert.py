@@ -197,12 +197,18 @@ def _align_log_schema(
     columns always exist on both sides — they are the loop's contract.
     Existing columns must keep their type: a changed type raises (type
     evolution would corrupt latest-wins comparisons, not just widen)."""
-    log_fields = {f.name: f for f in spark.table(log).schema.fields}
+    # Case-insensitive name matching: the metastore resolves column
+    # names case-insensitively (spark.sql.caseSensitive=false default),
+    # so a batch column differing only in case from a log column is the
+    # SAME column — treating it as new would hand ALTER TABLE a
+    # duplicate and fail with an opaque AnalysisException instead of
+    # this module's contract errors.
+    log_fields = {f.name.lower(): f for f in spark.table(log).schema.fields}
     new_fields = [
-        f for f in batch.schema.fields if f.name not in log_fields
+        f for f in batch.schema.fields if f.name.lower() not in log_fields
     ]
     for f in batch.schema.fields:
-        have = log_fields.get(f.name)
+        have = log_fields.get(f.name.lower())
         if have is not None and have.dataType != f.dataType:
             raise ValueError(
                 f"upsert log {log!r}: column {f.name!r} arrived as "
@@ -211,16 +217,30 @@ def _align_log_schema(
                 "adds columns, it never retypes them"
             )
     if new_fields:
+        # Backtick-quote the names: a column like `order count` or a
+        # reserved word is legal in a DataFrame schema and must survive
+        # the round-trip through DDL text (embedded backticks escape by
+        # doubling, the standard Spark identifier rule).
+        def _q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
         ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+            f"{_q(f.name)} {f.dataType.simpleString()}" for f in new_fields
         )
         spark.sql(f"ALTER TABLE {log} ADD COLUMNS ({ddl})")
         spark.catalog.refreshTable(log)
     widened = spark.table(log).schema
     out = batch
+    # Same case-insensitive resolution on the backfill: a batch column
+    # differing only in case is renamed to the log's canonical casing
+    # (a case-sensitive `withColumn` here would silently NULL it out).
+    have = {c.lower(): c for c in out.columns}
     for f in widened.fields:
-        if f.name not in out.columns:
+        cur = have.get(f.name.lower())
+        if cur is None:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        elif cur != f.name:
+            out = out.withColumnRenamed(cur, f.name)
     return out.select(*[f.name for f in widened.fields])
 
 

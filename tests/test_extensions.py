@@ -186,6 +186,65 @@ def test_connected_components_multi_hop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 60-link path graph — diameter 3x the iteration cap. One-hop
+    min-label propagation alone would exhaust max_iterations=20 and
+    silently split the chain (ADVICE r08); pointer doubling covers
+    diameter < 2^19 within the default cap, so the chain must come back
+    as ONE component with no warning."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["a_id", "b_id"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any UserWarning fails the test
+        got = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, require_convergence=True
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_connected_components_exhaustion_detected(spark):
+    """An exhausted iteration cap (labels still moving) warns by default
+    and raises under require_convergence=True — never returns split
+    components silently."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["a_id", "b_id"]
+    )
+    with pytest.warns(UserWarning, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=1).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(
+            pairs, max_iterations=1, require_convergence=True
+        )
+
+
+def test_greedy_component_matches_long_chain(spark):
+    """The transitive intra-batch stage on a 30-link duplicate chain
+    (> the ADVICE r08 bound of ~21 docs): sequential greedy on a path
+    0-1-2-...-30 accepts the evens and diverts every odd id against its
+    accepted predecessor — exactly what a one-doc-per-batch sequential
+    feed would do."""
+    from stream_sentinel_spark.streaming.ingest import (
+        _greedy_component_matches,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0 - i * 0.001) for i in range(30)],
+        "a_id long, b_id long, _score double",
+    )
+    rows = {
+        r.new_id: (r.n_matches, r.first_match)
+        for r in _greedy_component_matches(pairs, "best_jaccard", False)
+        .collect()
+    }
+    assert rows == {i: (1, i - 1) for i in range(1, 31, 2)}
+
+
 def test_exact_dedup(spark, docs):
     groups = dedup.exact_dedup_groups(docs, "doc_id", "text").collect()
     by_keep = {g.keep_id: g.copies for g in groups}

@@ -483,6 +483,50 @@ def test_schema_evolution_widens_log(spark):
         _drop(spark, table)
 
 
+def test_schema_evolution_quoting_and_case(spark):
+    """ADVICE r08: evolution DDL must survive column names that need
+    backticks (spaces), and name matching must be case-INsensitive —
+    the metastore resolves names case-insensitively, so a batch column
+    differing only in case is the SAME column (widening it would fail
+    in ALTER TABLE; backfilling it would NULL the data out)."""
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            evolve_schema=True,
+        )
+        fn(_changes(spark, E0), 0)
+        # a new column whose name needs quoting in DDL
+        spaced = spark.createDataFrame(
+            [(1, 20, "U", "a1", "sp1")],
+            "k long, seq long, op string, val string, `order count` string",
+        )
+        fn(spaced, 1)
+        # a batch whose existing column arrives in a different CASE:
+        # same column, not a widening — the value must land in `val`
+        cased = spark.createDataFrame(
+            [(9, 20, "U", "i0")], "k long, seq long, op string, VAL string"
+        )
+        fn(cased, 2)
+        snap = {
+            r.k: (r.val, r["order count"])
+            for r in read_upsert_snapshot(
+                spark, table, ["k"], ["seq"], op_col="op"
+            ).collect()
+        }
+        assert snap[1] == ("a1", "sp1")
+        assert snap[9] == ("i0", None)
+        assert snap[2] == ("b0", None)
+        # a case-variant RETYPE is still a retype
+        bad = spark.createDataFrame(
+            [(1, 30, "U", 5)], "k long, seq long, op string, VAL int"
+        )
+        with pytest.raises(ValueError, match="never retypes"):
+            fn(bad, 3)
+    finally:
+        _drop(spark, table)
+
+
 def test_in_loop_compaction_with_retention_policy(spark):
     """compact_horizon wires the retention horizon into the loop's own
     compaction cadence: the policy callable maps the current log to a
