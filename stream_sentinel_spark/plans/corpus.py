@@ -5641,10 +5641,11 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
     bench reps that measurably degrades everything that runs after it
     (measured: the protocol streaming leg 7.3 k → 2.0 k ev/s and the
     tail-position corpus queries 2-3× when four memory sinks had
-    accumulated). Alerts therefore drain to a parquet sink and the
-    returned frame reads it back; the source/checkpoint tmp is deleted,
-    the small output dir is left for the OS (the returned DataFrame
-    reads it lazily)."""
+    accumulated). Alerts therefore drain to a parquet sink; the result
+    is eagerly localCheckpointed off the sink files so BOTH temp dirs
+    are removed before returning (repeated gate runs must not
+    accumulate parquet in /tmp — the checkpoint blocks are freed by the
+    driver GC the bench forces between queries)."""
     import shutil
     import tempfile
 
@@ -5718,19 +5719,22 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
             .start()
         )
         q.awaitTermination()
+        rows = (
+            spark.read.parquet(f"{out_dir}/alerts")
+            .filter(F.col("key") != str(_SENTINEL_KEY))
+            .select(
+                "rule_name",
+                "key",
+                F.unix_millis("alert_ts").alias("alert_ts_ms"),
+                "details",
+                F.col("rule_index").cast("int").alias("rule_index"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return (
-        spark.read.parquet(f"{out_dir}/alerts")
-        .filter(F.col("key") != str(_SENTINEL_KEY))
-        .select(
-            "rule_name",
-            "key",
-            F.unix_millis("alert_ts").alias("alert_ts_ms"),
-            "details",
-            F.col("rule_index").cast("int").alias("rule_index"),
-        )
-    )
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
 
 
 @query("x84_streaming_detect_parity", _DETECT_ORACLE)
@@ -5992,9 +5996,13 @@ def x87(spark, sf):
             .start()
         )
         q.awaitTermination()
+        rows = spark.read.parquet(f"{out_dir}/pairs").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(f"{out_dir}/pairs")
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
 
 
 @query(
@@ -6052,9 +6060,13 @@ def x88(spark, sf):
             .start()
         )
         q.awaitTermination()
+        rows = spark.read.parquet(f"{out_dir}/events").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(f"{out_dir}/events")
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
 
 
 @query(
@@ -6183,9 +6195,13 @@ def x90(spark, sf):
             .start()
         )
         q.awaitTermination()
+        rows = spark.read.parquet(f"{out_dir}/windows").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(f"{out_dir}/windows")
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
 
 
 @query(
@@ -6319,16 +6335,19 @@ def x91(spark, sf):
             commit_log_dir=f"{tmp}/commits",
         )
         q.awaitTermination()
+        rows = (
+            spark.read.parquet(f"{out_dir}/acc")
+            .select("doc_id", F.col("epoch").cast("int").alias("epoch"))
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         for suffix in ("_bands", "_verify", "_bandstats", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
-    return (
-        spark.read.parquet(f"{out_dir}/acc")
-        .select("doc_id", F.col("epoch").cast("int").alias("epoch"))
-        .orderBy("doc_id")
-    )
+    return rows
 
 
 @query(
@@ -6440,19 +6459,22 @@ def x92(spark, sf):
             dedup_within_batch=True,
         )
         fn(batch, 0)
+        rows = (
+            spark.read.parquet(f"{out_dir}/match")
+            .select(
+                "new_id", "n_matches", "best_jaccard", "first_match",
+                "within_batch", F.col("epoch").cast("int").alias("epoch"),
+            )
+            .orderBy("new_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         for suffix in ("_bands", "_verify", "_bandstats", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
-    return (
-        spark.read.parquet(f"{out_dir}/match")
-        .select(
-            "new_id", "n_matches", "best_jaccard", "first_match",
-            "within_batch", F.col("epoch").cast("int").alias("epoch"),
-        )
-        .orderBy("new_id")
-    )
+    return rows
 
 
 @query(
@@ -6567,9 +6589,13 @@ def x93(spark, sf):
             .start()
         )
         q.awaitTermination()
+        rows = spark.read.parquet(f"{out_dir}/sessions").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(f"{out_dir}/sessions")
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
 
 
 @query(
@@ -6827,16 +6853,19 @@ def x96(spark, sf):
             commit_log_dir=f"{tmp}/commits",
         )
         q.awaitTermination()
+        rows = (
+            spark.read.parquet(f"{out_dir}/acc")
+            .select("vec_id", F.col("epoch").cast("int").alias("epoch"))
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         for suffix in ("_bands", "_vecs", "_bandstats", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
-    return (
-        spark.read.parquet(f"{out_dir}/acc")
-        .select("vec_id", F.col("epoch").cast("int").alias("epoch"))
-        .orderBy("vec_id")
-    )
+    return rows
 
 
 @query(
@@ -7151,9 +7180,13 @@ def x100(spark, sf):
             .start()
         )
         q.awaitTermination()
+        rows = spark.read.parquet(f"{out_dir}/windows").localCheckpoint(
+            eager=True
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(f"{out_dir}/windows")
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return rows
 
 
 _X101_DAG_ORACLE = """
@@ -7681,13 +7714,16 @@ def x104(spark, sf):
             dedup_within_batch="transitive",
         )
         q.awaitTermination()
+        rows = (
+            spark.read.parquet(f"{out_dir}/acc")
+            .select("doc_id", (F.col("doc_id") % 4).cast("int").alias("pos"))
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
         for suffix in ("_bands", "_verify", "_bandstats", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
             spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}__compacting")
-    return (
-        spark.read.parquet(f"{out_dir}/acc")
-        .select("doc_id", (F.col("doc_id") % 4).cast("int").alias("pos"))
-        .orderBy("doc_id")
-    )
+    return rows
