@@ -508,6 +508,7 @@ def containment_pairs(
     threshold: float = 0.9,
     rare_frac: float = 0.2,
     min_size: int = 1,
+    candidate_warn: int | None = 50_000_000,
 ) -> DataFrame:
     """Asymmetric containment near-dup pairs:
     ``C(A,B) = |A∩B| / min(|A|,|B|)`` ≥ threshold over character
@@ -570,6 +571,28 @@ def containment_pairs(
     per-doc sorted sets → probe-chosen pair generation → exact verify.
     Score is one IEEE division of two exact integers — bit-identical
     cross-engine, no rounding needed.
+
+    **Cost law and the quadratic-regime guard** (the sign-LSH
+    ``hot_bucket_warn``'s symmetric twin): the prefix regime's join
+    volume is ``Σ_sid idx_df(sid)·df(sid)`` — indexed prefix
+    occurrences times probe occurrences per rare shingle. On
+    Heaps'-law corpora (vocabulary grows with the corpus) the rank
+    cutoff tracks the df distribution and the mass stays near-linear;
+    on a FIXED-vocabulary corpus (templated logs, boilerplate-heavy
+    crawls) every df grows ∝ n while the cutoff admits the same
+    vocabulary fraction, so the mass grows ∝ n² — measured 25.3 M →
+    244 M candidates for 50 k → 150 k docs on the fixed-vocab stress
+    fixture (STRESS_r08_x70.json). Results stay CORRECT in that regime;
+    only the verify stage's cost explodes. Before the prefix join runs,
+    the mass is therefore probed with two vocab-keyed aggregations over
+    the already-pinned doc sets (cost ≈ one extra pass over Σ|S_d|,
+    nothing pair-shaped), and a ``UserWarning`` fires when it exceeds
+    ``candidate_warn`` (default 50 M ≈ the measured cliff's onset) —
+    naming the remedies: lower ``rare_frac`` (smaller rare sets ⇒
+    smaller prefixes AND smaller dfs), raise ``min_size``, or pre-cap
+    document frequency via :func:`filter_frequent_shingles`. Pass
+    ``candidate_warn=None`` to disable. The class regime is exempt by
+    construction (its member-pair explosion is output-bounded).
     """
     doc_sets, pos = _containment_doc_sets(
         df, id_col, text_col, n, rare_frac, min_size
@@ -581,7 +604,57 @@ def containment_pairs(
         out = _containment_by_class(doc_sets, doc_sets.count(), threshold)
         if out is not None:
             return out
+    if candidate_warn is not None:
+        mass = _containment_candidate_mass(doc_sets, threshold)
+        if mass > candidate_warn:
+            import warnings
+
+            warnings.warn(
+                f"containment_pairs: the prefix-filter regime would "
+                f"generate ~{mass} candidate collisions "
+                f"(> candidate_warn={candidate_warn}) — the "
+                "fixed-vocabulary quadratic regime (every shingle's df "
+                "grows with the corpus while the rank cutoff admits the "
+                "same vocabulary fraction; measured 244M candidates at "
+                "150k docs, STRESS_r08_x70). Results are correct but the "
+                "verify stage pays Σ idx_df·df. Lower rare_frac, raise "
+                "min_size, or pre-cap document frequency with "
+                "filter_frequent_shingles; candidate_warn=None disables "
+                "this probe.",
+                UserWarning,
+                stacklevel=2,
+            )
     return _containment_by_prefix(doc_sets, threshold)
+
+
+def _containment_candidate_mass(doc_sets: DataFrame, threshold: float) -> int:
+    """The prefix regime's join volume ``Σ_sid idx_df·df`` — the exact
+    quantity the x70 stress decomposition measures — computed WITHOUT
+    generating a single pair: one explode of the (pinned) indexed
+    prefixes, one explode of the full sets, both aggregated to the
+    (bounded) rare vocabulary, one broadcast-joinable merge, one-row
+    sum. Driver pull is a single scalar."""
+    plen = (
+        F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + F.lit(1)
+    ).cast("int")
+    idx_df = (
+        doc_sets.select(
+            F.explode(F.slice("grams", F.lit(1), plen)).alias("sid")
+        )
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("idx_df"))
+    )
+    probe_df = (
+        doc_sets.select(F.explode("grams").alias("sid"))
+        .groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("df_"))
+    )
+    row = (
+        idx_df.join(probe_df, "sid")
+        .agg(F.sum(F.col("idx_df") * F.col("df_")).alias("mass"))
+        .head()
+    )
+    return int(row.mass or 0)
 
 
 def _containment_doc_sets(

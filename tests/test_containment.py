@@ -5,6 +5,8 @@ blocking semantics)."""
 
 from __future__ import annotations
 
+import pytest
+
 from stream_sentinel_spark.operators import dedup
 
 
@@ -185,3 +187,97 @@ def test_short_docs_emit_no_shingles(spark):
         df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0
     ).collect()
     assert sorted((r.a_id, r.b_id) for r in pairs) == [(4, 5)]
+
+
+def _heaps_corpus(spark, n_docs, words=30, seed=7):
+    """A Heaps'-law corpus for 8-grams: every word is an independent
+    random 8-letter string, so 8-char grams are (near-)unique across
+    the corpus — the vocabulary grows with it and document frequencies
+    stay O(1)."""
+    import random
+
+    rnd = random.Random(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(
+                    rnd.choice("abcdefghijklmnopqrstuvwxyz")
+                    for _ in range(8)
+                )
+                for _ in range(words)
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fixed_vocab_corpus(spark, n_docs):
+    """The measured quadratic regime (STRESS_r08_x70): a FIXED 60-word
+    lexicon, so every shingle's df grows with the corpus while the rank
+    cutoff admits the same vocabulary fraction."""
+    from stream_sentinel_spark.testing import make_skewed_corpus
+
+    return make_skewed_corpus(
+        spark, n_docs=n_docs, hot_cluster=max(20, n_docs // 100),
+        planted_pairs=max(40, n_docs // 50), vocab=60, words_per_doc=30,
+    ).docs
+
+
+def test_candidate_mass_growth_law(spark):
+    """The cost law the guard's docstring states: Σ idx_df·df grows
+    quadratically on a fixed-vocab corpus (every df ∝ n) and linearly
+    on a Heaps'-law one (df stays O(1), mass = Σ plen)."""
+    masses = {}
+    for tag, mk in (("fixed", _fixed_vocab_corpus), ("heaps", _heaps_corpus)):
+        for n in (500, 1500):
+            ds, _ = dedup._containment_doc_sets(
+                mk(spark, n), "doc_id", "text", 8, 0.2, 5
+            )
+            masses[(tag, n)] = dedup._containment_candidate_mass(ds, 0.9)
+    # 3x the docs: fixed-vocab mass grows >8x (measured 1595 -> 31556);
+    # Heaps mass grows exactly with the doc count (measured 3.0x).
+    assert masses[("fixed", 1500)] > 8 * masses[("fixed", 500)]
+    assert masses[("heaps", 1500)] < 3.5 * masses[("heaps", 500)]
+
+
+def test_candidate_warn_fires_fixed_vocab_silent_heaps(spark):
+    """The guard itself, at the SAME corpus size and the SAME bound:
+    5000 fixed-vocab docs exceed it (measured mass 539549), 5000
+    Heaps'-law docs stay under (measured 140000). The probe is the
+    only action containment_pairs runs before returning its lazy plan,
+    so the warning fires without paying for the quadratic join."""
+    import warnings
+
+    bound = 280_000
+    with pytest.warns(UserWarning, match="candidate collisions"):
+        dedup.containment_pairs(
+            _fixed_vocab_corpus(spark, 5000), "doc_id", "text",
+            n=8, threshold=0.9, rare_frac=0.2, min_size=5,
+            candidate_warn=bound,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        dedup.containment_pairs(
+            _heaps_corpus(spark, 5000), "doc_id", "text",
+            n=8, threshold=0.9, rare_frac=0.2, min_size=5,
+            candidate_warn=bound,
+        )
+
+
+def test_candidate_warn_class_regime_exempt(spark):
+    """A corpus the class regime absorbs (few distinct rare-sets, ≥4x
+    compression) never probes candidate mass — its member-pair
+    explosion is output-bounded by construction, so even
+    candidate_warn=0 stays silent."""
+    import warnings
+
+    df = _docs(spark, [(i, "abcdefgh common text") for i in range(40)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows = dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.9, rare_frac=1.0,
+            candidate_warn=0,
+        ).collect()
+    assert len(rows) == 40 * 39 // 2
