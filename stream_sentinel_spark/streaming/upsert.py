@@ -117,6 +117,106 @@ def read_upsert_history(
     )
 
 
+def read_upsert_changes(
+    spark: SparkSession,
+    table: str,
+    since_epoch: int,
+    *,
+    commit_log_dir: str | None = None,
+    seq_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The INCREMENTAL (change-feed) read — the third leg of the
+    Hudi/Iceberg CDC triangle next to :func:`read_upsert_snapshot`
+    (current state) and :func:`read_upsert_history` (SCD2): exactly the
+    change rows of COMMITTED epochs strictly greater than
+    ``since_epoch``, with their ``_epoch`` stamp, ordered by
+    ``(_epoch, *seq_cols)`` when ``seq_cols`` is given. A downstream
+    consumer that holds the snapshot as of epoch E and merges this feed
+    on top reaches the current snapshot exactly (pinned in
+    tests/test_streaming_upsert.py).
+
+    With ``commit_log_dir`` the read is MANIFEST-DRIVEN: the latest
+    committed manifest inventories the log's data files, so the scan
+    lists only those — an epoch whose append succeeded but whose commit
+    marker never landed (a crash) can never surface in the feed, even
+    before loop-start recovery deletes its files. No log-table scan is
+    filtered down: the file list IS the committed set, and the
+    ``_epoch > E`` predicate prunes within it (each epoch's rows carry
+    the stamp the loop wrote at append time). Files are read under the
+    CURRENT table schema, so pre-evolution files surface the widened
+    columns as NULL — the same merge-on-read backfill every other view
+    applies. Without ``commit_log_dir`` the feed reads the catalog
+    table directly (callers driving epochs as plain batch functions
+    have no uncommitted-file window to exclude).
+
+    Retention: compaction (:func:`compact_upsert_log`) rewrites the log
+    to the horizon's baseline + post-horizon rows, so change rows of
+    epochs at-or-before the last compaction may be collapsed — the same
+    retention trade the history view documents. When the commit log
+    shows a post-``since_epoch`` rewrite snapshot (a compaction or
+    recovery ``snap-*`` entry), a ``UserWarning`` flags that the feed
+    may be incomplete for that range; read the feed on the compaction
+    cadence (or set ``compact_horizon``) to avoid it.
+
+    Scale shape: the feed slice is O(change volume since E) — the epoch
+    stamp is a plain column, so at 100 TB the predicate prunes with
+    parquet row-group stats (epochs are append-ordered within files);
+    nothing rewrites, nothing shuffles except the optional final sort
+    of the (incremental-sized) slice.
+    """
+    import warnings
+
+    log = _log_table(table)
+    if commit_log_dir is not None:
+        from stream_sentinel_spark.streaming.manifest import (
+            _entries,
+            latest_manifest,
+        )
+
+        manifest = latest_manifest(spark, commit_log_dir)
+        entry = (manifest or {}).get("tables", {}).get(log)
+        if entry is None:
+            if not spark.catalog.tableExists(log):
+                raise ValueError(
+                    f"upsert table {table!r}: no committed epochs and no "
+                    "log table — nothing to read changes from"
+                )
+            df = spark.table(log).limit(0)
+        else:
+            loc = entry["location"].rstrip("/")
+            files = [f"{loc}/{name}" for name in entry["files"]]
+            schema = spark.table(log).schema
+            df = (
+                spark.read.schema(schema).parquet(*files)
+                if files
+                else spark.table(log).limit(0)
+            )
+        rewrites = [
+            e
+            for (e, k) in _entries(spark, commit_log_dir)
+            if k >= 1 and e > since_epoch
+        ]
+        if rewrites:
+            warnings.warn(
+                f"upsert table {table!r}: the commit log records a log "
+                f"rewrite (compaction/recovery snapshot) at epoch"
+                f"{'s' if len(rewrites) > 1 else ''} "
+                f"{sorted(set(rewrites))} after since_epoch="
+                f"{since_epoch} — change rows at or before the rewrite "
+                "horizon may be collapsed to their latest versions. "
+                "Read the change feed on the compaction cadence for a "
+                "complete feed.",
+                UserWarning,
+                stacklevel=2,
+            )
+    else:
+        df = spark.table(log)
+    out = df.filter(F.col("_epoch") > int(since_epoch))
+    if seq_cols:
+        out = out.orderBy("_epoch", *seq_cols)
+    return out
+
+
 def compact_upsert_log(
     spark: SparkSession,
     table: str,

@@ -569,3 +569,115 @@ def test_in_loop_compaction_with_retention_policy(spark):
         assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
     finally:
         _drop(spark, table)
+
+
+def test_change_feed_since_epoch(spark, tmp_path):
+    """read_upsert_changes: exactly the committed change rows of epochs
+    > E, epoch-stamped; snapshot-as-of-E merged with the feed equals
+    the current snapshot (the downstream-consumer contract)."""
+    from stream_sentinel_spark.streaming.upsert import read_upsert_changes
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_changes(spark, E0), 0)
+        snap_at_0 = read_upsert_snapshot(
+            spark, table, ["k"], ["seq"], op_col="op"
+        ).localCheckpoint(eager=True)
+        fn(_changes(spark, E1), 1)
+        fn(_changes(spark, E2), 2)
+        feed = read_upsert_changes(
+            spark, table, 0, commit_log_dir=commits, seq_cols=["seq"]
+        )
+        got = [(r.k, r.seq, r.op, r.val, r._epoch) for r in feed.collect()]
+        want = sorted(
+            [(k, s, op, v, 1) for (k, s, op, v) in E1]
+            + [(k, s, op, v, 2) for (k, s, op, v) in E2],
+            key=lambda t: (t[4], t[1], t[0]),
+        )
+        assert sorted(got, key=lambda t: (t[4], t[1], t[0])) == want
+        # consumer contract: snapshot@0 + feed == current snapshot
+        merged = merge_latest(
+            snap_at_0.withColumn("op", F.lit("U")).unionByName(
+                feed.drop("_epoch")
+            ),
+            ["k"], ["seq"], op_col="op",
+        )
+        assert sorted((r.k, r.seq, r.val) for r in merged.collect()) == (
+            _batch_twin(spark, E0 + E1 + E2)
+        )
+        # since the last epoch: empty feed
+        assert read_upsert_changes(
+            spark, table, 2, commit_log_dir=commits
+        ).count() == 0
+    finally:
+        _drop(spark, table)
+
+
+def test_change_feed_excludes_uncommitted_epoch(spark, tmp_path):
+    """An epoch whose append landed but whose commit marker never did
+    (a crash) must NOT surface in the manifest-driven feed — even
+    BEFORE loop-start recovery deletes its files. The catalog-table
+    read (no commit_log_dir) sees them; the manifest-driven read never
+    does."""
+    from stream_sentinel_spark.sources.bucketing import write_bucketed
+    from stream_sentinel_spark.streaming.upsert import read_upsert_changes
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_changes(spark, E0), 0)
+        fn(_changes(spark, E1), 1)
+        # crash mid-epoch-2: files appended, no commit marker
+        write_bucketed(
+            _changes(spark, E2).withColumn("_epoch", F.lit(2)),
+            f"{table}_log", ["k"], 32, mode="append", align=True,
+        )
+        feed = read_upsert_changes(spark, table, 0, commit_log_dir=commits)
+        assert {r._epoch for r in feed.collect()} == {1}
+        assert feed.count() == len(E1)
+        # replaying epoch 2 properly makes it appear
+        rep = recover_upsert_ingest(spark, table=table, commit_log_dir=commits)
+        assert rep["orphans_deleted"], rep
+        spark.catalog.refreshTable(f"{table}_log")
+        fn(_changes(spark, E2), 2)
+        feed2 = read_upsert_changes(spark, table, 0, commit_log_dir=commits)
+        assert {r._epoch for r in feed2.collect()} == {1, 2}
+    finally:
+        _drop(spark, table)
+
+
+def test_change_feed_warns_after_compaction_rewrite(spark, tmp_path):
+    """A compaction records an aux snapshot in the commit log; a feed
+    read spanning it warns that pre-horizon change rows may be
+    collapsed (the retention trade), while a read from the rewrite
+    point onward stays silent."""
+    import warnings
+
+    from stream_sentinel_spark.streaming import manifest as mf
+    from stream_sentinel_spark.streaming.upsert import read_upsert_changes
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits, compact_every=2,
+        )
+        fn(_changes(spark, E0), 0)
+        fn(_changes(spark, E1), 1)  # triggers in-loop compaction
+        with pytest.warns(UserWarning, match="rewrite"):
+            read_upsert_changes(spark, table, 0, commit_log_dir=commits)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            read_upsert_changes(spark, table, 1, commit_log_dir=commits)
+    finally:
+        _drop(spark, table)
