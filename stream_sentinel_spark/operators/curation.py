@@ -517,6 +517,126 @@ def pack_token_stream(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    context_len: int,
+    n_shards: int = 64,
+    salt: str = "pk",
+) -> DataFrame:
+    """Greedy bin-fill sequence packing WITHOUT document straddling —
+    the OTHER packing regime next to :func:`pack_token_stream`'s
+    concat-and-split: each document lands whole in exactly one fixed
+    ``context_len`` window (attention never crosses a document
+    boundary), windows are filled first-fit in ``doc_id`` order
+    (next-fit bin packing — the deterministic policy real pre-training
+    pipelines run between chunking (x29) and shard export (x45)), and a
+    document longer than the window is TRUNCATED to ``context_len`` and
+    flagged. Unfilled window tails are padding — report them via
+    :func:`pack_fill_stats`.
+
+    Output: one row per packed document —
+    ``(shard, doc_id, window_id, win_offset, n_tok_packed, truncated)``
+    where ``window_id`` numbers windows within the shard from 0,
+    ``win_offset`` is the document's token start inside its window, and
+    ``n_tok_packed = least(n_tok, context_len)``. Zero-token documents
+    are dropped (same rule as :func:`pack_token_stream`).
+
+    The sequential fill decision (a window closes exactly when the next
+    document would overflow it) is a RESET-carrying scan — not a plain
+    prefix sum — so it cannot fuse into a window expression; it runs as
+    one Arrow-batched ``applyInPandas`` pass per shard after ONE key
+    shuffle on the md5-derived shard (the same routing expression as
+    :func:`pack_token_stream`, so the two regimes shard identically).
+    Each task holds only ``(doc_id, n_tok)`` pairs — 16 bytes a
+    document — and ``n_shards`` scales with the cluster exactly like
+    training-data shards; there is never a global single-partition
+    scan. The SQL oracle reproduces the fill with a per-shard recursive
+    CTE stepping the same integer recurrence (corpus x106).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if context_len <= 0:
+        raise ValueError("context_len must be positive")
+    tok = F.col(token_count_col).cast("long")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    docs = df.select(
+        shard, F.col(id_col).alias("doc_id"), tok.alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+
+    id_type = docs.schema["doc_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("doc_id", id_type),
+            T.StructField("window_id", T.LongType()),
+            T.StructField("win_offset", T.LongType()),
+            T.StructField("n_tok_packed", T.LongType()),
+            T.StructField("truncated", T.BooleanType()),
+        ]
+    )
+    cap = int(context_len)
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        win, used = 0, 0
+        rows = []
+        for doc_id, n_tok in zip(pdf["doc_id"], pdf["n_tok"]):
+            packed = min(int(n_tok), cap)
+            if used + packed > cap:
+                win += 1
+                used = 0
+            rows.append(
+                (
+                    int(pdf["shard"].iloc[0]),
+                    doc_id,
+                    win,
+                    used,
+                    packed,
+                    int(n_tok) > cap,
+                )
+            )
+            used += packed
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "shard", "doc_id", "window_id", "win_offset",
+                "n_tok_packed", "truncated",
+            ],
+        )
+
+    return docs.groupBy("shard").applyInPandas(fill, out_schema)
+
+
+def pack_fill_stats(packed: DataFrame, context_len: int) -> DataFrame:
+    """Per-window fill report over :func:`pack_sequences` output:
+    ``(shard, window_id, n_docs, n_tokens, fill_rate, n_truncated)``
+    with ``fill_rate = n_tokens / context_len`` (one IEEE division of
+    exact integers — oracle-reproducible). One keyed aggregation;
+    partial aggregation applies."""
+    return packed.groupBy("shard", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok_packed").alias("n_tokens"),
+        (
+            F.sum("n_tok_packed").cast("double") / F.lit(float(context_len))
+        ).alias("fill_rate"),
+        F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+    )
+
+
 def boilerplate_removal(
     df: DataFrame,
     id_col: str,

@@ -7852,3 +7852,97 @@ def x105(spark, sf):
         spark.sql(f"DROP TABLE IF EXISTS {table}_log")
         spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
     return rows
+
+
+_X106_FILL_CTE = """
+    WITH RECURSIVE d AS (
+      SELECT CAST(('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard,
+             doc_id,
+             LEAST(len(string_split(text, ' ')), 256) AS packed,
+             len(string_split(text, ' ')) > 256 AS truncated
+      FROM documents WHERE len(string_split(text, ' ')) > 0),
+    r AS (
+      SELECT shard, doc_id, packed, truncated,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d),
+    fill AS (
+      SELECT shard, doc_id, packed, truncated, rn,
+             CAST(0 AS BIGINT) AS window_id, CAST(0 AS BIGINT) AS win_offset
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.doc_id, r.packed, r.truncated, r.rn,
+             CASE WHEN f.win_offset + f.packed + r.packed <= 256
+                  THEN f.window_id ELSE f.window_id + 1 END,
+             CASE WHEN f.win_offset + f.packed + r.packed <= 256
+                  THEN f.win_offset + f.packed ELSE CAST(0 AS BIGINT) END
+      FROM r JOIN fill f ON r.shard = f.shard AND r.rn = f.rn + 1)
+"""
+
+
+@query(
+    "x106_pack_sequences",
+    _X106_FILL_CTE
+    + """
+    SELECT shard, doc_id, window_id, win_offset,
+           CAST(packed AS BIGINT) AS n_tok_packed, truncated
+    FROM fill ORDER BY doc_id
+    """,
+)
+def x106(spark, sf):
+    """Greedy bin-fill SEQUENCE PACKING (VERDICT r08 item 4) — the
+    no-straddling packing regime between x29's chunking and x45's shard
+    export: every document lands whole in one 256-token window
+    (attention never crosses a document boundary), windows fill
+    next-fit in doc_id order within 8 md5-routed shards, over-long
+    documents truncate to the window and flag. `curation.pack_sequences`
+    runs the reset-carrying fill as ONE Arrow-batched applyInPandas
+    pass per shard after one key shuffle — each task holds
+    (doc_id, n_tok) pairs only; n_shards scales with the cluster, so
+    there is never a global sequential scan.
+
+    Oracle: a per-shard RECURSIVE CTE stepping the identical integer
+    recurrence (close a window exactly when the next document would
+    overflow it) — every emitted column is exact integer/boolean
+    arithmetic, so parity is bit-for-bit.
+
+    Scale shape at 100 TB: the shuffle moves 16 bytes per document; the
+    python pass is linear per shard and the shard count is the
+    parallelism knob — the same layout the training job consumes."""
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return curation.pack_sequences(
+        docs, "doc_id", "n_tok", context_len=256, n_shards=8
+    ).orderBy("doc_id")
+
+
+@query(
+    "x107_pack_fill_stats",
+    _X106_FILL_CTE
+    + """
+    SELECT shard, window_id, COUNT(*) AS n_docs,
+           CAST(SUM(packed) AS BIGINT) AS n_tokens,
+           CAST(SUM(packed) AS DOUBLE) / 256.0 AS fill_rate,
+           CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated
+    FROM fill GROUP BY shard, window_id ORDER BY shard, window_id
+    """,
+)
+def x107(spark, sf):
+    """The per-window FILL REPORT over x106's packing — the number
+    every packing pipeline watches (padding waste = 1 - fill_rate) plus
+    the truncation count. One keyed aggregation over the packed frame
+    (partial agg applies); fill_rate is a single IEEE division of exact
+    integers, bit-identical cross-engine."""
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = curation.pack_sequences(
+        docs, "doc_id", "n_tok", context_len=256, n_shards=8
+    )
+    return curation.pack_fill_stats(packed, 256).orderBy("shard", "window_id")

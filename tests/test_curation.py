@@ -873,3 +873,84 @@ def test_excise_short_doc_passthrough(spark):
     ).collect()
     # 3 tokens < k: no windows exist, so even identical docs pass through
     assert all(r.n_removed == 0 for r in out)
+
+
+class TestPackSequences:
+    def test_greedy_fill_matches_sequential_reference(self, spark):
+        from stream_sentinel_spark.operators.curation import pack_sequences
+        import pyspark.sql.functions as F
+
+        docs = spark.range(1, 300).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 13) % 120 + 1).alias("n_tok"),
+        )
+        out = pack_sequences(
+            docs, "doc_id", "n_tok", context_len=96, n_shards=4
+        ).cache()
+        rows = sorted(
+            (r.shard, r.doc_id, r.window_id, r.win_offset, r.n_tok_packed)
+            for r in out.collect()
+        )
+        # python reference: next-fit per shard in doc_id order
+        by_shard = {}
+        for s, d, *_ in rows:
+            by_shard.setdefault(s, []).append(d)
+        want = []
+        for s, ids in by_shard.items():
+            win, used = 0, 0
+            for d in sorted(ids):
+                n = min((d * 13) % 120 + 1, 96)
+                if used + n > 96:
+                    win, used = win + 1, 0
+                want.append((s, d, win, used, n))
+                used += n
+        assert rows == sorted(want)
+
+    def test_no_straddle_truncate_and_flag(self, spark):
+        from stream_sentinel_spark.operators.curation import (
+            pack_fill_stats,
+            pack_sequences,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 100), (2, 200), (3, 50), (4, 300), (5, 10)],
+            "doc_id long, n_tok long",
+        )
+        out = pack_sequences(
+            docs, "doc_id", "n_tok", context_len=256, n_shards=1
+        ).cache()
+        got = {r.doc_id: r for r in out.collect()}
+        # every document fits entirely inside its window
+        assert all(
+            r.win_offset + r.n_tok_packed <= 256 for r in got.values()
+        )
+        # doc 4 (300 tokens) truncates to the window and flags
+        assert got[4].n_tok_packed == 256 and got[4].truncated
+        assert not got[1].truncated
+        # fill stats: token totals per window match, fill_rate exact
+        stats = {
+            (r.shard, r.window_id): r
+            for r in pack_fill_stats(out, 256).collect()
+        }
+        for (s, w), r in stats.items():
+            members = [
+                g for g in got.values() if (g.shard, g.window_id) == (s, w)
+            ]
+            assert r.n_tokens == sum(g.n_tok_packed for g in members)
+            assert r.fill_rate == r.n_tokens / 256.0
+            assert r.n_truncated == sum(1 for g in members if g.truncated)
+
+    def test_zero_token_docs_dropped_and_bad_args(self, spark):
+        import pytest
+
+        from stream_sentinel_spark.operators.curation import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, 0), (2, 5)], "doc_id long, n_tok long"
+        )
+        rows = pack_sequences(
+            docs, "doc_id", "n_tok", context_len=8, n_shards=1
+        ).collect()
+        assert [r.doc_id for r in rows] == [2]
+        with pytest.raises(ValueError, match="context_len"):
+            pack_sequences(docs, "doc_id", "n_tok", context_len=0)
