@@ -499,12 +499,54 @@ def cosine_pairs_lsh_incremental(
 # ---------------------------------------------------------------------------
 
 
+def _auto_lsh_bits(
+    old_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int,
+    dim: int,
+    seed: int,
+    bound: int,
+    candidates: tuple[int, ...] = (16, 32, 64),
+) -> int:
+    """Measure-then-pick signature width for :func:`build_lsh_index`
+    (``bits="auto"``): for each candidate width ascending, compute the
+    HOTTEST band bucket's occupancy under the exact band layout the
+    build would write (``_band_struct_expr`` — the probe and the build
+    cannot disagree), and return the first width whose hottest bucket
+    fits ``bound`` — the same absolute per-probe-candidate-cost bound
+    ``hot_bucket_warn`` checks after the fact. A clustered corpus that
+    would collide whole clusters into 4-bit buckets (the measured 163 M
+    candidate cliff, STRESS_r07_newops) therefore auto-selects ≥8-bit
+    band keys BEFORE the index is written, instead of warning after.
+
+    Each trial is one map-side signature pass + a (band,val)-keyed
+    count with a one-row max — no writes, no pair generation; the loop
+    exits at the first fitting width, so the diffuse common case pays
+    one trial. The widest candidate is returned even if it still
+    exceeds the bound (the build's own ``hot_bucket_warn`` then fires
+    with the measurement, keeping the two guards consistent)."""
+    hottest = None
+    for cand in candidates:
+        sig = lsh_signatures(old_df, id_col, vec_col, cand, dim, seed)
+        hottest = (
+            sig.select(F.explode(_band_struct_expr(cand, bands)).alias("bb"))
+            .groupBy("bb.band", "bb.val")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .head()[0]
+        )
+        if hottest is None or hottest <= bound:
+            return cand
+    return candidates[-1]
+
+
 def build_lsh_index(
     old_df: DataFrame,
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 16,
+    bits: int | str = 16,
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -554,6 +596,13 @@ def build_lsh_index(
     recall — at 0.9 and 32/4, ~0.75 per pair and ~1.0 for exact
     duplicates, the dedup regime the ingest loop runs in.
 
+    ``bits="auto"`` picks the width by measurement BEFORE writing
+    anything (:func:`_auto_lsh_bits`): the first of 16/32/64 whose
+    hottest band bucket fits the ``hot_bucket_warn`` bound under the
+    exact band layout the build writes — so a clustered corpus defaults
+    to ≥8-bit band keys instead of warning after the cliff. Explicit
+    ``bits`` always wins; only the literal ``"auto"`` probes.
+
     The build measures this for you: after writing ``_bandstats`` it
     checks the hottest band bucket and emits a ``UserWarning`` when one
     bucket holds more than ``hot_bucket_warn`` vectors (default 10 000)
@@ -572,6 +621,15 @@ def build_lsh_index(
     def _path(suffix: str) -> str | None:
         return None if base_path is None else f"{base_path}/{suffix}"
 
+    if bits == "auto":
+        # measure-then-pick (see _auto_lsh_bits): explicit bits always
+        # win — only the literal "auto" triggers the probe
+        bits = _auto_lsh_bits(
+            old_df, id_col, vec_col, bands, dim, seed,
+            hot_bucket_warn if hot_bucket_warn is not None else 10_000,
+        )
+    elif not isinstance(bits, int):
+        raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
     sig = lsh_signatures(old_df, id_col, vec_col, bits, dim, seed)
     # the SAME band-splitting expression the in-memory candidate paths
     # use (_band_struct_expr): build and match cannot disagree on layout
