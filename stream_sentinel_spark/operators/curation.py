@@ -1069,6 +1069,7 @@ def nb_quality_classifier(
     ttr_num: int = 21,
     ttr_den: int = 50,
     round_to: int = 6,
+    min_df: int = 1,
 ) -> DataFrame:
     """Bootstrapped model-based quality filter — the DCLM/RefinedWeb
     two-stage pattern (Li et al. 2024, arXiv:2406.11794; fastText
@@ -1113,7 +1114,26 @@ def nb_quality_classifier(
     100 TB. Determinism: counts are integers, the log-odds expression
     tree matches the oracle's op-for-op, and only per-doc sum order
     differs — absorbed by the round (dsir precedent).
+
+    ``min_df`` bounds the WEIGHT TABLE itself (ADVICE r08 follow-up to
+    dropping the forced broadcast): tokens with fewer than ``min_df``
+    corpus-wide instances are cut from the vocabulary before the
+    smoothing totals, so ``V``/``H``/``L`` are computed over the
+    SURVIVING vocabulary — a well-defined NB over the truncated
+    alphabet, reproduced identically by the oracle with one HAVING
+    clause. On a web-scale corpus the typo/noise tail is the unbounded
+    part of the vocabulary and contributes ~zero log-odds signal
+    (a count-1 token's weight is dominated by the smoothing constant),
+    so ``min_df=2`` typically shrinks the weight table by the Heaps'
+    singleton share (~half) and restores broadcast-ability at no
+    classification cost. Cut tokens contribute neither weight nor
+    length: ``n_tokens`` counts SCORED instances, and a doc whose every
+    token is cut is absent from the output (it has no score). The df
+    here is instance count, not distinct-document count — for the tail
+    the two coincide, and instances avoid a second count-distinct pass.
     """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
     # the seed label is computable MAP-SIDE from the token array
     # (distinct count over a ~doc-length array is a per-row expression),
     # so it rides the explode instead of costing a per-doc aggregation
@@ -1132,6 +1152,10 @@ def nb_quality_classifier(
         F.sum(F.when(F.col("label_hi"), 1).otherwise(0)).alias("_chi"),
         F.sum(F.when(F.col("label_hi"), 0).otherwise(1)).alias("_clo"),
     )
+    if min_df > 1:
+        # cut the tail BEFORE the smoothing totals: V/H/L describe the
+        # surviving vocabulary (see docstring)
+        counts = counts.filter(F.col("_chi") + F.col("_clo") >= min_df)
     totals = counts.agg(
         F.sum("_chi").alias("_h"),
         F.sum("_clo").alias("_l"),

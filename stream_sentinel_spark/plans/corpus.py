@@ -7946,3 +7946,52 @@ def x107(spark, sf):
         docs, "doc_id", "n_tok", context_len=256, n_shards=8
     )
     return curation.pack_fill_stats(packed, 256).orderBy("shard", "window_id")
+
+
+@query(
+    "x108_nb_classifier_min_df",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    t AS (SELECT doc_id, w FROM toks WHERE w != ''),
+    labels AS (
+      SELECT doc_id, 50 * COUNT(DISTINCT w) >= 21 * COUNT(*) AS label_hi
+      FROM t GROUP BY 1),
+    lt AS (SELECT t.doc_id, t.w, labels.label_hi FROM t JOIN labels USING (doc_id)),
+    counts AS (
+      SELECT w,
+             SUM(CASE WHEN label_hi THEN 1 ELSE 0 END) AS chi,
+             SUM(CASE WHEN label_hi THEN 0 ELSE 1 END) AS clo
+      FROM lt GROUP BY 1
+      HAVING SUM(1) >= 2),
+    totals AS (SELECT SUM(chi) AS h, SUM(clo) AS l, COUNT(*) AS v FROM counts),
+    weights AS (
+      SELECT w, (ln(chi + 1) - ln(h + v)) - (ln(clo + 1) - ln(l + v)) AS lw
+      FROM counts, totals),
+    scored AS (
+      SELECT lt.doc_id, lt.label_hi,
+             COUNT(*) AS n_tokens,
+             round(AVG(weights.lw), 6) + 0.0 AS score
+      FROM lt JOIN weights USING (w)
+      GROUP BY 1, 2)
+    SELECT doc_id, n_tokens, label_hi, score, score > 0 AS pred_hi
+    FROM scored
+    """,
+)
+def x108(spark, sf):
+    """x94's bootstrapped NB quality classifier with the WEIGHT-TABLE
+    BOUND engaged (VERDICT r08 item 6): ``min_df=2`` cuts singleton
+    tokens from the vocabulary BEFORE the smoothing totals, so V/H/L
+    describe the surviving alphabet — a well-defined NB over the
+    truncated vocabulary, reproduced by the oracle with one HAVING
+    clause. The typo/noise tail is the unbounded part of a web-scale
+    vocabulary and a count-1 token's log-odds is pure smoothing
+    constant, so the cutoff bounds the weight table (restoring
+    broadcast-ability after ADVICE r07 removed the forced broadcast)
+    at ~zero classification cost; cut tokens contribute neither weight
+    nor length (n_tokens counts SCORED instances)."""
+    from stream_sentinel_spark.operators import curation
+
+    return curation.nb_quality_classifier(
+        _t(spark, sf, "documents"), "doc_id", "text", min_df=2
+    )

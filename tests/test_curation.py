@@ -954,3 +954,36 @@ class TestPackSequences:
         assert [r.doc_id for r in rows] == [2]
         with pytest.raises(ValueError, match="context_len"):
             pack_sequences(docs, "doc_id", "n_tok", context_len=0)
+
+
+class TestNbMinDf:
+    def test_min_df_bounds_vocab_and_drops_unscoreable_docs(self, spark):
+        import pytest
+
+        from stream_sentinel_spark.operators.curation import (
+            nb_quality_classifier,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta alpha beta gamma"),
+                (2, "alpha beta beta alpha alpha"),
+                (3, "zzzunique qqqsingleton"),  # singletons only
+            ],
+            "doc_id long, text string",
+        )
+        base = {r.doc_id: r for r in nb_quality_classifier(
+            docs, "doc_id", "text"
+        ).collect()}
+        cut = {r.doc_id: r for r in nb_quality_classifier(
+            docs, "doc_id", "text", min_df=2
+        ).collect()}
+        # doc 3's tokens are all count-1: cut from the vocabulary, so
+        # the doc has no scored instances and vanishes
+        assert 3 in base and 3 not in cut
+        # docs 1/2 keep alpha/beta (df>=2); gamma (count 1) no longer
+        # contributes length
+        assert cut[1].n_tokens == 4 and base[1].n_tokens == 5
+        assert cut[2].n_tokens == 5
+        with pytest.raises(ValueError, match="min_df"):
+            nb_quality_classifier(docs, "doc_id", "text", min_df=0)
