@@ -113,86 +113,86 @@ def query(name: str, oracle: str | None = None):
 
 # The driver's correctness gate checks the first 50 queries() entries in
 # iteration order; local oracle parity (tests/test_oracle_parity.py)
-# covers all of them every run. Round 8 rotation (stalest-row selection,
-# recomputed latest-green union over CORRECTNESS_r01-r07 — 157/157 with
-# distribution r07:50 / r06:48 / r05:47 / r04:12):
-# 1) x102/x103 — NEW this round: schema evolution in the CDC-apply loop
-#    (VERDICT r07 item 8) and the upsert-log retention horizon
-#    (VERDICT r07 item 6); unproven entries must hold gate slots;
-# 2) the twelve r04-latest rows (x44/x49/x53-x59/x64/x67/x72) — the
-#    re-front promised at the r07 rotation note and VERDICT r07 item 3;
-#    after this round no entry's latest green is older than r05;
+# covers all of them every run. Round 9 rotation (stalest-row selection,
+# recomputed latest-green union over CORRECTNESS_r01-r08 — 160/160 with
+# distribution r08:50 / r07:42 / r06:48 / r05:20):
+# 1) x105-x108 — NEW this round: the upsert change-feed read (VERDICT
+#    r08 item 3), greedy bin-fill sequence packing + its fill report
+#    (item 4), and the NB classifier's min_df weight-table bound
+#    (item 6); unproven entries must hold gate slots;
+# 2) the twenty r05-latest rows (x08-x20, x24, x35, x61, x78-x81) — the
+#    re-front promised at the r08 rotation note and VERDICT r08 item 2;
+#    after this round no entry's latest green is older than r06;
 # 3) the flagship, re-proven every round;
-# 4) rotate-what-changed: x91/x92 (streaming/ingest.py gained the
-#    transitive intra-batch mode — shared module), x94 (classifier
-#    weights join now AQE-chosen, ADVICE r07), x96 (build_lsh_index
-#    gained the hot-bucket warning — shared build path), x97 (upsert
-#    compaction: retention horizon + mid-swap heal + no localCheckpoint,
-#    ADVICE r07), x99 (oracle gained the empty-text guard, ADVICE r07),
-#    x70 (containment blocking refactored into _containment_doc_sets /
-#    _containment_prefix_candidates for the x70 stress decomposition);
-# 5) the 28 stalest r05 rows that fit the remaining slots: the full
-#    detection family q01-q10, relational q11-q17/q23/q24/q28/q53, and
-#    x01/x03-x07. The 20 r05 rows that don't fit (x08-x20 tail, x24,
-#    x35, x61, x78-x81) are all locally oracle-proven every run;
-#    re-front in r09.
+# 4) rotate-what-changed: x104/x91/x92 (connected_components gained
+#    pointer doubling + convergence detection, ADVICE r08 — the
+#    transitive mode now requires convergence; shared ingest module),
+#    x70 (containment_pairs gained the candidate-mass guard, VERDICT
+#    r08 item 1), x94 (nb_quality_classifier gained min_df), x96
+#    (build_lsh_index gained bits="auto"), x102 (_align_log_schema
+#    quoting + case-insensitive resolution, ADVICE r08), x97 (upsert
+#    module shared with the new change-feed read), and the
+#    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
+#    (eager checkpoint + rmtree, VERDICT r08 item 8);
+# 5) the 11 stalest r06 rows that fit the remaining slots
+#    (q18-q22/q30-q32/q34/q36/q37). The other r06 rows are all locally
+#    oracle-proven every run; re-front in r10.
 _DRIVER_PRIORITY = [
-    # --- new this round: CDC schema evolution, retention horizon,
-    # transitive intra-batch dedup through the loop ---
-    "x102_upsert_schema_evolution",
-    "x103_upsert_retention_horizon",
-    "x104_ingest_transitive_chains",
-    # --- stalest (latest green = r04, the promised re-front) ---
-    "x44_random_projection",
-    "x49_event_transitions",
-    "x53_ewma_user_value",
-    "x54_bag_of_words_dedup",
-    "x55_skew_report",
-    "x56_join_size_probe",
-    "x57_resample_fill",
-    "x58_cusum_drift",
-    "x59_benford_profile",
-    "x64_shard_column_stats",
-    "x67_linear_trend",
-    "x72_collapse_consecutive",
+    # --- new this round: change feed, sequence packing, min_df ---
+    "x105_upsert_change_feed",
+    "x106_pack_sequences",
+    "x107_pack_fill_stats",
+    "x108_nb_classifier_min_df",
+    # --- stalest (latest green = r05, the promised re-front) ---
+    "x08_minhash_lsh_candidates",
+    "x09_simhash_candidates",
+    "x10_multimodal_features",
+    "x11_token_stats",
+    "x12_rolling_hash",
+    "x13_asof_join_orders",
+    "x14_dedup_clusters",
+    "x15_curation_pipeline",
+    "x16_hash_sample",
+    "x17_quota_per_user",
+    "x18_pii_redaction",
+    "x19_minhash_verified_neardups",
+    "x20_ivf_ann_topk",
+    "x24_fuzzy_name_pairs",
+    "x35_semantic_dedup",
+    "x61_incremental_neardups",
+    "x78_incremental_embedding_neardups",
+    "x79_fuzzy_name_pairs2",
+    "x80_leakage_safe_split",
+    "x81_cross_source_dups",
     # --- flagship, every round ---
     "detect_pipeline",
     # --- implementation changed this round ---
+    "x104_ingest_transitive_chains",
     "x91_ingest_loop_parity",
     "x92_ingest_intra_batch",
+    "x70_containment_neardups",
     "x94_nb_quality_classifier",
     "x96_embedding_ingest_loop",
+    "x102_upsert_schema_evolution",
     "x97_streaming_upsert",
-    "x99_image_resize",
-    "x70_containment_neardups",
-    # --- next-stalest (latest green = r05) ---
-    "q01_scan_projection",
-    "q02_json_numeric_coercion",
-    "q03_threshold_rule",
-    "q04_threshold_alert_details",
-    "q05_keyby_sentinel_counts",
-    "q06_rate_rule_window",
-    "q07_rate_long_window",
-    "q08_statistical_rule",
-    "q09_statistical_sigma_zero",
-    "q10_counters",
-    "q11_join_orders_customer",
-    "q12_tpch_q3_topk",
-    "q13_anti_join_no_orders",
-    "q14_semi_join_region",
-    "q15_rollup_lineitem",
-    "q16_ranking_windows",
-    "q17_topk_orders",
-    "q23_session_windows",
-    "q24_sliding_windows",
-    "q28_tpch_q17_small_qty",
-    "q53_tpch_q12_priority_lines",
-    "x01_dedup_exact",
-    "x03_text_fingerprint",
-    "x04_text_quality",
-    "x05_lang_id",
-    "x06_ann_cosine_topk",
-    "x07_embedding_cosine_pairs",
+    "x84_streaming_detect_parity",
+    "x87_streaming_interval_join_parity",
+    "x88_streaming_dedup_parity",
+    "x90_streaming_windows_parity",
+    "x93_streaming_session_windows",
+    "x100_streaming_sliding_windows",
+    # --- next-stalest (latest green = r06) ---
+    "q18_set_ops",
+    "q19_scalars_part",
+    "q20_json_group",
+    "q21_dates_orders",
+    "q22_tumbling_windows",
+    "q30_outer_join_order_fill",
+    "q31_cube_returns",
+    "q32_lag_lead_ntile",
+    "q34_tpch_q4_priority",
+    "q36_tpch_q13_distribution",
+    "q37_tpch_q18_volume",
 ]
 
 
