@@ -815,9 +815,12 @@ def connected_components(
 
     Iterative min-label propagation (the standard large-graph
     formulation, e.g. Kiveris et al. "Connected Components in MapReduce",
-    SoCC'14) with POINTER DOUBLING each round: every node adopts the
-    minimum label in its neighborhood, then additionally the label OF
-    its new label (the hash-to-min shortcut, Rastogi et al. ICDE'13).
+    SoCC'14) with POINTER DOUBLING from round 3 on: every node adopts
+    the minimum label in its neighborhood, then additionally the label
+    OF its new label (the hash-to-min shortcut, Rastogi et al.
+    ICDE'13). The first rounds stay pure one-hop — near-dup clusters
+    are small and dense and converge there, so the common case never
+    pays the extra label self-join.
     One-hop propagation alone converges in O(diameter) rounds — so a
     duplicate CHAIN longer than ``max_iterations`` would silently come
     back split into several components; the doubling step lets labels
@@ -850,7 +853,7 @@ def connected_components(
     labels = nodes.withColumn("component", F.col("id"))
     edges = edges.localCheckpoint(eager=False)
     converged = True  # an empty/self-labeled graph is converged at round 0
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # propagate: new label = min(own, min over neighbors' labels)
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
@@ -860,18 +863,25 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # pointer doubling: adopt the label of my label. Every label IS
-        # a node id (labels start as own id and only ever take mins of
-        # node ids), so the lookup join always hits; the adopted label
-        # is ≤ the current one by the same monotonicity.
-        lookup = prop.select(
-            F.col("id").alias("component"), F.col("component").alias("_c2")
-        )
-        new_labels = (
-            prop.join(lookup, "component")
-            .select("id", F.col("_c2").alias("component"))
-            .localCheckpoint(eager=True)
-        )
+        if it >= 2:
+            # pointer doubling: adopt the label of my label. Every
+            # label IS a node id (labels start as own id and only ever
+            # take mins of node ids), so the lookup join always hits;
+            # the adopted label is ≤ the current one by the same
+            # monotonicity. Engaged from round 3 on: near-dup clusters
+            # are small and dense and converge within the first one-hop
+            # rounds — the common case pays nothing for the shortcut —
+            # while a long chain still converges in O(log diameter)
+            # once the doubling kicks in (distance ~3·2^(k-2) after k
+            # rounds; 20 rounds cover any machine-sized input).
+            lookup = prop.select(
+                F.col("id").alias("component"),
+                F.col("component").alias("_c2"),
+            )
+            prop = prop.join(lookup, "component").select(
+                "id", F.col("_c2").alias("component")
+            )
+        new_labels = prop.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
