@@ -7995,3 +7995,51 @@ def x108(spark, sf):
     return curation.nb_quality_classifier(
         _t(spark, sf, "documents"), "doc_id", "text", min_df=2
     )
+
+
+@query(
+    "x109_pack_bucketed",
+    """
+    WITH d AS (
+      SELECT CAST(('0x' || substr(md5('pk' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 8 AS shard,
+             doc_id,
+             LEAST(len(string_split(text, ' ')), 256) AS packed,
+             len(string_split(text, ' ')) > 256 AS truncated
+      FROM documents WHERE len(string_split(text, ' ')) > 0),
+    r AS (
+      SELECT shard, doc_id, packed, truncated,
+             ROW_NUMBER() OVER (PARTITION BY shard, packed
+                                ORDER BY doc_id) - 1 AS rn
+      FROM d)
+    SELECT shard, doc_id,
+           packed * 4294967296 + (rn // (256 // packed)) AS window_id,
+           (rn % (256 // packed)) * packed AS win_offset,
+           packed AS n_tok_packed, truncated
+    FROM r ORDER BY doc_id
+    """,
+)
+def x109(spark, sf):
+    """LENGTH-BUCKETED sequence packing — the high-fill-rate sibling of
+    x106's next-fit: equal-(capped)-length documents pack
+    floor(256/L) to a window within their md5 shard, so every window
+    holds same-length sequences (the regime efficient attention
+    batching prefers; padding only in per-(shard, length) remainder
+    windows). NO Python anywhere: one keyed sort (row_number over
+    (shard, capped_len)) then pure integer arithmetic — the window
+    assignment is `floor(rn/k)`, the offset `rn%k·L`, and the composite
+    window_id `L·2^32 + idx` keeps pack_fill_stats applicable on the
+    same (shard, window_id) grain as x106/x107.
+
+    Oracle: the identical ROW_NUMBER + integer-division expressions —
+    bit-for-bit integer/boolean parity, no recursion needed (this
+    regime has a closed form, which is exactly why pipelines that can
+    relax stream order choose it)."""
+    from stream_sentinel_spark.operators import curation
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return curation.pack_sequences_bucketed(
+        docs, "doc_id", "n_tok", context_len=256, n_shards=8
+    ).orderBy("doc_id")

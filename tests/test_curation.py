@@ -987,3 +987,80 @@ class TestNbMinDf:
         assert cut[2].n_tokens == 5
         with pytest.raises(ValueError, match="min_df"):
             nb_quality_classifier(docs, "doc_id", "text", min_df=0)
+
+
+class TestPackBucketed:
+    def test_equal_length_windows_and_fill(self, spark):
+        import pyspark.sql.functions as F
+
+        from stream_sentinel_spark.operators.curation import (
+            pack_fill_stats,
+            pack_sequences,
+            pack_sequences_bucketed,
+        )
+
+        docs = spark.range(1, 400).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 13) % 120 + 1).alias("n_tok"),
+        )
+        out = pack_sequences_bucketed(
+            docs, "doc_id", "n_tok", context_len=96, n_shards=4
+        ).cache()
+        rows = out.collect()
+        # schema contract shared with pack_sequences
+        assert {r.doc_id for r in rows} == set(
+            r.doc_id
+            for r in docs.filter("n_tok > 0").collect()
+        )
+        # every window holds equal-length docs, never over capacity,
+        # offsets are the dense multiples of the length
+        by_win = {}
+        for r in rows:
+            by_win.setdefault((r.shard, r.window_id), []).append(r)
+        for (s, w), members in by_win.items():
+            lens = {m.n_tok_packed for m in members}
+            assert len(lens) == 1
+            L = lens.pop()
+            assert w >> 32 == L
+            k = 96 // L
+            assert len(members) <= k
+            assert sorted(m.win_offset for m in members) == [
+                i * L for i in range(len(members))
+            ]
+        # pack_fill_stats applies unchanged on the same grain
+        stats = pack_fill_stats(out, 96)
+        st = stats.agg(
+            F.sum("n_tokens").alias("s"), F.avg("fill_rate").alias("f")
+        ).head()
+        want = docs.agg(F.sum(F.least("n_tok", F.lit(96)))).head()[0]
+        assert int(st.s) == int(want)
+        # on a uniform-length corpus bucketing beats next-fit fill
+        uni = spark.range(1, 200).select(
+            F.col("id").alias("doc_id"), F.lit(60).alias("n_tok")
+        )
+        fill_b = pack_fill_stats(
+            pack_sequences_bucketed(uni, "doc_id", "n_tok", 96, n_shards=1),
+            96,
+        ).agg(F.avg("fill_rate")).head()[0]
+        fill_n = pack_fill_stats(
+            pack_sequences(uni, "doc_id", "n_tok", 96, n_shards=1), 96
+        ).agg(F.avg("fill_rate")).head()[0]
+        assert fill_b >= fill_n
+
+    def test_truncation_and_zero_drop(self, spark):
+        from stream_sentinel_spark.operators.curation import (
+            pack_sequences_bucketed,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 0), (2, 500), (3, 10)], "doc_id long, n_tok long"
+        )
+        got = {
+            r.doc_id: r
+            for r in pack_sequences_bucketed(
+                docs, "doc_id", "n_tok", context_len=256, n_shards=1
+            ).collect()
+        }
+        assert set(got) == {2, 3}
+        assert got[2].n_tok_packed == 256 and got[2].truncated
+        assert not got[3].truncated
