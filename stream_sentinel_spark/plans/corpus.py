@@ -116,10 +116,12 @@ def query(name: str, oracle: str | None = None):
 # covers all of them every run. Round 9 rotation (stalest-row selection,
 # recomputed latest-green union over CORRECTNESS_r01-r08 — 160/160 with
 # distribution r08:50 / r07:42 / r06:48 / r05:20):
-# 1) x105-x108 — NEW this round: the upsert change-feed read (VERDICT
+# 1) x105-x110 — NEW this round: the upsert change-feed read (VERDICT
 #    r08 item 3), greedy bin-fill sequence packing + its fill report
-#    (item 4), and the NB classifier's min_df weight-table bound
-#    (item 6); unproven entries must hold gate slots;
+#    (item 4), the NB classifier's min_df weight-table bound (item 6),
+#    length-bucketed packing (the closed-form high-fill regime), and
+#    incremental view maintenance from the change feed (x110);
+#    unproven entries must hold gate slots;
 # 2) the twenty r05-latest rows (x08-x20, x24, x35, x61, x78-x81) — the
 #    re-front promised at the r08 rotation note and VERDICT r08 item 2;
 #    after this round no entry's latest green is older than r06;
@@ -134,15 +136,18 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) the 11 stalest r06 rows that fit the remaining slots
-#    (q18-q22/q30-q32/q34/q36/q37). The other r06 rows are all locally
+# 5) the 9 stalest r06 rows that fit the remaining slots
+#    (q18-q22/q30-q32/q34). The other r06 rows are all locally
 #    oracle-proven every run; re-front in r10.
 _DRIVER_PRIORITY = [
-    # --- new this round: change feed, sequence packing, min_df ---
+    # --- new this round: change feed, sequence packing (both regimes),
+    # min_df, incremental view maintenance ---
     "x105_upsert_change_feed",
     "x106_pack_sequences",
     "x107_pack_fill_stats",
     "x108_nb_classifier_min_df",
+    "x109_pack_bucketed",
+    "x110_upsert_agg_delta",
     # --- stalest (latest green = r05, the promised re-front) ---
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",
@@ -191,8 +196,6 @@ _DRIVER_PRIORITY = [
     "q31_cube_returns",
     "q32_lag_lead_ntile",
     "q34_tpch_q4_priority",
-    "q36_tpch_q13_distribution",
-    "q37_tpch_q18_volume",
 ]
 
 
@@ -8043,3 +8046,133 @@ def x109(spark, sf):
     return curation.pack_sequences_bucketed(
         docs, "doc_id", "n_tok", context_len=256, n_shards=8
     ).orderBy("doc_id")
+
+
+@query(
+    "x110_upsert_agg_delta",
+    """
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderstatus AS status, 0 AS epoch
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(o_totalprice + 100.0 AS DECIMAL(18,2)), o_orderstatus, 1
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, 1
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'U',
+             CAST(o_totalprice * 2.0 AS DECIMAL(18,2)), 'R', 2
+      FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, 0, 'U', CAST(-1.0 AS DECIMAL(18,2)), 'X', 2
+      FROM orders WHERE o_orderkey % 7 = 2),
+    changed AS (SELECT DISTINCT k FROM ch WHERE epoch > 0),
+    oldst AS (
+      SELECT k, price, status FROM (
+        SELECT k, price, status, op,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch WHERE epoch <= 0 AND k IN (SELECT k FROM changed))
+      WHERE rn = 1 AND op <> 'D'),
+    newst AS (
+      SELECT k, price, status FROM (
+        SELECT k, price, status, op,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch WHERE k IN (SELECT k FROM changed))
+      WHERE rn = 1 AND op <> 'D'),
+    signed AS (
+      SELECT status, price AS v, 1 AS n_, 0 AS o_ FROM newst
+      UNION ALL
+      SELECT status, -price, 0, 1 FROM oldst)
+    SELECT status, CAST(SUM(v) AS DOUBLE) AS delta_sum,
+           CAST(SUM(n_) AS BIGINT) AS n_keys_new,
+           CAST(SUM(o_) AS BIGINT) AS n_keys_old
+    FROM signed GROUP BY status ORDER BY status
+    """,
+)
+def x110(spark, sf):
+    """INCREMENTAL VIEW MAINTENANCE from the upsert log
+    (`streaming/upsert.py:upsert_agg_delta`) — the change feed made
+    actionable: the per-group delta of SUM(price) between the snapshot
+    as of epoch 0 and the current snapshot, computed from the CHANGED
+    KEYS only. The 3-epoch change set plants every delta case: updates
+    in place (+100 per %7==0 key), GROUP MOVES (re-inserted %77 keys
+    leave their status group and enter 'R' at double the price),
+    deletes (pure retraction from the old group), and stale rows (net
+    zero but the key still counts on both sides). DECIMAL(18,2)
+    accumulation makes every delta exact and order-insensitive (the
+    corpus money rule); the invariant agg@0 + delta = agg(current) is
+    pinned in tests/test_streaming_upsert.py.
+
+    Scale shape: one scan of the bucketed log, changed keys semi-join
+    it on the bucket key (log side never shuffles), both latest-wins
+    merges touch only changed keys' rows, the final aggregation is
+    O(changed keys) — the unchanged part of the view is never read,
+    which is the whole point of incremental maintenance. Epochs are
+    driven through the real batch fn + manifest commit; the delta and
+    feed read the same committed inventory, so a concurrent append
+    cannot tear the read."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.streaming.upsert import (
+        make_upsert_batch_fn,
+        upsert_agg_delta,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    dec = "decimal(18,2)"
+
+    def ch(flt, seq, op, price, status):
+        return o.filter(flt).select(
+            k.alias("k"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            price.cast(dec).alias("price"),
+            status.alias("status"),
+        )
+
+    e0 = ch(F.lit(True), 1, "U", F.col("o_totalprice"), F.col("o_orderstatus"))
+    e1 = ch(k % 7 == 0, 2, "U", F.col("o_totalprice") + 100.0,
+            F.col("o_orderstatus")).unionByName(
+        ch(k % 7 == 1, 2, "D", F.lit(None).cast(dec),
+           F.lit(None).cast("string"))
+    )
+    e2 = ch((k % 7 == 1) & (k % 11 == 0), 3, "U",
+            F.col("o_totalprice") * 2.0, F.lit("R")).unionByName(
+        ch(k % 7 == 2, 0, "U", F.lit(-1.0), F.lit("X"))
+    )
+    table = f"x110_ups_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x110_")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=f"{tmp}/commits",
+        )
+        for i, ep in enumerate((e0, e1, e2)):
+            fn(ep, i)
+        rows = (
+            upsert_agg_delta(
+                spark, table, 0,
+                key_cols=["k"], seq_cols=["seq"], group_col="status",
+                value_col="price", op_col="op",
+                commit_log_dir=f"{tmp}/commits",
+            )
+            .select(
+                "status",
+                F.col("delta_sum").cast("double").alias("delta_sum"),
+                "n_keys_new", "n_keys_old",
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+    return rows

@@ -117,6 +117,126 @@ def read_upsert_history(
     )
 
 
+def _committed_log_df(
+    spark: SparkSession, table: str, commit_log_dir: str
+) -> DataFrame:
+    """The log restricted to the data files the latest COMMITTED
+    manifest claims — the read surface under which an uncommitted
+    (crashed) epoch's files cannot exist. Files are read under the
+    CURRENT table schema (pre-evolution files surface widened columns
+    as NULL). Shared by the change feed and the aggregate-delta read."""
+    from stream_sentinel_spark.streaming.manifest import latest_manifest
+
+    log = _log_table(table)
+    manifest = latest_manifest(spark, commit_log_dir)
+    entry = (manifest or {}).get("tables", {}).get(log)
+    if entry is None:
+        if not spark.catalog.tableExists(log):
+            raise ValueError(
+                f"upsert table {table!r}: no committed epochs and no "
+                "log table — nothing to read changes from"
+            )
+        return spark.table(log).limit(0)
+    loc = entry["location"].rstrip("/")
+    files = [f"{loc}/{name}" for name in entry["files"]]
+    schema = spark.table(log).schema
+    return (
+        spark.read.schema(schema).parquet(*files)
+        if files
+        else spark.table(log).limit(0)
+    )
+
+
+def upsert_agg_delta(
+    spark: SparkSession,
+    table: str,
+    since_epoch: int,
+    *,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    group_col: str,
+    value_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    commit_log_dir: str | None = None,
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the change feed:
+    the per-group delta of ``SUM(value_col)`` (plus changed-key
+    presence counts) between the snapshot as of epoch ``since_epoch``
+    and the current snapshot — computed from the CHANGED KEYS only,
+    never by re-aggregating either snapshot. A downstream aggregate
+    materialized at epoch E plus this delta equals the aggregate over
+    the current snapshot (pinned in tests/test_streaming_upsert.py):
+    ``agg_current(g) = agg_at_E(g) + delta_sum(g)``.
+
+    Semantics per changed key (a key with any committed change row
+    after E): its as-of-E state contributes ``−value`` to its OLD
+    group, its current state ``+value`` to its NEW group — so updates,
+    group moves, deletes (no current state), and inserts (no old
+    state) all fall out of the same two-sided aggregation. Groups whose
+    net delta is zero still appear when a changed key touches them
+    (deterministic output, oracle-reproducible). Sum ``value_col`` in
+    DECIMAL for exact, order-insensitive deltas (the corpus money
+    convention).
+
+    Output: ``(group_col, delta_sum, n_keys_new, n_keys_old)`` where
+    the counts are changed keys present in the current / as-of-E state
+    of that group.
+
+    With ``commit_log_dir`` both sides read the SAME committed file
+    inventory (:func:`_committed_log_df`), so a concurrently appending
+    loop cannot tear the read (feed and snapshot agree on the manifest
+    the call observed). Retention: the as-of-E side needs pre-E
+    versions to still exist — run the delta on the compaction cadence,
+    exactly like the feed (:func:`read_upsert_changes` documents the
+    warning).
+
+    Scale shape at 100 TB: one scan of the bucketed log; the
+    changed-key set is O(feed) and semi-joins the log on its bucket
+    key (the log side never shuffles); both latest-wins merges run
+    over only the touched keys' rows; the final aggregation is over
+    O(changed keys) rows grouped by ``group_col``. Nothing re-reads
+    the unchanged part of the view — the whole point of maintaining
+    incrementally instead of recomputing.
+    """
+    from stream_sentinel_spark.operators.cdc import merge_latest
+
+    log_df = (
+        _committed_log_df(spark, table, commit_log_dir)
+        if commit_log_dir is not None
+        else spark.table(_log_table(table))
+    )
+    changed = (
+        log_df.filter(F.col("_epoch") > int(since_epoch))
+        .select(*key_cols)
+        .distinct()
+    )
+    touched = log_df.join(changed, list(key_cols), "left_semi")
+    old = merge_latest(
+        touched.filter(F.col("_epoch") <= int(since_epoch)).drop("_epoch"),
+        list(key_cols), list(seq_cols), op_col=op_col, delete_op=delete_op,
+    )
+    new = merge_latest(
+        touched.drop("_epoch"),
+        list(key_cols), list(seq_cols), op_col=op_col, delete_op=delete_op,
+    )
+    v = F.col(value_col)
+    signed = new.select(
+        F.col(group_col), v.alias("_v"), F.lit(1).alias("_new"),
+        F.lit(0).alias("_old"),
+    ).unionByName(
+        old.select(
+            F.col(group_col), (-v).alias("_v"), F.lit(0).alias("_new"),
+            F.lit(1).alias("_old"),
+        )
+    )
+    return signed.groupBy(group_col).agg(
+        F.sum("_v").alias("delta_sum"),
+        F.sum("_new").cast("bigint").alias("n_keys_new"),
+        F.sum("_old").cast("bigint").alias("n_keys_old"),
+    )
+
+
 def read_upsert_changes(
     spark: SparkSession,
     table: str,
@@ -168,29 +288,9 @@ def read_upsert_changes(
 
     log = _log_table(table)
     if commit_log_dir is not None:
-        from stream_sentinel_spark.streaming.manifest import (
-            _entries,
-            latest_manifest,
-        )
+        from stream_sentinel_spark.streaming.manifest import _entries
 
-        manifest = latest_manifest(spark, commit_log_dir)
-        entry = (manifest or {}).get("tables", {}).get(log)
-        if entry is None:
-            if not spark.catalog.tableExists(log):
-                raise ValueError(
-                    f"upsert table {table!r}: no committed epochs and no "
-                    "log table — nothing to read changes from"
-                )
-            df = spark.table(log).limit(0)
-        else:
-            loc = entry["location"].rstrip("/")
-            files = [f"{loc}/{name}" for name in entry["files"]]
-            schema = spark.table(log).schema
-            df = (
-                spark.read.schema(schema).parquet(*files)
-                if files
-                else spark.table(log).limit(0)
-            )
+        df = _committed_log_df(spark, table, commit_log_dir)
         rewrites = [
             e
             for (e, k) in _entries(spark, commit_log_dir)

@@ -681,3 +681,66 @@ def test_change_feed_warns_after_compaction_rewrite(spark, tmp_path):
             read_upsert_changes(spark, table, 1, commit_log_dir=commits)
     finally:
         _drop(spark, table)
+
+
+def test_agg_delta_maintains_materialized_view(spark, tmp_path):
+    """upsert_agg_delta: agg@E + delta == agg(current) — across updates
+    in place, a GROUP MOVE, a delete (pure retraction), an insert, and
+    a stale no-op (net zero, key still counted on both sides)."""
+    from stream_sentinel_spark.streaming.upsert import upsert_agg_delta
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    sch = "k long, seq long, op string, grp string, v long"
+
+    def rows(r):
+        return spark.createDataFrame(r, sch)
+
+    e0 = [(1, 1, "U", "a", 10), (2, 1, "U", "a", 20), (3, 1, "U", "b", 30),
+          (4, 1, "U", "b", 40), (5, 1, "U", "c", 50)]
+    e1 = [(1, 2, "U", "a", 15),          # in-place update: a +5
+          (2, 2, "U", "b", 20),          # group move: a -20, b +20
+          (3, 2, "D", None, None),       # delete: b -30
+          (6, 2, "U", "c", 6),           # insert: c +6
+          (5, 0, "U", "zzz", 999)]       # stale: net zero in c
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(rows(e0), 0)
+        fn(rows(e1), 1)
+        delta = {
+            r.grp: (r.delta_sum, r.n_keys_new, r.n_keys_old)
+            for r in upsert_agg_delta(
+                spark, table, 0,
+                key_cols=["k"], seq_cols=["seq"], group_col="grp",
+                value_col="v", op_col="op", commit_log_dir=commits,
+            ).collect()
+        }
+        assert delta == {
+            # key1 +5 in place; key2 leaves a (-20): unchanged key 4
+            # never appears anywhere
+            "a": (-15, 1, 2),
+            # key2 enters b (+20); key3 deleted from b (-30)
+            "b": (-10, 1, 1),
+            # key6 inserted (+6); key5's stale row nets zero but the
+            # key counts on both sides
+            "c": (6, 2, 1),
+        }
+        # the maintained-view invariant: agg@0 + delta == agg(current)
+        agg0 = {
+            r.grp: r.s
+            for r in merge_latest(rows(e0), ["k"], ["seq"], op_col="op")
+            .groupBy("grp").agg(F.sum("v").alias("s")).collect()
+        }
+        cur = {
+            r.grp: r.s
+            for r in read_upsert_snapshot(
+                spark, table, ["k"], ["seq"], op_col="op"
+            ).groupBy("grp").agg(F.sum("v").alias("s")).collect()
+        }
+        for g in set(agg0) | set(cur) | set(delta):
+            assert agg0.get(g, 0) + delta.get(g, (0,))[0] == cur.get(g, 0), g
+    finally:
+        _drop(spark, table)
