@@ -242,6 +242,7 @@ def read_upsert_changes(
     table: str,
     since_epoch: int,
     *,
+    until_epoch: int | None = None,
     commit_log_dir: str | None = None,
     seq_cols: Sequence[str] | None = None,
 ) -> DataFrame:
@@ -249,8 +250,11 @@ def read_upsert_changes(
     Hudi/Iceberg CDC triangle next to :func:`read_upsert_snapshot`
     (current state) and :func:`read_upsert_history` (SCD2): exactly the
     change rows of COMMITTED epochs strictly greater than
-    ``since_epoch``, with their ``_epoch`` stamp, ordered by
-    ``(_epoch, *seq_cols)`` when ``seq_cols`` is given. A downstream
+    ``since_epoch`` (and, with ``until_epoch``, at most it — the
+    half-open window ``(since, until]`` a consumer uses to page the
+    feed in epoch-aligned, re-readable batches), with their ``_epoch``
+    stamp, ordered by ``(_epoch, *seq_cols)`` when ``seq_cols`` is
+    given. A downstream
     consumer that holds the snapshot as of epoch E and merges this feed
     on top reaches the current snapshot exactly (pinned in
     tests/test_streaming_upsert.py).
@@ -312,6 +316,10 @@ def read_upsert_changes(
     else:
         df = spark.table(log)
     out = df.filter(F.col("_epoch") > int(since_epoch))
+    if until_epoch is not None:
+        # bounded window (since, until]: lets a consumer page the feed
+        # in epoch-aligned batches and re-read any batch byte-identically
+        out = out.filter(F.col("_epoch") <= int(until_epoch))
     if seq_cols:
         out = out.orderBy("_epoch", *seq_cols)
     return out

@@ -614,6 +614,17 @@ def test_change_feed_since_epoch(spark, tmp_path):
         assert read_upsert_changes(
             spark, table, 2, commit_log_dir=commits
         ).count() == 0
+        # bounded window (since, until]: epoch-aligned paging — pages
+        # partition the unbounded feed
+        page1 = read_upsert_changes(
+            spark, table, 0, until_epoch=1, commit_log_dir=commits
+        )
+        page2 = read_upsert_changes(
+            spark, table, 1, until_epoch=2, commit_log_dir=commits
+        )
+        assert {r._epoch for r in page1.collect()} == {1}
+        assert {r._epoch for r in page2.collect()} == {2}
+        assert page1.count() + page2.count() == feed.count()
     finally:
         _drop(spark, table)
 
