@@ -131,3 +131,71 @@ def test_rate_invariant_under_key_renaming(spark):
     n1 = sum(1 for a in _spark_alerts(spark, events) if a[0] == "r_rate")
     n2 = sum(1 for a in _spark_alerts(spark, renamed) if a[0] == "r_rate")
     assert n1 == n2 > 0
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (round 9): on RANDOM token-count corpora both packing
+# regimes must satisfy their invariants exactly — next-fit must equal a
+# sequential Python reference per shard, and bucketing must respect
+# capacity with equal-length windows.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                   max_size=60),
+    cap=st.integers(min_value=1, max_value=128),
+)
+def test_pack_sequences_random_invariants(spark, sizes, cap):
+    from stream_sentinel_spark.operators.curation import (
+        pack_sequences,
+        pack_sequences_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(sizes)), "doc_id long, n_tok long"
+    )
+    for fn in (pack_sequences, pack_sequences_bucketed):
+        rows = fn(docs, "doc_id", "n_tok", context_len=cap, n_shards=3).collect()
+        # zero-token docs drop; everything else packs exactly once
+        assert sorted(r.doc_id for r in rows) == [
+            i for i, s in enumerate(sizes) if s > 0
+        ]
+        by_win = {}
+        for r in rows:
+            assert r.n_tok_packed == min(sizes[r.doc_id], cap)
+            assert r.truncated == (sizes[r.doc_id] > cap)
+            assert 0 <= r.win_offset
+            assert r.win_offset + r.n_tok_packed <= cap
+            by_win.setdefault((r.shard, r.window_id), []).append(r)
+        # within a window: disjoint dense spans starting at 0
+        for members in by_win.values():
+            members.sort(key=lambda m: m.win_offset)
+            pos = 0
+            for m in members:
+                assert m.win_offset == pos
+                pos += m.n_tok_packed
+    # next-fit specifically: equality with the sequential reference
+    got = sorted(
+        (r.shard, r.doc_id, r.window_id, r.win_offset)
+        for r in pack_sequences(
+            docs, "doc_id", "n_tok", context_len=cap, n_shards=3
+        ).collect()
+    )
+    shards = {}
+    for s, d, *_ in got:
+        shards.setdefault(s, []).append(d)
+    want = []
+    for s, ids in shards.items():
+        win, used = 0, 0
+        for d in sorted(ids):
+            n = min(sizes[d], cap)
+            if used + n > cap:
+                win, used = win + 1, 0
+            want.append((s, d, win, used))
+            used += n
+    assert got == sorted(want)
