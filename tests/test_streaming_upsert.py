@@ -755,3 +755,36 @@ def test_agg_delta_maintains_materialized_view(spark, tmp_path):
             assert agg0.get(g, 0) + delta.get(g, (0,))[0] == cur.get(g, 0), g
     finally:
         _drop(spark, table)
+
+
+def test_agg_delta_plan_shape(spark):
+    """The delta's scale claims, plan-asserted: the bucketed log NEVER
+    shuffles (the changed-key set broadcasts into both semi joins, the
+    latest-wins windows ride the bucketed scan with rank-1
+    WindowGroupLimit pushdown); the ONLY hash Exchange is the final
+    group-by on the aggregation key."""
+    import re
+
+    from stream_sentinel_spark.streaming.upsert import upsert_agg_delta
+
+    table = _table()
+    sch = "k long, seq long, op string, grp string, v long"
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+        )
+        fn(spark.createDataFrame([(1, 1, "U", "a", 10)], sch), 0)
+        fn(spark.createDataFrame([(1, 2, "U", "a", 15)], sch), 1)
+        plan = (
+            upsert_agg_delta(
+                spark, table, 0, key_cols=["k"], seq_cols=["seq"],
+                group_col="grp", value_col="v", op_col="op",
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        hash_ex = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_]+)", plan)
+        assert hash_ex == ["grp"], hash_ex
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+    finally:
+        _drop(spark, table)
