@@ -519,6 +519,16 @@ def make_upsert_batch_fn(
             if is_epoch_committed(spark, commit_log_dir, epoch_id):
                 return
         payload = [c for c in batch_df.columns if c != INGEST_COL]
+        if any(c.lower() == "_epoch" for c in payload):
+            # the loop OWNS the provenance stamp; silently overwriting a
+            # user column of the same name would corrupt their data and
+            # the feed's epoch filter at once
+            raise ValueError(
+                "upsert change stream carries a column named '_epoch' — "
+                "that name is reserved for the loop's provenance stamp "
+                "(the change feed and aggregate delta filter on it); "
+                "rename the source column"
+            )
         batch = (
             batch_df.select(*payload)
             .withColumn("_epoch", F.lit(int(epoch_id)))

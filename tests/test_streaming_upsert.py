@@ -788,3 +788,22 @@ def test_agg_delta_plan_shape(spark):
         assert "WindowGroupLimit" in plan, plan
     finally:
         _drop(spark, table)
+
+
+def test_reserved_epoch_column_rejected(spark):
+    """A change stream carrying its own `_epoch` column must fail
+    loudly — the loop owns the provenance stamp the feed and delta
+    filter on; silently overwriting user data is corruption."""
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+        )
+        bad = spark.createDataFrame(
+            [(1, 1, "U", "a", 7)],
+            "k long, seq long, op string, val string, _epoch long",
+        )
+        with pytest.raises(ValueError, match="_epoch.*reserved"):
+            fn(bad, 0)
+    finally:
+        _drop(spark, table)
