@@ -74,14 +74,25 @@ def read_upsert_snapshot(
     seq_cols: Sequence[str],
     op_col: str | None = None,
     delete_op: str = "D",
+    as_of_epoch: int | None = None,
 ) -> DataFrame:
     """The current snapshot: latest-wins merge over the bucketed log.
     The window's partitioning is satisfied by the bucketed scan — no
-    Exchange (plan-asserted in tests); only the per-bucket sort runs."""
+    Exchange (plan-asserted in tests); only the per-bucket sort runs.
+
+    ``as_of_epoch=E`` is EPOCH TIME TRAVEL: the snapshot exactly as it
+    stood after epoch E committed (only change rows stamped ≤ E enter
+    the merge) — the epoch-axis sibling of the SCD2 view's
+    sequence-axis as-of. The filter rides the same bucketed scan, so
+    the plan shape is unchanged; retention is the compaction horizon,
+    as for every historical read."""
     from stream_sentinel_spark.operators.cdc import merge_latest
 
+    log_df = spark.table(_log_table(table))
+    if as_of_epoch is not None:
+        log_df = log_df.filter(F.col("_epoch") <= int(as_of_epoch))
     return merge_latest(
-        spark.table(_log_table(table)).drop("_epoch"),
+        log_df.drop("_epoch"),
         list(key_cols), list(seq_cols), op_col=op_col, delete_op=delete_op,
     )
 
@@ -333,6 +344,7 @@ def compact_upsert_log(
     op_col: str | None = None,
     delete_op: str = "D",
     keep_since=None,
+    num_buckets: int | None = None,
 ) -> int:
     """Merge-rewrite the log. With ``keep_since=None`` (the default)
     the rewrite keeps exactly the live snapshot rows (latest version per
@@ -350,6 +362,16 @@ def compact_upsert_log(
     expire-snapshots with a configured retention point rather than
     all-or-nothing.
 
+    ``num_buckets`` RE-BUCKETS during the rewrite (default: keep the
+    current count) — layout evolution for a log that outgrew its
+    original bucket count (per-bucket file size is the compaction
+    read/write unit, so at 100 TB bucket count tracks table size the
+    way Iceberg evolves partition specs). The rewrite is the one moment
+    re-bucketing is free: the data is being rewritten anyway, and every
+    downstream plan property (Exchange-free snapshot/history/feed
+    merges) holds under the NEW count because the bucket spec, not the
+    number, is what the plans ride.
+
     Same swap-and-recover discipline as ``compact_bucketed``; no
     lineage pinning is needed — ``write_bucketed`` fully materializes
     the tmp table before the DROP, so the rewrite's source files outlive
@@ -364,7 +386,8 @@ def compact_upsert_log(
 
     log = _log_table(table)
     recover_compaction(spark, log)
-    num_buckets = table_num_buckets(spark, log)
+    if num_buckets is None:
+        num_buckets = table_num_buckets(spark, log)
     tmp = f"{log}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     if keep_since is None:
@@ -494,6 +517,7 @@ def make_upsert_batch_fn(
     only at compaction points, never on the append hot path."""
     from stream_sentinel_spark.sources.bucketing import (
         recover_compaction,
+        table_num_buckets,
         write_bucketed,
     )
 
@@ -539,8 +563,13 @@ def make_upsert_batch_fn(
             exists = spark.catalog.tableExists(log)
             if exists and evolve_schema:
                 batch = _align_log_schema(spark, log, batch)
+            # appends follow the TABLE's current bucket spec, not the
+            # configured one: a re-bucketing compaction (layout
+            # evolution) or a loop restarted with a different setting
+            # must keep appending into the live layout
+            nb = table_num_buckets(spark, log) if exists else num_buckets
             write_bucketed(
-                batch, log, list(key_cols), num_buckets,
+                batch, log, list(key_cols), nb,
                 mode="append" if exists else "overwrite", align=True,
             )
             n_appends[0] += 1

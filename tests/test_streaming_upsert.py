@@ -807,3 +807,62 @@ def test_reserved_epoch_column_rejected(spark):
             fn(bad, 0)
     finally:
         _drop(spark, table)
+
+
+def test_epoch_time_travel_snapshot(spark):
+    """as_of_epoch=E: the snapshot exactly as it stood after epoch E
+    committed, with the plan still Exchange-free (the epoch filter
+    rides the bucketed scan)."""
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+        )
+        for i, ep in enumerate((E0, E1, E2)):
+            fn(_changes(spark, ep), i)
+        for e, upto in ((0, E0), (1, E0 + E1), (2, E0 + E1 + E2)):
+            got = sorted(
+                (r.k, r.seq, r.val)
+                for r in read_upsert_snapshot(
+                    spark, table, ["k"], ["seq"], op_col="op", as_of_epoch=e
+                ).collect()
+            )
+            assert got == _batch_twin(spark, upto), e
+        plan = (
+            read_upsert_snapshot(
+                spark, table, ["k"], ["seq"], op_col="op", as_of_epoch=1
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        _drop(spark, table)
+
+
+def test_compaction_rebuckets_layout(spark):
+    """num_buckets on compaction: layout evolution — the rewrite lands
+    in the new bucket count, the snapshot is preserved, its plan stays
+    Exchange-free under the new spec, and the loop keeps appending."""
+    from stream_sentinel_spark.sources.bucketing import table_num_buckets
+
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+        )
+        for i, ep in enumerate((E0, E1)):
+            fn(_changes(spark, ep), i)
+        before = _snap_rows(spark, table)
+        compact_upsert_log(
+            spark, table, ["k"], ["seq"], op_col="op", num_buckets=8
+        )
+        assert table_num_buckets(spark, f"{table}_log") == 8
+        assert _snap_rows(spark, table) == before
+        plan = (
+            read_upsert_snapshot(spark, table, ["k"], ["seq"], op_col="op")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        fn(_changes(spark, E2), 2)
+        assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
+    finally:
+        _drop(spark, table)
