@@ -170,6 +170,7 @@ def upsert_agg_delta(
     op_col: str | None = None,
     delete_op: str = "D",
     commit_log_dir: str | None = None,
+    until_epoch: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the change feed:
     the per-group delta of ``SUM(value_col)`` (plus changed-key
@@ -202,6 +203,16 @@ def upsert_agg_delta(
     exactly like the feed (:func:`read_upsert_changes` documents the
     warning).
 
+    ``until_epoch=U`` bounds the delta to the half-open epoch window
+    ``(since, until]`` — the "new" side is the snapshot AS OF epoch U
+    and only keys changed within the window count as changed. This is
+    what makes the delta PAGEABLE: a consumer applying the feed in
+    epoch-aligned pages (:func:`follow_upsert_changes`) computes each
+    page's delta against the same boundaries it committed, and the
+    page deltas telescope — delta(E0,E1) + delta(E1,E2) = delta(E0,E2)
+    exactly (DECIMAL sums), which is the invariant
+    :func:`maintain_agg_view` rides.
+
     Scale shape at 100 TB: one scan of the bucketed log; the
     changed-key set is O(feed) and semi-joins the log on its bucket
     key (the log side never shuffles); both latest-wins merges run
@@ -217,6 +228,8 @@ def upsert_agg_delta(
         if commit_log_dir is not None
         else spark.table(_log_table(table))
     )
+    if until_epoch is not None:
+        log_df = log_df.filter(F.col("_epoch") <= int(until_epoch))
     changed = (
         log_df.filter(F.col("_epoch") > int(since_epoch))
         .select(*key_cols)
@@ -334,6 +347,286 @@ def read_upsert_changes(
     if seq_cols:
         out = out.orderBy("_epoch", *seq_cols)
     return out
+
+
+# ---------------------------------------------------------------------------
+# downstream consumers of the change feed
+# ---------------------------------------------------------------------------
+
+_OFFSET_PREFIX = "consumer-offset-"
+
+
+def _offset_markers(spark: SparkSession, consumer_dir: str) -> list[int]:
+    from stream_sentinel_spark.streaming.exactly_once import _hadoop_fs
+
+    fs, d = _hadoop_fs(spark, consumer_dir)
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith(_OFFSET_PREFIX):
+            try:
+                out.append(int(name[len(_OFFSET_PREFIX):]))
+            except ValueError:
+                continue
+    return out
+
+
+def read_consumer_offset(spark: SparkSession, consumer_dir: str) -> int:
+    """The consumer's durable position: the highest epoch it has fully
+    processed (``INIT_EPOCH`` = −1 before the first page — every
+    committed epoch is > −1, so a fresh consumer reads the feed from
+    the beginning). Stored as monotonically-named marker files
+    (``consumer-offset-{epoch}``, highest wins) rather than one file
+    rewritten in place: each advance is a pure atomic-rename CREATE —
+    there is never a moment with no offset on disk, and a crash between
+    the new marker and the old one's cleanup just leaves a stale lower
+    marker that max() ignores."""
+    from stream_sentinel_spark.streaming.manifest import INIT_EPOCH
+
+    markers = _offset_markers(spark, consumer_dir)
+    return max(markers) if markers else INIT_EPOCH
+
+
+def commit_consumer_offset(
+    spark: SparkSession, consumer_dir: str, epoch: int
+) -> None:
+    """Atomically advance the consumer offset (write-temp + rename of a
+    NEW marker — the same primitive as the producer's commit log), then
+    best-effort prune the superseded markers."""
+    from stream_sentinel_spark.streaming.manifest import (
+        _delete_entry,
+        _write_atomic,
+    )
+
+    epoch = int(epoch)
+    _write_atomic(
+        spark, consumer_dir, f"{_OFFSET_PREFIX}{epoch}", {"epoch": epoch}
+    )
+    for old in _offset_markers(spark, consumer_dir):
+        if old < epoch:
+            _delete_entry(spark, consumer_dir, f"{_OFFSET_PREFIX}{old}")
+
+
+def follow_upsert_changes(
+    spark: SparkSession,
+    table: str,
+    *,
+    commit_log_dir: str,
+    consumer_dir: str,
+    process: Callable[[DataFrame, int, int], None],
+    max_epochs_per_page: int | None = None,
+    seq_cols: Sequence[str] | None = None,
+) -> list[tuple[int, int]]:
+    """FOLLOW the change feed as a durable downstream consumer: page
+    the committed feed from the consumer's offset to the producer's
+    latest committed epoch, calling ``process(page_df, since, until)``
+    per half-open page ``(since, until]`` and atomically advancing the
+    offset AFTER each page's processing returns. Call it on any
+    cadence (each call drains to the latest commit and returns the
+    ``(since, until]`` pages it processed); the producer keeps
+    appending concurrently — a page never includes epochs beyond the
+    manifest observed at ITS read, so the consumer can never see a
+    torn or uncommitted epoch.
+
+    Delivery contract: **at-least-once, exactly-once for idempotent
+    consumers.** The offset advances only after ``process`` returns,
+    so a crash re-delivers the same page on the next call — and the
+    page is epoch-aligned and manifest-driven
+    (:func:`read_upsert_changes` with ``until_epoch``), so the re-read
+    is IDENTICAL row-for-row. A consumer that writes to a destination
+    keyed by the page bounds (overwrite-by-page, or the replay guard
+    :func:`maintain_agg_view` uses) therefore achieves exactly-once
+    without any coordination with the producer.
+
+    ``max_epochs_per_page`` caps each page's epoch span (default: one
+    page to the latest commit) — bounding per-page memory/latency the
+    way a Kafka consumer bounds ``max.poll.records``. Page boundaries
+    are epoch NUMBERS, so a page may carry fewer epochs than the cap
+    when some epochs were empty (no append → no rows, the boundary is
+    still exact).
+
+    Retention contract is the feed's: consume on the compaction
+    cadence, or set ``compact_horizon`` so pre-horizon history
+    survives until every consumer has passed it — the feed read warns
+    when a post-offset rewrite is on record.
+
+    Scale shape: each page is one O(page change volume) feed read plus
+    the consumer's own work; the offset commit is one small rename.
+    Nothing scans the full log, nothing blocks the producer."""
+    from stream_sentinel_spark.streaming.manifest import _entries
+
+    if max_epochs_per_page is not None and max_epochs_per_page < 1:
+        raise ValueError(
+            f"max_epochs_per_page must be >= 1, got {max_epochs_per_page}"
+        )
+    committed = [e for (e, k) in _entries(spark, commit_log_dir) if k == 0]
+    latest = max((e for e in committed if e >= 0), default=None)
+    offset = read_consumer_offset(spark, consumer_dir)
+    pages: list[tuple[int, int]] = []
+    if latest is None:
+        return pages
+    while offset < latest:
+        until = (
+            min(latest, offset + max_epochs_per_page)
+            if max_epochs_per_page is not None
+            else latest
+        )
+        page = read_upsert_changes(
+            spark, table, offset,
+            until_epoch=until, commit_log_dir=commit_log_dir,
+            seq_cols=seq_cols,
+        )
+        process(page, offset, until)
+        commit_consumer_offset(spark, consumer_dir, until)
+        pages.append((offset, until))
+        offset = until
+    return pages
+
+
+def read_agg_view(spark: SparkSession, view: str) -> DataFrame:
+    """The maintained aggregate view (see :func:`maintain_agg_view`),
+    healed first if a maintenance swap crashed mid-rename. Groups whose
+    last live key left keep a row with ``n_keys = 0`` (filter
+    ``n_keys > 0`` for the live view) — retaining them keeps the view
+    deterministic and every page apply a pure upsert."""
+    from stream_sentinel_spark.sources.bucketing import recover_compaction
+
+    recover_compaction(spark, view)
+    return spark.table(view)
+
+
+def _view_asof(spark: SparkSession, view: str) -> int:
+    from stream_sentinel_spark.streaming.manifest import INIT_EPOCH
+
+    if not spark.catalog.tableExists(view):
+        return INIT_EPOCH
+    row = spark.table(view).select(F.max("_asof_epoch")).head()
+    return INIT_EPOCH if row is None or row[0] is None else int(row[0])
+
+
+def maintain_agg_view(
+    spark: SparkSession,
+    table: str,
+    view: str,
+    *,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    group_col: str,
+    value_col: str,
+    op_col: str | None = None,
+    delete_op: str = "D",
+    commit_log_dir: str,
+    consumer_dir: str,
+    max_epochs_per_page: int | None = None,
+) -> list[tuple[int, int]]:
+    """EXACTLY-ONCE incremental materialized-view maintenance: keep a
+    downstream per-group ``SUM(value_col)`` aggregate table ``view``
+    current from the upsert log's change feed, applying
+    :func:`upsert_agg_delta` page deltas through
+    :func:`follow_upsert_changes` — never re-aggregating the snapshot.
+    The view holds ``(group_col, total, n_keys, _asof_epoch)`` where
+    ``n_keys`` is the group's live key count and ``_asof_epoch`` the
+    epoch the view reflects; after any number of calls interleaved
+    with producer epochs, ``view ≡ GROUP BY over the current
+    snapshot`` (pinned in tests/test_streaming_upsert.py). A fresh
+    consumer bootstraps for free: the first page's delta is against
+    the empty epoch −1 snapshot, i.e. the full aggregate.
+
+    Exactly-once across ANY crash point, with no producer
+    coordination, from three idempotent pieces:
+
+    1. the page delta is a pure function of the immutable committed
+       window ``(since, until]`` (re-reads are identical);
+    2. the view swap is atomic (write ``{view}__compacting`` fully,
+       DROP + RENAME — :func:`~stream_sentinel_spark.sources.bucketing.recover_compaction`
+       heals a mid-swap crash at the next read or apply);
+    3. the ``_asof_epoch`` stamp in the view is the REPLAY GUARD: a
+       re-delivered page (crash after the swap, before the offset
+       commit) finds ``view._asof_epoch >= until`` and skips the
+       apply, committing only the offset — the one crash window the
+       offset file alone cannot close.
+
+    Zero-key groups stay as ``(group, 0, 0, asof)`` rows rather than
+    being deleted — the view write stays a deterministic pure function
+    of (previous view, page delta), and DECIMAL totals make the zeros
+    exact. Single maintainer per view (the offset file serializes
+    consumers of one ``consumer_dir``; two dirs on one view would
+    double-apply).
+
+    Scale shape: page delta cost is the delta's (O(changed keys), log
+    never shuffles); the view rewrite is O(|groups|) — a maintained
+    aggregate is small by construction, or it wouldn't be worth
+    materializing. Returns the pages applied."""
+
+    def apply_page(page_df: DataFrame, since: int, until: int) -> None:
+        if _view_asof(spark, view) >= until:
+            return  # replay of an already-applied page: offset-only
+        delta = upsert_agg_delta(
+            spark, table, since,
+            key_cols=key_cols, seq_cols=seq_cols, group_col=group_col,
+            value_col=value_col, op_col=op_col, delete_op=delete_op,
+            commit_log_dir=commit_log_dir, until_epoch=until,
+        ).select(
+            F.col(group_col),
+            F.col("delta_sum").alias("_d_total"),
+            (F.col("n_keys_new") - F.col("n_keys_old")).alias("_d_keys"),
+        )
+        # pin the total's type to the delta aggregate's (SUM over the
+        # value column): decimal addition widens precision per apply,
+        # and a view whose schema drifts page-over-page would not be a
+        # pure function of its inputs
+        total_type = delta.schema["_d_total"].dataType
+        if spark.catalog.tableExists(view):
+            cur = spark.table(view).select(group_col, "total", "n_keys")
+            merged = cur.join(delta, [group_col], "full_outer").select(
+                F.col(group_col),
+                (
+                    F.coalesce(F.col("total"), F.lit(0))
+                    + F.coalesce(F.col("_d_total"), F.lit(0))
+                ).cast(total_type).alias("total"),
+                (
+                    F.coalesce(F.col("n_keys"), F.lit(0))
+                    + F.coalesce(F.col("_d_keys"), F.lit(0))
+                ).cast("bigint").alias("n_keys"),
+            )
+        else:
+            merged = delta.select(
+                F.col(group_col),
+                F.col("_d_total").alias("total"),
+                F.col("_d_keys").cast("bigint").alias("n_keys"),
+            )
+        merged = merged.withColumn(
+            "_asof_epoch", F.lit(int(until)).cast("bigint")
+        )
+        from stream_sentinel_spark.sources.bucketing import (
+            recover_compaction,
+            write_plain,
+        )
+
+        recover_compaction(spark, view)
+        tmp = f"{view}__compacting"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        # the tmp build reads the live view — materialize it fully
+        # before the swap so the DROP can't pull files out from under
+        # a lazy plan
+        write_plain(merged.localCheckpoint(eager=True), tmp)
+        if spark.catalog.tableExists(view):
+            spark.sql(f"DROP TABLE {view}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {view}")
+        spark.catalog.refreshTable(view)
+
+    # heal a swap that crashed mid-rename BEFORE reading the offset:
+    # the replay guard consults the view's stamp
+    from stream_sentinel_spark.sources.bucketing import recover_compaction
+
+    recover_compaction(spark, view)
+    return follow_upsert_changes(
+        spark, table,
+        commit_log_dir=commit_log_dir, consumer_dir=consumer_dir,
+        process=apply_page, max_epochs_per_page=max_epochs_per_page,
+    )
 
 
 def compact_upsert_log(

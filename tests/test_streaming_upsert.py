@@ -866,3 +866,323 @@ def test_compaction_rebuckets_layout(spark):
         assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1 + E2)
     finally:
         _drop(spark, table)
+
+
+# ---------------------------------------------------------------------------
+# downstream consumers: follow_upsert_changes / maintain_agg_view
+# ---------------------------------------------------------------------------
+
+
+def _feed_rows(df):
+    return sorted(
+        (r.k, r.seq, r.op, r.val, r._epoch)
+        for r in df.select("k", "seq", "op", "val", "_epoch").collect()
+    )
+
+
+def test_follow_changes_pages_and_offset(spark, tmp_path):
+    """The durable consumer: pages are epoch-aligned (since, until]
+    windows capped by max_epochs_per_page, the offset advances after
+    each page, a drained consumer processes nothing, and new producer
+    epochs are picked up from the stored offset on the next call."""
+    from stream_sentinel_spark.streaming.upsert import (
+        follow_upsert_changes,
+        read_consumer_offset,
+    )
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    consumer = str(tmp_path / "consumer")
+    seen: list[tuple[int, int, list]] = []
+
+    def process(df, since, until):
+        seen.append((since, until, _feed_rows(df)))
+
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        for i, ep in enumerate((E0, E1, E2)):
+            fn(_changes(spark, ep), i)
+        pages = follow_upsert_changes(
+            spark, table, commit_log_dir=commits, consumer_dir=consumer,
+            process=process, max_epochs_per_page=2,
+        )
+        assert pages == [(-1, 1), (1, 2)]
+        assert read_consumer_offset(spark, consumer) == 2
+        def _expect(*eps):
+            rows = []
+            for i, ep in eps:
+                rows += [(k, s, op, v, i) for (k, s, op, v) in ep]
+            return sorted(rows)
+        assert seen[0][2] == _expect((0, E0), (1, E1))
+        assert seen[1][2] == _expect((2, E2))
+        # drained: nothing re-delivered
+        seen.clear()
+        assert follow_upsert_changes(
+            spark, table, commit_log_dir=commits, consumer_dir=consumer,
+            process=process,
+        ) == []
+        assert seen == []
+        # the producer moves on; the consumer resumes from its offset
+        e3 = [(9, 40, "U", "i0")]
+        fn(_changes(spark, e3), 3)
+        assert follow_upsert_changes(
+            spark, table, commit_log_dir=commits, consumer_dir=consumer,
+            process=process,
+        ) == [(2, 3)]
+        assert seen[0][2] == _expect((3, e3))
+        assert read_consumer_offset(spark, consumer) == 3
+    finally:
+        _drop(spark, table)
+
+
+def test_follow_crash_redelivers_identical_page(spark, tmp_path):
+    """At-least-once: a consumer crash mid-page leaves the offset
+    behind, and the next call re-delivers the SAME page row-for-row —
+    the epoch-aligned window over committed files is immutable, which
+    is what lets an idempotent consumer reach exactly-once."""
+    from stream_sentinel_spark.streaming.upsert import (
+        follow_upsert_changes,
+        read_consumer_offset,
+    )
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    consumer = str(tmp_path / "consumer")
+    first: list = []
+
+    def crashing(df, since, until):
+        first.append((since, until, _feed_rows(df)))
+        raise RuntimeError("consumer died mid-page")
+
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        for i, ep in enumerate((E0, E1)):
+            fn(_changes(spark, ep), i)
+        with pytest.raises(RuntimeError, match="mid-page"):
+            follow_upsert_changes(
+                spark, table, commit_log_dir=commits, consumer_dir=consumer,
+                process=crashing,
+            )
+        assert read_consumer_offset(spark, consumer) == -1
+        redelivered: list = []
+        follow_upsert_changes(
+            spark, table, commit_log_dir=commits, consumer_dir=consumer,
+            process=lambda df, s, u: redelivered.append((s, u, _feed_rows(df))),
+        )
+        assert redelivered == first
+        assert read_consumer_offset(spark, consumer) == 1
+    finally:
+        _drop(spark, table)
+
+
+AGG_SCHEMA = "k long, seq long, op string, grp string, v decimal(12,2)"
+
+
+def _agg_rows(spark, r):
+    return spark.createDataFrame(
+        [(k, s, op, g, None if v is None else str(v)) for (k, s, op, g, v) in r],
+        "k long, seq long, op string, grp string, v string",
+    ).withColumn("v", F.col("v").cast("decimal(12,2)"))
+
+
+# updates in place, a group move, a delete, an insert, a stale no-op,
+# and (A2) the complete emptying of group c
+A0 = [(1, 1, "U", "a", 10), (2, 1, "U", "a", 20), (3, 1, "U", "b", 30),
+      (5, 1, "U", "c", 50)]
+A1 = [(1, 2, "U", "a", 15), (2, 2, "U", "b", 20), (3, 2, "D", None, None),
+      (6, 2, "U", "c", 6), (5, 0, "U", "zzz", 999)]
+A2 = [(5, 3, "D", None, None), (6, 3, "D", None, None),
+      (7, 3, "U", "a", 7)]
+
+
+def _view_map(spark, view):
+    from stream_sentinel_spark.streaming.upsert import read_agg_view
+
+    return {
+        r.grp: (float(r.total), r.n_keys, r._asof_epoch)
+        for r in read_agg_view(spark, view).collect()
+    }
+
+
+def _snapshot_agg(spark, table):
+    return {
+        r.grp: (float(r.s), r.n)
+        for r in read_upsert_snapshot(spark, table, ["k"], ["seq"], op_col="op")
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _drop_view(spark, view):
+    spark.sql(f"DROP TABLE IF EXISTS {view}")
+    spark.sql(f"DROP TABLE IF EXISTS {view}__compacting")
+
+
+def test_maintain_agg_view_tracks_snapshot(spark, tmp_path):
+    """The maintained view equals GROUP BY over the current snapshot
+    after every maintenance call, across interleaved producer epochs —
+    including a group whose last live key leaves (kept as a 0/0 row).
+    The total's type stays pinned page-over-page (decimal sums would
+    otherwise widen per apply)."""
+    from stream_sentinel_spark.streaming.upsert import maintain_agg_view
+
+    table, view = _table(), f"v_{uuid.uuid4().hex[:8]}"
+    commits = str(tmp_path / "commits")
+    consumer = str(tmp_path / "consumer")
+    kwargs = dict(
+        key_cols=["k"], seq_cols=["seq"], group_col="grp", value_col="v",
+        op_col="op", commit_log_dir=commits, consumer_dir=consumer,
+    )
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_agg_rows(spark, A0), 0)
+        assert maintain_agg_view(
+            spark, table, view, **kwargs
+        ) == [(-1, 0)]
+        t0 = spark.table(view).schema["total"].dataType
+        live = {g: v for g, v in _view_map(spark, view).items() if v[1] > 0}
+        assert live == {
+            g: (s, n, 0) for g, (s, n) in _snapshot_agg(spark, table).items()
+        }
+        # two more producer epochs, one maintenance call, page cap 1
+        fn(_agg_rows(spark, A1), 1)
+        fn(_agg_rows(spark, A2), 2)
+        assert maintain_agg_view(
+            spark, table, view, max_epochs_per_page=1, **kwargs
+        ) == [(0, 1), (1, 2)]
+        got = _view_map(spark, view)
+        snap = _snapshot_agg(spark, table)
+        assert {g: v for g, v in got.items() if v[1] > 0} == {
+            g: (s, n, 2) for g, (s, n) in snap.items()
+        }
+        # group c emptied in A2: retained as an exact-zero row
+        assert got["c"] == (0.0, 0, 2)
+        assert "c" not in snap
+        assert spark.table(view).schema["total"].dataType == t0
+    finally:
+        _drop(spark, table)
+        _drop_view(spark, view)
+
+
+def _lose_offset(spark, consumer_dir):
+    """Simulate a crash that lost the offset write: remove every offset
+    marker, as if the consumer died before its first post-page rename."""
+    from stream_sentinel_spark.streaming.manifest import _delete_entry
+    from stream_sentinel_spark.streaming.upsert import (
+        _OFFSET_PREFIX,
+        _offset_markers,
+    )
+
+    for e in _offset_markers(spark, consumer_dir):
+        _delete_entry(spark, consumer_dir, f"{_OFFSET_PREFIX}{e}")
+
+
+def test_maintain_agg_view_replay_guard(spark, tmp_path):
+    """The one crash window the offset alone cannot close: view swap
+    committed, offset commit lost. The re-delivered page must find the
+    view's _asof_epoch stamp and skip the apply — totals not doubled."""
+    from stream_sentinel_spark.streaming.upsert import (
+        maintain_agg_view,
+        read_consumer_offset,
+    )
+
+    table, view = _table(), f"v_{uuid.uuid4().hex[:8]}"
+    commits = str(tmp_path / "commits")
+    consumer = str(tmp_path / "consumer")
+    kwargs = dict(
+        key_cols=["k"], seq_cols=["seq"], group_col="grp", value_col="v",
+        op_col="op", commit_log_dir=commits, consumer_dir=consumer,
+    )
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_agg_rows(spark, A0), 0)
+        fn(_agg_rows(spark, A1), 1)
+        maintain_agg_view(spark, table, view, **kwargs)
+        before = _view_map(spark, view)
+        # simulate the crash: the swap survived, the offset write didn't
+        _lose_offset(spark, consumer)
+        assert maintain_agg_view(spark, table, view, **kwargs) == [(-1, 1)]
+        assert _view_map(spark, view) == before
+        assert read_consumer_offset(spark, consumer) == 1
+    finally:
+        _drop(spark, table)
+        _drop_view(spark, view)
+
+
+def test_maintain_agg_view_mid_swap_crash_heals(spark, tmp_path):
+    """A crash between the view's DROP and RENAME leaves only the tmp
+    table; the next maintenance call heals the binding first, then the
+    replay guard prevents a double apply."""
+    from stream_sentinel_spark.streaming.upsert import maintain_agg_view
+
+    table, view = _table(), f"v_{uuid.uuid4().hex[:8]}"
+    commits = str(tmp_path / "commits")
+    consumer = str(tmp_path / "consumer")
+    kwargs = dict(
+        key_cols=["k"], seq_cols=["seq"], group_col="grp", value_col="v",
+        op_col="op", commit_log_dir=commits, consumer_dir=consumer,
+    )
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        fn(_agg_rows(spark, A0), 0)
+        fn(_agg_rows(spark, A1), 1)
+        maintain_agg_view(spark, table, view, **kwargs)
+        before = _view_map(spark, view)
+        # simulate: swap wrote tmp + dropped the view, crashed pre-RENAME
+        spark.sql(f"ALTER TABLE {view} RENAME TO {view}__compacting")
+        _lose_offset(spark, consumer)
+        maintain_agg_view(spark, table, view, **kwargs)
+        assert _view_map(spark, view) == before
+    finally:
+        _drop(spark, table)
+        _drop_view(spark, view)
+
+
+def test_agg_delta_until_epoch_pages_telescope(spark, tmp_path):
+    """delta(E0,E1) + delta(E1,E2) == delta(E0,E2) per group — the
+    invariant that makes the delta pageable; and until_epoch bounds the
+    'new' side to the as-of-U snapshot, not the current one."""
+    from stream_sentinel_spark.streaming.upsert import upsert_agg_delta
+
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+        )
+        for i, ep in enumerate((A0, A1, A2)):
+            fn(_agg_rows(spark, ep), i)
+
+        def delta(since, until=None):
+            return {
+                r.grp: float(r.delta_sum)
+                for r in upsert_agg_delta(
+                    spark, table, since,
+                    key_cols=["k"], seq_cols=["seq"], group_col="grp",
+                    value_col="v", op_col="op", until_epoch=until,
+                ).collect()
+            }
+
+        d01, d12, d02 = delta(0, 1), delta(1, 2), delta(0, 2)
+        for g in set(d01) | set(d12):
+            assert d01.get(g, 0.0) + d12.get(g, 0.0) == d02.get(g, 0.0), g
+        # bounded 'new' side: delta(0,1) must NOT see epoch 2's deletes
+        assert d01["c"] == 6.0   # insert of key 6 only
+        assert d02["c"] == -50.0  # epoch 2 empties the group
+    finally:
+        _drop(spark, table)
