@@ -8176,3 +8176,253 @@ def x110(spark, sf):
         spark.sql(f"DROP TABLE IF EXISTS {table}_log")
         spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
     return rows
+
+
+@query(
+    "x111_change_feed_consumer",
+    """
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice AS price, o_orderstatus AS status, 0 AS epoch
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 100.0, o_orderstatus, 1
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, 2
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'U', o_totalprice * 0.5, 'R', 3
+      FROM orders WHERE o_orderkey % 7 = 2)
+    SELECT k, CAST(seq AS BIGINT) AS seq, op, price, status, epoch,
+           CASE WHEN epoch <= 1 THEN 1 ELSE 3 END AS page_until
+    FROM ch ORDER BY epoch, k
+    """,
+)
+def x111(spark, sf):
+    """DURABLE CHANGE-FEED CONSUMER in the gate
+    (`streaming/upsert.py:follow_upsert_changes`) — the downstream half
+    of the CDC story x105 opened: a consumer with its own crash-safe
+    offset (monotonic marker files, max-wins) pages the committed feed
+    in epoch-aligned (since, until] windows capped at 2 epochs per
+    page, writing each page to a destination keyed by the page bound —
+    the overwrite-by-page idempotence that turns the at-least-once
+    redelivery contract into exactly-once. Four producer epochs
+    (inserts; +100 updates; deletes; half-price re-inserts) yield
+    pages (−1,1] and (1,3]; the emitted page_until stamp proves the
+    pagination boundaries are exactly epoch-aligned, and the union of
+    pages is exactly the feed — nothing lost, duplicated, or leaked
+    across a page edge.
+
+    Oracle: the four epochs' change rows as UNION ALL with epoch
+    literals and the closed-form page boundary (epochs 0-1 → page 1,
+    2-3 → page 3) — pass-through parity pins the consumer loop's
+    paging, offset, and re-read discipline end to end.
+
+    Scale shape: each page is one O(page change volume) manifest-driven
+    feed read plus one offset rename; the producer is never blocked and
+    the consumer never scans the full log. The crash matrix (offset
+    lost → identical page re-delivered) is pinned in
+    tests/test_streaming_upsert.py. Reference anchor: the Kafka
+    consumer-group offset contract (SURVEY §2.1 S1) re-expressed over
+    the upsert log's epoch axis."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.streaming.upsert import (
+        follow_upsert_changes,
+        make_upsert_batch_fn,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+
+    def ch(flt, seq, op, price, status):
+        return o.filter(flt).select(
+            k.alias("k"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            price.alias("price"),
+            status.alias("status"),
+        )
+
+    epochs = [
+        ch(F.lit(True), 1, "U", F.col("o_totalprice"),
+           F.col("o_orderstatus")),
+        ch(k % 7 == 0, 2, "U", F.col("o_totalprice") + 100.0,
+           F.col("o_orderstatus")),
+        ch(k % 7 == 1, 2, "D", F.lit(None).cast("double"),
+           F.lit(None).cast("string")),
+        ch(k % 7 == 2, 3, "U", F.col("o_totalprice") * 0.5, F.lit("R")),
+    ]
+    table = f"x111_ups_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x111_")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=f"{tmp}/commits",
+        )
+        for i, ep in enumerate(epochs):
+            fn(ep, i)
+
+        def sink_page(page, since, until):
+            # destination keyed by the page bound: a redelivered page
+            # overwrites its own output — idempotent, hence exactly-once
+            page.withColumn(
+                "page_until", F.lit(int(until))
+            ).write.mode("overwrite").parquet(f"{tmp}/pages/u{until}")
+
+        follow_upsert_changes(
+            spark, table,
+            commit_log_dir=f"{tmp}/commits",
+            consumer_dir=f"{tmp}/consumer",
+            process=sink_page, max_epochs_per_page=2,
+        )
+        rows = (
+            spark.read.parquet(f"{tmp}/pages/*")
+            .select(
+                "k", "seq", "op", "price", "status",
+                F.col("_epoch").cast("int").alias("epoch"),
+                F.col("page_until").cast("int").alias("page_until"),
+            )
+            .orderBy("epoch", "k")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+    return rows
+
+
+@query(
+    "x112_maintained_agg_view",
+    """
+    WITH ch AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderstatus AS status, 0 AS epoch
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(o_totalprice + 100.0 AS DECIMAL(18,2)), o_orderstatus, 1
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL, NULL, 1
+      FROM orders WHERE o_orderkey % 7 = 1
+      UNION ALL
+      SELECT o_orderkey, 3, 'U',
+             CAST(o_totalprice * 2.0 AS DECIMAL(18,2)), 'R', 2
+      FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, 0, 'U', CAST(-1.0 AS DECIMAL(18,2)), 'X', 2
+      FROM orders WHERE o_orderkey % 7 = 2),
+    final AS (
+      SELECT k, price, status FROM (
+        SELECT k, price, status, op,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM ch)
+      WHERE rn = 1 AND op <> 'D')
+    SELECT status, CAST(SUM(price) AS DOUBLE) AS total,
+           COUNT(*) AS n_keys, CAST(2 AS BIGINT) AS asof_epoch
+    FROM final GROUP BY status ORDER BY status
+    """,
+)
+def x112(spark, sf):
+    """EXACTLY-ONCE MAINTAINED AGGREGATE VIEW in the gate
+    (`streaming/upsert.py:maintain_agg_view`) — x110's delta made a
+    durable consumer: the same 3-epoch change set (updates, deletes,
+    group moves, stale no-ops) is applied page-by-page (cap 1 epoch)
+    into a downstream per-status SUM(price) table through the
+    change-feed consumer; after the final page the VIEW ITSELF — not a
+    recomputation — must equal GROUP BY over the current snapshot, with
+    its _asof_epoch stamp at the last committed epoch. The view's
+    bootstrap is the first page's delta against the empty epoch −1
+    snapshot, so no separate backfill step exists to get wrong; the
+    telescoping-delta invariant (page deltas sum to the full delta,
+    DECIMAL-exact) is what makes three page applies land on the exact
+    aggregate.
+
+    Oracle: latest-wins over the full change set, grouped — the view
+    maintained incrementally must be bit-equal (DECIMAL totals cast to
+    double once, at the end) to the aggregate computed from scratch.
+
+    Scale shape: each page apply computes its delta from the changed
+    keys only (log side never shuffles, x110's plan assertion) and
+    rewrites an O(|groups|) table with an atomic swap; the replay guard
+    (_asof_epoch) closes the swap-committed/offset-lost crash window —
+    the full crash matrix is pinned in tests/test_streaming_upsert.py.
+    Reference anchor: the reference's per-key aggregate state (SURVEY
+    §2.3 W1/W2) promoted to a durably maintained, exactly-once
+    downstream table."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_sentinel_spark.streaming.upsert import (
+        maintain_agg_view,
+        make_upsert_batch_fn,
+        read_agg_view,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    dec = "decimal(18,2)"
+
+    def ch(flt, seq, op, price, status):
+        return o.filter(flt).select(
+            k.alias("k"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            price.cast(dec).alias("price"),
+            status.alias("status"),
+        )
+
+    e0 = ch(F.lit(True), 1, "U", F.col("o_totalprice"), F.col("o_orderstatus"))
+    e1 = ch(k % 7 == 0, 2, "U", F.col("o_totalprice") + 100.0,
+            F.col("o_orderstatus")).unionByName(
+        ch(k % 7 == 1, 2, "D", F.lit(None).cast(dec),
+           F.lit(None).cast("string"))
+    )
+    e2 = ch((k % 7 == 1) & (k % 11 == 0), 3, "U",
+            F.col("o_totalprice") * 2.0, F.lit("R")).unionByName(
+        ch(k % 7 == 2, 0, "U", F.lit(-1.0), F.lit("X"))
+    )
+    table = f"x112_ups_{uuid.uuid4().hex[:8]}"
+    view = f"x112_view_{uuid.uuid4().hex[:8]}"
+    tmp = tempfile.mkdtemp(prefix="ss_x112_")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=f"{tmp}/commits",
+        )
+        for i, ep in enumerate((e0, e1, e2)):
+            fn(ep, i)
+        maintain_agg_view(
+            spark, table, view,
+            key_cols=["k"], seq_cols=["seq"], group_col="status",
+            value_col="price", op_col="op",
+            commit_log_dir=f"{tmp}/commits",
+            consumer_dir=f"{tmp}/consumer",
+            max_epochs_per_page=1,
+        )
+        rows = (
+            read_agg_view(spark, view)
+            .filter(F.col("n_keys") > 0)
+            .select(
+                "status",
+                F.col("total").cast("double").alias("total"),
+                "n_keys",
+                F.col("_asof_epoch").alias("asof_epoch"),
+            )
+            .orderBy("status")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_log__compacting")
+        spark.sql(f"DROP TABLE IF EXISTS {view}")
+        spark.sql(f"DROP TABLE IF EXISTS {view}__compacting")
+    return rows
