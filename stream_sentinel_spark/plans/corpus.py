@@ -8426,3 +8426,73 @@ def x112(spark, sf):
         spark.sql(f"DROP TABLE IF EXISTS {view}")
         spark.sql(f"DROP TABLE IF EXISTS {view}__compacting")
     return rows
+
+
+@query(
+    "x113_zone_map_pruned_read",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate <= TIMESTAMP '1994-06-30'
+      AND o_totalprice >= 150000.0
+    ORDER BY o_orderkey
+    """,
+)
+def x113(spark, sf):
+    """ZONE-MAP DATA SKIPPING in the gate (`sources/skipping.py`) —
+    the Iceberg-manifest / Delta-file-stats pattern on plain parquet:
+    orders is laid out range-clustered on o_orderdate (8 files via
+    repartitionByRange — the layout x63's Z-order generalizes), a
+    one-pass per-file min/max/null index is built
+    (`file_zone_maps`, groupBy input_file_name with map-side combine),
+    and the selective read (`read_pruned`) consults the INDEX to open
+    only files whose [min, max] intersects the half-year date window
+    and the price floor, re-applying the exact predicate as a residual
+    filter. Correctness never depends on the pruning (the index selects
+    a file-granularity SUPERSET; tests pin that a stale index raises
+    rather than under-reads), which is why the oracle is simply the
+    plain filtered read — pruned scan ≡ full-scan filter, row for row.
+
+    Scale shape at 100 TB: footer-free skipping — the planner reads an
+    O(files × cols) stats table instead of opening a million parquet
+    footers, pulls only the SURVIVING file names to the driver (bounded
+    by the predicate's selectivity), and the scan never touches a
+    pruned file. The file-count reduction itself (8 → ~4 on this
+    layout) is pinned in tests/test_skipping.py, along with the
+    adversarial random layout (nothing prunes, result still exact)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.sources.skipping import (
+        file_zone_maps,
+        read_pruned,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="ss_x113_")
+    try:
+        path = f"{tmp}/orders_by_date"
+        o.repartitionByRange(8, "o_orderdate").write.parquet(path)
+        laid_out = spark.read.schema(o.schema).parquet(path)
+        zm = file_zone_maps(
+            laid_out, ["o_orderdate", "o_totalprice"]
+        ).localCheckpoint(eager=True)
+        pruned = read_pruned(
+            spark, zm,
+            {
+                "o_orderdate": (
+                    datetime.datetime(1994, 1, 1),
+                    datetime.datetime(1994, 6, 30),
+                ),
+                "o_totalprice": (150000.0, None),
+            },
+            o.schema,
+        )
+        rows = pruned.orderBy("o_orderkey").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rows

@@ -1,0 +1,148 @@
+"""Zone-map data skipping (sources/skipping.py): the stats index is a
+file-granularity SUPERSET selector — pruned reads equal plain filtered
+reads on any layout, and actually skip files on a clustered one."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_sentinel_spark.sources.skipping import (
+    file_zone_maps,
+    prune_files,
+    read_pruned,
+)
+
+SCHEMA = "id long, v long, s string"
+
+
+def _clustered(spark, tmp_path, n=400, files=8):
+    """Range-clustered layout: v strictly increasing with id, 8 files."""
+    path = str(tmp_path / "clustered")
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 10).alias("v"),
+        F.format_string("s%05d", F.col("id")).alias("s"),
+    )
+    df.repartitionByRange(files, "id").write.parquet(path)
+    return path
+
+
+def _read(spark, path):
+    return spark.read.schema(SCHEMA).parquet(path)
+
+
+def test_zone_maps_shape_and_totals(spark, tmp_path):
+    path = _clustered(spark, tmp_path)
+    zm = file_zone_maps(_read(spark, path), ["v", "s"])
+    rows = zm.collect()
+    assert len(rows) == len(_read(spark, path).inputFiles())
+    assert sum(r.n_rows for r in rows) == 400
+    for r in rows:
+        assert r.v__min <= r.v__max
+        assert r.v__nulls == 0
+
+
+def test_pruned_read_equals_plain_filter(spark, tmp_path):
+    path = _clustered(spark, tmp_path)
+    full = _read(spark, path)
+    zm = file_zone_maps(full, ["v"]).localCheckpoint(eager=True)
+    for lo, hi in [(500, 700), (None, 90), (3990, None), (-5, -1), (0, 10**6)]:
+        got = read_pruned(spark, zm, {"v": (lo, hi)}, SCHEMA)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("v") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("v") <= hi)
+        want = full.filter(cond)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_pruning_actually_skips_files(spark, tmp_path):
+    path = _clustered(spark, tmp_path)
+    full = _read(spark, path)
+    total = len(full.inputFiles())
+    assert total >= 6
+    zm = file_zone_maps(full, ["v"])
+    narrow = read_pruned(spark, zm, {"v": (500, 700)}, SCHEMA)
+    opened = len(narrow.inputFiles())
+    assert 1 <= opened <= 2, opened  # ~21 of 400 rows, range-clustered
+    assert narrow.count() == 21
+    # out-of-range predicate prunes EVERYTHING — zero files opened
+    assert read_pruned(spark, zm, {"v": (10**7, None)}, SCHEMA).count() == 0
+
+
+def test_multi_column_conjunction(spark, tmp_path):
+    path = _clustered(spark, tmp_path)
+    full = _read(spark, path)
+    zm = file_zone_maps(full, ["v", "s"])
+    got = read_pruned(
+        spark, zm, {"v": (100, 2000), "s": ("s00050", "s00060")}, SCHEMA
+    )
+    want = full.filter(
+        (F.col("v") >= 100) & (F.col("v") <= 2000)
+        & (F.col("s") >= "s00050") & (F.col("s") <= "s00060")
+    )
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
+
+
+def test_nulls_prune_and_residual(spark, tmp_path):
+    # file A: all-null v (prunable outright); file B: mixed nulls
+    path = str(tmp_path / "nulls")
+    a = spark.createDataFrame([(1, None, "a"), (2, None, "b")], SCHEMA)
+    b = spark.createDataFrame([(3, 5, "c"), (4, None, "d"), (5, 9, "e")], SCHEMA)
+    a.coalesce(1).write.parquet(path)
+    b.coalesce(1).write.mode("append").parquet(path)
+    full = _read(spark, path)
+    zm = file_zone_maps(full, ["v"])
+    surv = prune_files(zm, {"v": (0, 100)})
+    assert surv.count() == 1  # the all-null file drops at the index
+    got = read_pruned(spark, zm, {"v": (0, 100)}, SCHEMA)
+    assert sorted(r.id for r in got.collect()) == [3, 5]  # residual drops row 4
+
+
+def test_unbounded_both_sides_rejected(spark, tmp_path):
+    path = _clustered(spark, tmp_path)
+    zm = file_zone_maps(_read(spark, path), ["v"])
+    with pytest.raises(ValueError, match="matches everything"):
+        prune_files(zm, {"v": (None, None)})
+    with pytest.raises(ValueError, match="at least one predicate"):
+        prune_files(zm, {})
+    with pytest.raises(ValueError, match="no stats"):
+        prune_files(zm, {"id": (0, 5)})
+
+
+def test_stale_index_raises(spark, tmp_path):
+    path = _clustered(spark, tmp_path)
+    full = _read(spark, path)
+    zm = file_zone_maps(full, ["v"]).localCheckpoint(eager=True)
+    surviving = [
+        r[0] for r in prune_files(zm, {"v": (500, 700)}).collect()
+    ]
+    os.remove(surviving[0].replace("file:", ""))
+    with pytest.raises(FileNotFoundError, match="stale"):
+        read_pruned(spark, zm, {"v": (500, 700)}, SCHEMA)
+
+
+def test_random_layout_correct_but_unpruned(spark, tmp_path):
+    # adversarial layout: values shuffled across files — every file's
+    # interval is wide, nothing prunes, result still exact
+    path = str(tmp_path / "random")
+    df = spark.range(400).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 4000).alias("v"),
+        F.lit("x").alias("s"),
+    )
+    df.repartition(8).write.parquet(path)
+    full = _read(spark, path)
+    zm = file_zone_maps(full, ["v"])
+    got = read_pruned(spark, zm, {"v": (100, 200)}, SCHEMA)
+    want = full.filter((F.col("v") >= 100) & (F.col("v") <= 200))
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in want.collect()
+    )
