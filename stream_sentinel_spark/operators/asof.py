@@ -92,3 +92,57 @@ def asof_join(
             *[F.col(f"r_{c}") for c in right_values],
         )
     return out
+
+
+def point_in_time_join(
+    labels: DataFrame,
+    features: Sequence[dict],
+    *,
+    label_time: str,
+) -> DataFrame:
+    """FEATURE-STORE point-in-time enrichment: attach, to every label
+    row, each feature table's most recent value as of the label's
+    timestamp — the join a training-set builder runs so features never
+    leak the future. One :func:`asof_join` per feature table (the
+    union-and-carry formulation — one key shuffle each, no range
+    explosion), composed left-to-right; each feature's columns land
+    namespaced as ``{name}__{col}`` so two tables can expose the same
+    column name.
+
+    ``features``: a sequence of specs, each a dict with
+    ``name`` (output prefix), ``df`` (the feature table), ``on``
+    (label key column), ``right_on`` (feature key, default ``on``),
+    ``time`` (feature timestamp column), ``values`` (feature columns
+    to attach), optional ``tolerance_ms`` (staleness bound — feature
+    older than this nulls out, pandas ``merge_asof`` semantics).
+
+    Point-in-time correctness is the asof contract: a feature row at
+    exactly the label time IS visible (``t_feature <= t_label``) —
+    keep the label event itself out of its own feature table (use a
+    different event type or a strictly-earlier snapshot) for
+    leakage-free training labels.
+
+    Scale shape at 100 TB: each feature attach is one shuffle of
+    labels ∪ that feature table on the key — never a cross product,
+    never a per-row probe; K feature tables cost K sequential keyed
+    shuffles (pipeline them by bucketing the label key once). This is
+    the batch-backfill half of a feature store; the serving half is
+    the upsert loop's snapshot (streaming/upsert.py), whose
+    latest-wins merge is the degenerate as-of at t = now."""
+    out = labels
+    for spec in features:
+        name = spec["name"]
+        values = list(spec["values"])
+        out = asof_join(
+            out,
+            spec["df"],
+            on=spec["on"],
+            right_on=spec.get("right_on"),
+            left_time=label_time,
+            right_time=spec["time"],
+            right_values=values,
+            tolerance_ms=spec.get("tolerance_ms"),
+        )
+        for c in values:
+            out = out.withColumnRenamed(f"r_{c}", f"{name}__{c}")
+    return out

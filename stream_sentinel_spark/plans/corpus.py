@@ -8496,3 +8496,84 @@ def x113(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return rows
+
+
+@query(
+    "x114_point_in_time_features",
+    """
+    SELECT e.event_id, e.user_id,
+           o.o_totalprice AS ord_totalprice,
+           c.value AS clk_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN (
+      SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS o_totalprice
+      FROM orders GROUP BY 1, 2) o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ASOF LEFT JOIN (
+      SELECT user_id AS cuid, ts AS cts, MAX(value) AS value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2) c
+      ON e.user_id = c.cuid AND c.cts <= e.ts
+    ORDER BY e.event_id
+    """,
+)
+def x114(spark, sf):
+    """POINT-IN-TIME FEATURE ENRICHMENT
+    (`operators/asof.py:point_in_time_join`) — the feature-store
+    backfill join: every purchase label gets, as of ITS OWN timestamp,
+    the user's latest order total (orders feature table) and latest
+    click value (behavioral feature table) — never a value from the
+    future, which is the leakage rule every training-set builder must
+    hold. Two composed as-of joins (the union-and-carry formulation —
+    one key shuffle per feature table, no range explosion, no per-row
+    probe), outputs namespaced per table; both feature tables are
+    pre-aggregated to one row per (key, time) so the match is
+    deterministic in both engines.
+
+    Oracle: DuckDB's NATIVE chained ASOF LEFT JOINs — the engine
+    extension (Spark has no asof operator) against the reference
+    semantics, including ties (a feature at exactly the label time is
+    visible) and labels preceding every feature (NULLs).
+
+    Scale shape at 100 TB: K feature tables cost K sequential keyed
+    shuffles of labels ∪ features — each feature attach is
+    window-carried within the key partition, so a 1000-executor
+    backfill of a billion labels against wide feature histories never
+    materializes a range join. The staleness-bound variant
+    (tolerance_ms) and the tie/no-prior matrix are pinned in
+    tests/test_asof.py; the serving-side twin is the upsert snapshot
+    (x97 — latest-wins is the as-of at t = now)."""
+    from stream_sentinel_spark.operators.asof import point_in_time_join
+
+    ev = _t(spark, sf, "events")
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    orders_feat = (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    clicks_feat = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumnRenamed("user_id", "cuid")
+        .withColumnRenamed("ts", "cts")
+    )
+    out = point_in_time_join(
+        labels,
+        [
+            {"name": "ord", "df": orders_feat, "on": "user_id",
+             "right_on": "o_custkey", "time": "o_orderdate",
+             "values": ["o_totalprice"]},
+            {"name": "clk", "df": clicks_feat, "on": "user_id",
+             "right_on": "cuid", "time": "cts", "values": ["value"]},
+        ],
+        label_time="ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("ord__o_totalprice").alias("ord_totalprice"),
+        F.col("clk__value").alias("clk_value"),
+    ).orderBy("event_id")

@@ -146,3 +146,35 @@ def test_random_layout_correct_but_unpruned(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == sorted(
         r.id for r in want.collect()
     )
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The property x63's stats predicted, driven end to end: a Z-order
+    layout gives zone-map pruning on BOTH dimensions, where a
+    single-column sort only prunes its own column. Same rows, same
+    index machinery, same two-sided predicate — layout is the only
+    variable."""
+    from stream_sentinel_spark.operators.partitioning import zorder_value
+
+    sch = "x long, y long"
+    n, files = 4096, 16
+    grid = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    z_path, lin_path = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    grid.withColumn("_z", zorder_value(F.col("x"), F.col("y"), bits=6)) \
+        .repartitionByRange(files, "_z").drop("_z").write.parquet(z_path)
+    grid.repartitionByRange(files, "x").write.parquet(lin_path)
+    # the y-only predicate is the one a single-column (x) sort cannot
+    # serve: every x-stripe spans all of y, so nothing prunes — while
+    # the Z layout bounds y within each quadrant block
+    pred = {"y": (10, 20)}
+    opened = {}
+    for name, path in (("zorder", z_path), ("linear", lin_path)):
+        full = spark.read.schema(sch).parquet(path)
+        zm = file_zone_maps(full, ["x", "y"])
+        pruned = read_pruned(spark, zm, pred, sch)
+        assert pruned.count() == 11 * 64  # exact under either layout
+        opened[name] = len(pruned.inputFiles())
+    assert opened["linear"] == files, opened  # no help from the x sort
+    assert opened["zorder"] <= files // 2, opened
