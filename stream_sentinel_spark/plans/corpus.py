@@ -116,11 +116,14 @@ def query(name: str, oracle: str | None = None):
 # covers all of them every run. Round 9 rotation (stalest-row selection,
 # recomputed latest-green union over CORRECTNESS_r01-r08 — 160/160 with
 # distribution r08:50 / r07:42 / r06:48 / r05:20):
-# 1) x105-x110 — NEW this round: the upsert change-feed read (VERDICT
+# 1) x105-x114 — NEW this round: the upsert change-feed read (VERDICT
 #    r08 item 3), greedy bin-fill sequence packing + its fill report
 #    (item 4), the NB classifier's min_df weight-table bound (item 6),
-#    length-bucketed packing (the closed-form high-fill regime), and
-#    incremental view maintenance from the change feed (x110);
+#    length-bucketed packing (the closed-form high-fill regime),
+#    incremental view maintenance from the change feed (x110), the
+#    durable change-feed consumer (x111), the exactly-once maintained
+#    aggregate view (x112), zone-map file skipping (x113), and the
+#    point-in-time feature join (x114);
 #    unproven entries must hold gate slots;
 # 2) the twenty r05-latest rows (x08-x20, x24, x35, x61, x78-x81) — the
 #    re-front promised at the r08 rotation note and VERDICT r08 item 2;
@@ -136,9 +139,10 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) the 9 stalest r06 rows that fit the remaining slots
-#    (q18-q22/q30-q32/q34). The other r06 rows are all locally
-#    oracle-proven every run; re-front in r10.
+# 5) the stalest r06 rows that fit the remaining slots (q18-q22 after
+#    the x111-x114 additions claimed four more head slots; q30-q32/q34
+#    move just past the gate boundary). The other r06 rows are all
+#    locally oracle-proven every run; re-front in r10.
 _DRIVER_PRIORITY = [
     # --- new this round: change feed, sequence packing (both regimes),
     # min_df, incremental view maintenance ---
@@ -148,6 +152,10 @@ _DRIVER_PRIORITY = [
     "x108_nb_classifier_min_df",
     "x109_pack_bucketed",
     "x110_upsert_agg_delta",
+    "x111_change_feed_consumer",
+    "x112_maintained_agg_view",
+    "x113_zone_map_pruned_read",
+    "x114_point_in_time_features",
     # --- stalest (latest green = r05, the promised re-front) ---
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",

@@ -53,7 +53,12 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["file_zone_maps", "prune_files", "read_pruned"]
+__all__ = [
+    "file_zone_maps",
+    "prune_files",
+    "read_pruned",
+    "refresh_zone_maps",
+]
 
 _FILE = "_file"
 
@@ -160,3 +165,25 @@ def read_pruned(
             "compaction or rewrite"
         )
     return spark.read.schema(schema).parquet(*survivors).filter(residual)
+
+
+def refresh_zone_maps(
+    zone_maps: DataFrame, df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Incrementally extend the index after an APPEND: stat only the
+    files of ``df`` the index doesn't know yet, union with the existing
+    rows. An append-only table at 100 TB refreshes its skipping index
+    at the cost of the new partition, never a full re-scan; after a
+    COMPACTION or rewrite (files removed), rebuild with
+    :func:`file_zone_maps` instead — this function only ever adds."""
+    known = zone_maps.select(F.col(_FILE).alias("__known"))
+    fresh = (
+        df.withColumn(_FILE, F.input_file_name())
+        .join(
+            F.broadcast(known),
+            F.col(_FILE) == F.col("__known"),
+            "left_anti",
+        )
+        .drop(_FILE)
+    )
+    return zone_maps.unionByName(file_zone_maps(fresh, cols))

@@ -178,3 +178,27 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         opened[name] = len(pruned.inputFiles())
     assert opened["linear"] == files, opened  # no help from the x sort
     assert opened["zorder"] <= files // 2, opened
+
+
+def test_refresh_zone_maps_stats_only_new_files(spark, tmp_path):
+    """Appending extends the index at the cost of the new files only:
+    the pre-existing rows pass through byte-identical (they were never
+    re-scanned), the refreshed index equals a from-scratch rebuild, and
+    pruned reads see the appended data."""
+    path = _clustered(spark, tmp_path)
+    zm0 = file_zone_maps(_read(spark, path), ["v"]).localCheckpoint(eager=True)
+    extra = spark.createDataFrame(
+        [(10_000 + i, 100_000 + i, "zz") for i in range(5)], SCHEMA
+    )
+    extra.coalesce(1).write.mode("append").parquet(path)
+    from stream_sentinel_spark.sources.skipping import refresh_zone_maps
+
+    zm1 = refresh_zone_maps(zm0, _read(spark, path), ["v"])
+    rebuilt = file_zone_maps(_read(spark, path), ["v"])
+    assert sorted(map(tuple, zm1.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    assert zm1.count() == zm0.count() + 1
+    got = read_pruned(spark, zm1, {"v": (100_000, None)}, SCHEMA)
+    assert got.count() == 5
+    assert len(got.inputFiles()) == 1
