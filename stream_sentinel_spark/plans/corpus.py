@@ -116,14 +116,15 @@ def query(name: str, oracle: str | None = None):
 # covers all of them every run. Round 9 rotation (stalest-row selection,
 # recomputed latest-green union over CORRECTNESS_r01-r08 — 160/160 with
 # distribution r08:50 / r07:42 / r06:48 / r05:20):
-# 1) x105-x114 — NEW this round: the upsert change-feed read (VERDICT
+# 1) x105-x115 — NEW this round: the upsert change-feed read (VERDICT
 #    r08 item 3), greedy bin-fill sequence packing + its fill report
 #    (item 4), the NB classifier's min_df weight-table bound (item 6),
 #    length-bucketed packing (the closed-form high-fill regime),
 #    incremental view maintenance from the change feed (x110), the
 #    durable change-feed consumer (x111), the exactly-once maintained
-#    aggregate view (x112), zone-map file skipping (x113), and the
-#    point-in-time feature join (x114);
+#    aggregate view (x112), zone-map file skipping (x113), the
+#    point-in-time feature join (x114), and small-file OPTIMIZE for
+#    plain sinks (x115);
 #    unproven entries must hold gate slots;
 # 2) the twenty r05-latest rows (x08-x20, x24, x35, x61, x78-x81) — the
 #    re-front promised at the r08 rotation note and VERDICT r08 item 2;
@@ -139,9 +140,9 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) the stalest r06 rows that fit the remaining slots (q18-q22 after
-#    the x111-x114 additions claimed four more head slots; q30-q32/q34
-#    move just past the gate boundary). The other r06 rows are all
+# 5) the stalest r06 rows that fit the remaining slots (q18-q21 after
+#    the x111-x115 additions claimed five more head slots;
+#    q22/q30-q32/q34 move just past the gate boundary). The other r06 rows are all
 #    locally oracle-proven every run; re-front in r10.
 _DRIVER_PRIORITY = [
     # --- new this round: change feed, sequence packing (both regimes),
@@ -156,6 +157,7 @@ _DRIVER_PRIORITY = [
     "x112_maintained_agg_view",
     "x113_zone_map_pruned_read",
     "x114_point_in_time_features",
+    "x115_optimize_small_files",
     # --- stalest (latest green = r05, the promised re-front) ---
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",
@@ -8585,3 +8587,52 @@ def x114(spark, sf):
         F.col("ord__o_totalprice").alias("ord_totalprice"),
         F.col("clk__value").alias("clk_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "x115_optimize_small_files",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x115(spark, sf):
+    """Small-file OPTIMIZE in the gate (`sources/optimize.py`) — the
+    lakehouse maintenance op the engine's plain sinks needed next to
+    the bucketed tables' compaction: documents lands as a 32-file
+    fragmented sink (one-file-per-epoch at production cadence is the
+    classic small-file problem), `optimize_parquet_dir` rewrites it to
+    4 files under the double-rename swap protocol (tmp copy with
+    Spark's _SUCCESS completeness witness → path→__old → tmp→path →
+    delete __old; every crash point heals in `recover_optimize` —
+    decision table pinned in tests/test_optimize.py), and the entry
+    returns the post-swap directory content. Oracle: the table itself —
+    OPTIMIZE must be invisible to readers, byte-for-byte.
+
+    Scale shape at 100 TB: one read + one write of ONE directory's
+    content (run per partition dir on a schedule, the same cost Delta's
+    OPTIMIZE / Iceberg's rewrite_data_files pays), O(1) renames; the
+    file-count reduction it buys is exactly what the zone-map module
+    quantifies as per-file open cost (x113)."""
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.sources.optimize import optimize_parquet_dir
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="ss_x115_")
+    try:
+        path = f"{tmp}/sink"
+        docs.repartition(32).write.parquet(path)
+        report = optimize_parquet_dir(spark, path, 4, schema=docs.schema)
+        assert report["files_after"] == 4, report
+        rows = (
+            spark.read.schema(docs.schema).parquet(path)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rows
