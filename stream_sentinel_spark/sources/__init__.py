@@ -5,5 +5,27 @@ from stream_sentinel_spark.sources.batch import (
     load_tables,
     register_tables,
 )
+from stream_sentinel_spark.sources.optimize import (
+    optimize_parquet_dir,
+    recover_optimize,
+)
+from stream_sentinel_spark.sources.skipping import (
+    file_zone_maps,
+    prune_files,
+    read_pruned,
+    refresh_zone_maps,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "events_from_json", "register_tables"]
+__all__ = [
+    "TABLES",
+    "events_from_json",
+    "file_zone_maps",
+    "load_table",
+    "load_tables",
+    "optimize_parquet_dir",
+    "prune_files",
+    "read_pruned",
+    "recover_optimize",
+    "refresh_zone_maps",
+    "register_tables",
+]

@@ -409,6 +409,28 @@ def commit_consumer_offset(
             _delete_entry(spark, consumer_dir, f"{_OFFSET_PREFIX}{old}")
 
 
+def consumer_lag(
+    spark: SparkSession, commit_log_dir: str, consumer_dir: str
+) -> dict:
+    """Monitoring surface for a feed consumer: the producer's latest
+    committed epoch, this consumer's offset, and the lag between them
+    (in epochs — the unit both sides commit in). Two directory
+    listings, no data read; the number an operator alerts on, exactly
+    like Kafka consumer-group lag."""
+    from stream_sentinel_spark.streaming.manifest import INIT_EPOCH, _entries
+
+    committed = [
+        e for (e, k) in _entries(spark, commit_log_dir) if k == 0 and e >= 0
+    ]
+    latest = max(committed, default=INIT_EPOCH)
+    offset = read_consumer_offset(spark, consumer_dir)
+    return {
+        "latest_epoch": latest,
+        "offset": offset,
+        "lag_epochs": max(0, latest - offset),
+    }
+
+
 def follow_upsert_changes(
     spark: SparkSession,
     table: str,

@@ -1186,3 +1186,33 @@ def test_agg_delta_until_epoch_pages_telescope(spark, tmp_path):
         assert d02["c"] == -50.0  # epoch 2 empties the group
     finally:
         _drop(spark, table)
+
+
+def test_consumer_lag(spark, tmp_path):
+    """Two directory listings: latest committed epoch vs the consumer's
+    offset — the number an operator alerts on."""
+    from stream_sentinel_spark.streaming.upsert import (
+        consumer_lag,
+        follow_upsert_changes,
+    )
+
+    table = _table()
+    commits = str(tmp_path / "commits")
+    consumer = str(tmp_path / "consumer")
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            commit_log_dir=commits,
+        )
+        for i, ep in enumerate((E0, E1, E2)):
+            fn(_changes(spark, ep), i)
+        lag = consumer_lag(spark, commits, consumer)
+        assert lag == {"latest_epoch": 2, "offset": -1, "lag_epochs": 3}
+        follow_upsert_changes(
+            spark, table, commit_log_dir=commits, consumer_dir=consumer,
+            process=lambda df, s, u: df.count(), max_epochs_per_page=2,
+        )
+        lag = consumer_lag(spark, commits, consumer)
+        assert lag == {"latest_epoch": 2, "offset": 2, "lag_epochs": 0}
+    finally:
+        _drop(spark, table)
