@@ -26,6 +26,8 @@ Cross-engine determinism: counts are exact integers; PMI is a single
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -156,3 +158,85 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k keyword retrieval by Okapi BM25 (Robertson & Walker 1994,
+    the Lucene idf variant): for each document,
+
+        score = Σ_t  ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+                     · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·dl_d/avgdl))
+
+    with N the corpus document count, df/tf exact corpus counts, dl the
+    document's token length and avgdl the corpus mean length (both over
+    ALL documents — a zero-match document still shapes the length
+    normalization). The ``+ 1`` inside the ln keeps idf positive for
+    stop-word-frequent terms (Lucene's fix), so every matched term adds
+    signal and the top-k cut is stable.
+
+    Scale shape: the query's terms filter the exploded token stream
+    BEFORE the (doc, term) aggregation, so the shuffled volume is the
+    query's postings only — never the corpus vocabulary; df attaches by
+    a ≤|terms|-row broadcast; (N, avgdl) attach as a one-row broadcast
+    scalar computed in the same pass as the per-doc lengths. The final
+    cut orders by (rounded score desc, doc_id) — a total order, planned
+    as TakeOrderedAndProject (no global sort). Rounding to 6 decimals
+    happens BEFORE the ordering so the engine and the oracle cut the
+    same boundary (sum-order double noise is ~1e-15 relative; the
+    transcendental-margin rule as pmi_collocations).
+
+    Reference anchor: the reference's query surface has no ranked
+    retrieval (core-engine RuleEvaluator is boolean predicates); this
+    is the training-data extension's search primitive over
+    ``documents``. Returns (doc_id, n_terms, score double) — n_terms =
+    how many distinct query terms matched.
+    """
+    qterms = sorted({t for t in terms})
+    if not qterms:
+        raise ValueError("bm25_topk needs at least one query term")
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(word_tokens(text_col)).cast("double").alias("dl"),
+    ).localCheckpoint(eager=False)
+    stats = F.broadcast(
+        lens.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .filter(F.col("term").isin(qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(lens, "doc_id")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)

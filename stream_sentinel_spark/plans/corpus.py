@@ -140,10 +140,10 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) the stalest r06 rows that fit the remaining slots (q18-q21 after
-#    the x111-x115 additions claimed five more head slots;
-#    q22/q30-q32/q34 move just past the gate boundary). The other r06 rows are all
-#    locally oracle-proven every run; re-front in r10.
+# 5) the stalest r06 rows that fit the remaining slots (q18-q19 after
+#    the x111-x117 additions claimed seven more head slots;
+#    q20-q22/q30-q32/q34 move just past the gate boundary). The other
+#    r06 rows are all locally oracle-proven every run; re-front in r10.
 _DRIVER_PRIORITY = [
     # --- new this round: change feed, sequence packing (both regimes),
     # min_df, incremental view maintenance ---
@@ -158,6 +158,8 @@ _DRIVER_PRIORITY = [
     "x113_zone_map_pruned_read",
     "x114_point_in_time_features",
     "x115_optimize_small_files",
+    "x116_bloom_skip_point_lookup",
+    "x117_bm25_keyword_search",
     # --- stalest (latest green = r05, the promised re-front) ---
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",
@@ -8636,3 +8638,131 @@ def x115(spark, sf):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return rows
+
+
+@query(
+    "x116_bloom_skip_point_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (7, 42, 123, 777, 999, 1401)
+    ORDER BY o_orderkey
+    """,
+)
+def x116(spark, sf):
+    """BLOOM-FILTER FILE SKIPPING in the gate (`sources/skipping.py`)
+    — the point-lookup complement to x113's zone maps: orders is laid
+    out range-clustered on o_orderdate (the layout a time-series table
+    actually has), then probed by ORDER KEY — the axis the layout does
+    NOT serve. Every file's [key_min, key_max] spans nearly the whole
+    domain, so min/max stats prune nothing; but each file holds only
+    its own distinct keys, which the 8 KiB-per-file bloom bitmap
+    (`file_bloom_maps` — PARQUET-41's column bloom hoisted to the
+    planner's index, as Delta's bloom index / Iceberg ndv manifests do)
+    captures with <1% false positives. `read_pruned_bloom` consults
+    the index, opens only files whose bitmap claims a probe key, and
+    re-applies `o_orderkey IN (...)` exactly as the residual — a
+    file-granularity SUPERSET selector, so a false positive costs one
+    extra file open and never a wrong row, and the oracle is simply the
+    plain filtered read.
+
+    Scale shape at 100 TB: "fetch these 20 orders" against a
+    date-clustered table costs one filter over the O(files) index plus
+    a scan of the handful of claiming files — not a million footer
+    opens (zone maps can't serve this: the probe axis is uncorrelated
+    with the layout axis by construction). The actual file-count
+    reduction (8 → ≤2 where zone maps hold all 8) is pinned in
+    tests/test_skipping.py, with the stale-index raise, the null
+    matrix, and the refresh-under-same-hash-family contract."""
+    import shutil
+    import tempfile
+
+    from stream_sentinel_spark.sources.skipping import (
+        file_bloom_maps,
+        read_pruned_bloom,
+    )
+
+    keys = [7, 42, 123, 777, 999, 1401]
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    tmp = tempfile.mkdtemp(prefix="ss_x116_")
+    try:
+        path = f"{tmp}/orders_by_date"
+        o.repartitionByRange(8, "o_orderdate").write.parquet(path)
+        laid_out = spark.read.schema(o.schema).parquet(path)
+        bm = file_bloom_maps(laid_out, "o_orderkey").localCheckpoint(
+            eager=True
+        )
+        pruned = read_pruned_bloom(spark, bm, "o_orderkey", keys, o.schema)
+        rows = (
+            pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rows
+
+
+@query(
+    "x117_bm25_keyword_search",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    lens AS (
+      SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dl
+      FROM documents d
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks
+      WHERE term IN ('dup', 'join', 'spark') GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+             * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           ), 6) AS score
+    FROM tf t
+    JOIN dfreq f USING (term)
+    JOIN lens l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id
+    LIMIT 20
+    """,
+)
+def x117(spark, sf):
+    """BM25 RANKED RETRIEVAL (`operators/indexing.py:bm25_topk`) — the
+    search primitive next to the inverted index (x66's postings tell
+    you WHERE a term lives; BM25 tells you WHICH documents matter):
+    top-20 documents for the query {dup, join, spark} under Okapi BM25
+    with the Lucene idf (k1=1.2, b=0.75). "dup" is a rare term (~2.6%
+    document frequency) and "join" near-ubiquitous, so the entry
+    exercises the idf spread that makes BM25 BM25 — rare-term matches
+    dominate the ranking, and the saturating tf keeps spam-repetition
+    from drowning them.
+
+    Scale shape at 100 TB: the query's terms filter the exploded token
+    stream BEFORE the (doc, term) aggregation — shuffled volume is the
+    query's own postings, never the corpus vocabulary; df attaches by a
+    ≤|terms|-row broadcast, (N, avgdl) as a one-row broadcast scalar;
+    the final cut is TakeOrderedAndProject over rounded scores (the
+    6-decimal transcendental-margin rule, rounded BEFORE ordering so
+    both engines cut the identical boundary). Oracle: the full BM25
+    formula in SQL over the same single-space tokens — exact-count
+    inputs, one ln and one division per (doc, term)."""
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(
+        docs, ["dup", "join", "spark"], "doc_id", "text", k=20
+    )

@@ -54,9 +54,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "file_bloom_maps",
     "file_zone_maps",
     "prune_files",
+    "prune_files_bloom",
     "read_pruned",
+    "read_pruned_bloom",
+    "refresh_bloom_maps",
     "refresh_zone_maps",
 ]
 
@@ -150,6 +154,14 @@ def read_pruned(
         residual = residual & cond
     if not survivors:
         return spark.createDataFrame([], schema)
+    _require_files_exist(spark, survivors)
+    return spark.read.schema(schema).parquet(*survivors).filter(residual)
+
+
+def _require_files_exist(spark: SparkSession, survivors: Sequence[str]) -> None:
+    """The staleness gate shared by every pruned read: a pruned-in file
+    that vanished means the index predates a compaction/rewrite — fail
+    loudly, never under-read."""
     from stream_sentinel_spark.streaming.exactly_once import _hadoop_fs
 
     jvm = spark.sparkContext._jvm
@@ -160,11 +172,10 @@ def read_pruned(
     ]
     if missing:
         raise FileNotFoundError(
-            f"zone-map index is stale: {len(missing)} pruned-in files are "
-            f"gone (e.g. {missing[:2]}) — rebuild file_zone_maps after "
+            f"skipping index is stale: {len(missing)} pruned-in files are "
+            f"gone (e.g. {missing[:2]}) — rebuild the index after "
             "compaction or rewrite"
         )
-    return spark.read.schema(schema).parquet(*survivors).filter(residual)
 
 
 def refresh_zone_maps(
@@ -187,3 +198,211 @@ def refresh_zone_maps(
         .drop(_FILE)
     )
     return zone_maps.unionByName(file_zone_maps(fresh, cols))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file skipping: the point-lookup complement to zone maps.
+# ---------------------------------------------------------------------------
+
+BLOOM_FILE_BITS = 1 << 13  # 8 192 bits/file: <1% fp at ~850 distinct keys
+BLOOM_FILE_K = 3
+
+
+def _file_bloom_positions(col, bits: int, hashes: int) -> list:
+    """k bit positions for one value: native ``xxhash64(cast(v AS
+    string), seed_i)`` masked to the filter width. Values hash through
+    their STRING form so the probe literal needs no knowledge of the
+    column's physical type (int32 vs int64 hash differently raw — cast
+    first and ``5`` probes a bigint column correctly); the cast costs
+    one allocation per row in the one-off index build, nothing at probe
+    time. NULLs never reach this (filtered in the build; an equality
+    probe value must be non-null)."""
+    s = col.cast("string")
+    return [
+        F.xxhash64(s, F.lit(i)).bitwiseAND(F.lit(bits - 1))
+        for i in range(hashes)
+    ]
+
+
+def _bloom_word(pos):
+    # call_function: PySpark's F.shiftleft only accepts a literal int
+    # for the shift amount, but the amount here is itself an expression
+    return (
+        F.shiftright(pos, 6).cast("int").alias("word_idx"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+        ).alias("mask"),
+    )
+
+
+def file_bloom_maps(
+    df: DataFrame,
+    column: str,
+    bits: int = BLOOM_FILE_BITS,
+    hashes: int = BLOOM_FILE_K,
+) -> DataFrame:
+    """The bloom-filter skipping index of ``df``'s backing files for
+    EQUALITY probes on ``column`` — what zone maps cannot serve: a
+    high-cardinality key scattered by a layout clustered on some OTHER
+    axis leaves every file's [min, max] spanning the whole domain, yet
+    each file holds only its own few thousand distinct keys, which an
+    8 KiB-per-file bitmap captures with <1% false positives. This is
+    Parquet's optional column bloom filter (PARQUET-41) hoisted to the
+    planner's index, exactly as :func:`file_zone_maps` hoists the
+    footer min/max — Iceberg v3 deletion-vector-adjacent ``ndv``/bloom
+    manifests and Delta's bloom-filter index do the same.
+
+    One pass: per file, the distinct set bits of all non-null values'
+    k hash positions, stored SPARSE (``map<int, bigint>`` of 64-bit
+    words — a file never materializes words no value touched), plus
+    ``n_rows`` / ``{column}__nulls`` so every file appears even when
+    all-null (an absent file would silently never be read; an all-null
+    file prunes because equality with NULL never matches, which the
+    empty map encodes for free). The index is self-describing:
+    ``_bloom_bits`` / ``_bloom_hashes`` ride every row, so the probe
+    side derives its hash family from the index instead of trusting a
+    caller to repeat the build parameters (a mismatched family would be
+    a silent false-negative — the one failure mode a bloom must never
+    have).
+
+    Same immutable-file-set contract as zone maps: refresh on append
+    via :func:`refresh_bloom_maps`, rebuild after compaction.
+    """
+    if column not in df.columns:
+        raise ValueError(f"file_bloom_maps: no column {column!r} in frame")
+    if bits < 64 or bits & (bits - 1):
+        raise ValueError(f"bits must be a power of two ≥ 64, got {bits}")
+    files = df.groupBy(F.input_file_name().alias(_FILE)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(column).isNull().cast("long")).alias(f"{column}__nulls"),
+    ).filter(F.col(_FILE) != "")
+    pos = F.explode(
+        F.array(*_file_bloom_positions(F.col(column), bits, hashes))
+    ).alias("pos")
+    word_idx, mask = _bloom_word(F.col("pos"))
+    words = (
+        df.filter(F.col(column).isNotNull())
+        .select(F.input_file_name().alias(_FILE), pos)
+        .select(_FILE, word_idx, mask)
+        .groupBy(_FILE, "word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .groupBy(_FILE)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word_idx", "word"))).alias(
+                f"{column}__bloom"
+            )
+        )
+    )
+    # the left join leaves an all-null file's map NULL — the probe's
+    # coalesce(element_at(...), 0) reads that as "no bit set", which is
+    # exactly the file's truth
+    return (
+        files.join(words, _FILE, "left")
+        .withColumn("_bloom_bits", F.lit(bits))
+        .withColumn("_bloom_hashes", F.lit(hashes))
+    )
+
+
+def _bloom_family(bloom_maps: DataFrame) -> tuple[int, int] | None:
+    """The index's own (bits, hashes) — one bounded head(1) pull; the
+    build stamps every row identically and refresh re-uses this, so
+    the first row speaks for all. None for an empty index."""
+    head = bloom_maps.select("_bloom_bits", "_bloom_hashes").head(1)
+    return (head[0][0], head[0][1]) if head else None
+
+
+def prune_files_bloom(
+    bloom_maps: DataFrame, column: str, values: Sequence
+) -> DataFrame:
+    """The surviving subset of the bloom index under an equality probe
+    ``column IN values``: a file survives when for AT LEAST ONE probe
+    value all k hash bits are set in its map (sparse lookup — an
+    untouched word reads as 0). False positives pass (the residual
+    filter removes their rows); false negatives are impossible for any
+    file the index stats — so the pruned read equals the plain filtered
+    read by construction. Probe values must be non-null (equality with
+    NULL matches nothing — raise rather than silently drop)."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("prune_files_bloom needs at least one probe value")
+    if any(v is None for v in vals):
+        raise ValueError("bloom probe values must be non-null")
+    if f"{column}__bloom" not in bloom_maps.columns:
+        raise ValueError(
+            f"bloom index has no filter for column {column!r} — rebuild "
+            "file_bloom_maps with it"
+        )
+    fam = _bloom_family(bloom_maps)
+    if fam is None:
+        return bloom_maps
+    bits, hashes = fam
+    bloom = F.col(f"{column}__bloom")
+    hits = []
+    for v in vals:
+        hit = F.lit(True)
+        for pos_expr in _file_bloom_positions(F.lit(v), bits, hashes):
+            word_idx, mask = _bloom_word(pos_expr)
+            word = F.coalesce(
+                F.element_at(bloom, word_idx), F.lit(0).cast("bigint")
+            )
+            hit = hit & (word.bitwiseAND(mask) != 0)
+        hits.append(hit)
+    # balance the OR across probe values: a left-leaning chain of n
+    # values is an expression tree n·k deep, which overflows Catalyst's
+    # recursive column converter by a few hundred values — pairwise
+    # folding keeps the depth at log2(n), so a thousand-key probe list
+    # stays a plain (if wide) expression
+    while len(hits) > 1:
+        hits = [
+            hits[i] | hits[i + 1] if i + 1 < len(hits) else hits[i]
+            for i in range(0, len(hits), 2)
+        ]
+    return bloom_maps.filter(hits[0])
+
+
+def read_pruned_bloom(
+    spark: SparkSession,
+    bloom_maps: DataFrame,
+    column: str,
+    values: Sequence,
+    schema,
+) -> DataFrame:
+    """Point-lookup read through the bloom index: prune the file list,
+    scan ONLY the survivors, re-apply ``column IN values`` exactly as
+    the residual — same superset-selector contract as
+    :func:`read_pruned` (a stale index raises via the same existence
+    check; correctness never depends on the pruning). The 100 TB case
+    this serves: "fetch these 20 order keys" against a date-clustered
+    table opens a handful of files instead of every footer in the
+    table."""
+    survivors = [
+        r[0] for r in prune_files_bloom(bloom_maps, column, values)
+        .select(_FILE).collect()
+    ]
+    if not survivors:
+        return spark.createDataFrame([], schema)
+    _require_files_exist(spark, survivors)
+    residual = F.col(column).isin(list(values))
+    return spark.read.schema(schema).parquet(*survivors).filter(residual)
+
+
+def refresh_bloom_maps(
+    bloom_maps: DataFrame, df: DataFrame, column: str
+) -> DataFrame:
+    """Incrementally extend the bloom index after an APPEND: stat only
+    ``df``'s files the index doesn't know, under the INDEX'S OWN hash
+    family (never a caller-supplied one — a family mismatch between
+    rows would be a silent false negative on probe). Append-only
+    tables refresh at the cost of the new files; rebuild after
+    compaction, as with zone maps."""
+    fam = _bloom_family(bloom_maps)
+    if fam is None:
+        return file_bloom_maps(df, column)
+    bits, hashes = fam
+    known = bloom_maps.select(F.col(_FILE).alias("__known"))
+    fresh = (
+        df.withColumn(_FILE, F.input_file_name())
+        .join(F.broadcast(known), F.col(_FILE) == F.col("__known"), "left_anti")
+        .drop(_FILE)
+    )
+    return bloom_maps.unionByName(file_bloom_maps(fresh, column, bits, hashes))

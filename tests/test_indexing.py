@@ -172,3 +172,92 @@ def test_temperature_rebalance_rejects_bad_alpha(spark):
     df = _grouped_docs(spark, {"en": 1})
     with pytest.raises(ValueError):
         temperature_rebalance(df, "doc_id", "lang", alpha=2.0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm25_reference(texts, terms, k1=1.2, b=0.75):
+    """Pure-Python Okapi BM25 (Lucene idf) over single-space tokens."""
+    toks = [t.split(" ") for t in texts]
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks) / n
+    dfreq = {q: sum(1 for t in toks if q in t) for q in set(terms)}
+    out = {}
+    for i, t in enumerate(toks):
+        s, matched = 0.0, 0
+        for q in set(terms):
+            tf = t.count(q)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if matched:
+            out[i] = (matched, round(s, 6))
+    return out
+
+
+def test_bm25_hand_checked_scores(spark):
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat",
+        "cat cat cat",
+        "nothing relevant here",
+        "a very long document that mentions cat once among many many other words",
+    ]
+    df = _docs(spark, texts)
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_topk(df, ["cat", "sat"], "doc_id", "text", k=10).collect()
+    }
+    assert got == _bm25_reference(texts, ["cat", "sat"])
+
+
+def test_bm25_topk_cut_and_tiebreak(spark):
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    # four identical docs tie exactly; doc_id breaks the tie, k cuts at 2
+    df = _docs(spark, ["x y", "x y", "x y", "x y"])
+    rows = bm25_topk(df, ["x"], "doc_id", "text", k=2).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    assert rows[0]["score"] == rows[1]["score"]
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    # "rare" appears in 1 of 6 docs, "common" in 5 of 6 — the rare-term
+    # doc must outrank any single common-term doc at equal tf and length
+    texts = ["common rare", "common x", "common y", "common z", "common w", "u v"]
+    rows = bm25_topk(_docs(spark, texts), ["rare", "common"], "doc_id", "text").collect()
+    assert rows[0]["doc_id"] == 0 and rows[0]["n_terms"] == 2
+
+
+def test_bm25_unmatched_docs_absent_and_unknown_term_ignored(spark):
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    df = _docs(spark, ["a b", "c d"])
+    rows = bm25_topk(df, ["a", "zzz"], "doc_id", "text").collect()
+    assert [r["doc_id"] for r in rows] == [0]
+    assert rows[0]["n_terms"] == 1
+
+
+def test_bm25_duplicate_terms_count_once(spark):
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    df = _docs(spark, ["a b", "b c"])
+    once = bm25_topk(df, ["a"], "doc_id", "text").collect()
+    twice = bm25_topk(df, ["a", "a"], "doc_id", "text").collect()
+    assert [tuple(r) for r in once] == [tuple(r) for r in twice]
+
+
+def test_bm25_empty_terms_rejected(spark):
+    from stream_sentinel_spark.operators.indexing import bm25_topk
+
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_topk(_docs(spark, ["a"]), [], "doc_id", "text")

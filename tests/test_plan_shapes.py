@@ -369,3 +369,36 @@ def test_skew_report_ranks_aggregated_frame_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange SinglePartition") >= 1, plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    """x117: the top-k cut is TakeOrderedAndProject (no global sort);
+    df and (N, avgdl) attach as broadcasts — the corpus-sized side is
+    never shuffled for a scalar attachment; no Python in the plan."""
+    df = corpus.queries()["x117_bm25_keyword_search"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bloom_prune_is_index_only(spark, tmp_path):
+    """x116's prune step: the survival predicate evaluates on the
+    O(files) INDEX frame alone — no join back to the data, no shuffle;
+    the pruned read's scan enumerates only surviving files (pinned by
+    inputFiles in test_skipping; here: the prune plan has no Exchange
+    beyond the index's own aggregation lineage once checkpointed)."""
+    from stream_sentinel_spark.sources.skipping import (
+        file_bloom_maps,
+        prune_files_bloom,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).selectExpr("id", "id % 7 AS key").write.parquet(path)
+    bm = file_bloom_maps(
+        spark.read.schema("id long, key long").parquet(path), "key"
+    ).localCheckpoint(eager=True)
+    plan = prune_files_bloom(bm, "key", [3])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -202,3 +202,141 @@ def test_refresh_zone_maps_stats_only_new_files(spark, tmp_path):
     got = read_pruned(spark, zm1, {"v": (100_000, None)}, SCHEMA)
     assert got.count() == 5
     assert len(got.inputFiles()) == 1
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter file skipping (equality probes)
+# ---------------------------------------------------------------------------
+
+from stream_sentinel_spark.sources.skipping import (  # noqa: E402
+    file_bloom_maps,
+    prune_files_bloom,
+    read_pruned_bloom,
+    refresh_bloom_maps,
+)
+
+
+def _scattered(spark, tmp_path, n=400, files=8):
+    """Layout clustered on id, probed on `key` — a Weyl-sequence
+    permutation of id, so every file's [key_min, key_max] spans nearly
+    the whole domain (zone maps useless) while each file holds only
+    n/files distinct keys (bloom prunes)."""
+    path = str(tmp_path / "scattered")
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % n).alias("key"),
+        F.format_string("s%05d", F.col("id")).alias("s"),
+    )
+    df.repartitionByRange(files, "id").write.parquet(path)
+    return path
+
+
+BSCHEMA = "id long, key long, s string"
+
+
+def test_bloom_pruned_read_equals_point_lookup(spark, tmp_path):
+    path = _scattered(spark, tmp_path)
+    full = spark.read.schema(BSCHEMA).parquet(path)
+    bm = file_bloom_maps(full, "key").localCheckpoint(eager=True)
+    for probe in [[7], [7, 123, 399], [10**9], list(range(17))]:
+        got = read_pruned_bloom(spark, bm, "key", probe, BSCHEMA)
+        want = full.filter(F.col("key").isin(probe))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_skips_files_where_zone_maps_cannot(spark, tmp_path):
+    path = _scattered(spark, tmp_path)
+    full = spark.read.schema(BSCHEMA).parquet(path)
+    n_files = len(full.inputFiles())
+    assert n_files == 8
+    zm = file_zone_maps(full, ["key"])
+    bm = file_bloom_maps(full, "key").localCheckpoint(eager=True)
+    # the scattered key leaves MOST files' [min, max] covering the
+    # probe (a 50-residue sample's min can exceed 7, so a file or three
+    # may drop — the point is zone maps stay near-useless here)
+    assert prune_files(zm, {"key": (7, 7)}).count() >= n_files // 2
+    # ... but at 400/8 = 50 keys/file and 8192 bits, the bloom isolates
+    # the one true file (false positives possible but wildly unlikely)
+    pruned = read_pruned_bloom(spark, bm, "key", [7], BSCHEMA)
+    assert len(pruned.inputFiles()) <= 2
+    assert pruned.count() == 1
+
+
+def test_bloom_nulls_never_match_and_all_null_file_prunes(spark, tmp_path):
+    path = str(tmp_path / "withnulls")
+    df = spark.createDataFrame(
+        [(0, 5, "a"), (1, None, "b"), (2, 7, "c")], BSCHEMA
+    ).repartition(1)
+    nulls = spark.createDataFrame(
+        [(10, None, "x"), (11, None, "y")], BSCHEMA
+    ).repartition(1)
+    df.write.parquet(path)
+    nulls.write.mode("append").parquet(path)
+    full = spark.read.schema(BSCHEMA).parquet(path)
+    bm = file_bloom_maps(full, "key").localCheckpoint(eager=True)
+    assert bm.count() == len(full.inputFiles())
+    surv = prune_files_bloom(bm, "key", [5])
+    # the all-null file must NOT survive an equality probe
+    assert surv.count() >= 1
+    assert all(r["key__nulls"] < r["n_rows"] for r in surv.collect())
+    got = read_pruned_bloom(spark, bm, "key", [5], BSCHEMA).collect()
+    assert [(r.id, r.key) for r in got] == [(0, 5)]
+
+
+def test_bloom_stale_index_raises(spark, tmp_path):
+    path = _scattered(spark, tmp_path)
+    full = spark.read.schema(BSCHEMA).parquet(path)
+    bm = file_bloom_maps(full, "key").localCheckpoint(eager=True)
+    victim = [f for f in full.inputFiles()][0].replace("file:", "")
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError, match="stale"):
+        # probe everything so the vanished file is pruned-in
+        read_pruned_bloom(spark, bm, "key", list(range(400)), BSCHEMA).count()
+
+
+def test_bloom_refresh_uses_index_family(spark, tmp_path):
+    path = str(tmp_path / "grow")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 97).alias("key"),
+        F.lit("x").alias("s"),
+    )
+    base.repartition(2).write.parquet(path)
+    full0 = spark.read.schema(BSCHEMA).parquet(path)
+    # deliberately non-default family: refresh must stick to it
+    bm0 = file_bloom_maps(full0, "key", bits=1024, hashes=2).localCheckpoint(eager=True)
+    more = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") % 97).alias("key"), F.lit("y").alias("s")
+    )
+    more.repartition(2).write.mode("append").parquet(path)
+    full1 = spark.read.schema(BSCHEMA).parquet(path)
+    bm1 = refresh_bloom_maps(bm0, full1, "key").localCheckpoint(eager=True)
+    assert bm1.count() == len(full1.inputFiles())
+    fams = bm1.select("_bloom_bits", "_bloom_hashes").distinct().collect()
+    assert [(r[0], r[1]) for r in fams] == [(1024, 2)]
+    # pruned read over the refreshed index ≡ plain filter on the grown set
+    got = read_pruned_bloom(spark, bm1, "key", [3], BSCHEMA)
+    want = full1.filter(F.col("key") == 3)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # refresh statted ONLY the new files: old rows are bit-identical
+    old = {r["_file"]: r for r in bm0.collect()}
+    for r in bm1.collect():
+        if r["_file"] in old:
+            assert r == old[r["_file"]]
+
+
+def test_bloom_rejections(spark, tmp_path):
+    path = _scattered(spark, tmp_path, n=40, files=2)
+    full = spark.read.schema(BSCHEMA).parquet(path)
+    with pytest.raises(ValueError, match="no column"):
+        file_bloom_maps(full, "nope")
+    with pytest.raises(ValueError, match="power of two"):
+        file_bloom_maps(full, "key", bits=1000)
+    bm = file_bloom_maps(full, "key")
+    with pytest.raises(ValueError, match="at least one probe"):
+        prune_files_bloom(bm, "key", [])
+    with pytest.raises(ValueError, match="non-null"):
+        prune_files_bloom(bm, "key", [1, None])
+    with pytest.raises(ValueError, match="no filter for column"):
+        prune_files_bloom(bm, "id", [1])
