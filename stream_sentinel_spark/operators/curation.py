@@ -33,6 +33,8 @@ needs ``ln`` for correct A-ES semantics, so its contract is that the
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1892,3 +1894,129 @@ def excise_duplicated_spans(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def factorize(
+    df: DataFrame, cols: Sequence[str], id_name: str = "dim_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Dimension extraction — dictionary-encode low-cardinality
+    column(s) into a dense surrogate-keyed dim table and swap the fact
+    side to the integer key: ``(dims, fact)`` where ``dims`` is one row
+    per distinct tuple with ``id_name`` densely numbered 1..K in the
+    tuple's own sort order (DETERMINISTIC — the same data always yields
+    the same ids, so two runs, or an engine and its oracle, agree
+    without coordination), and ``fact`` is ``df`` with the tuple
+    replaced by the key. The normalization every warehouse does to
+    string-typed metadata (source, lang, license, …) before a 100 TB
+    fact table carries it a billion times.
+
+    Scale shape: the distinct is a map-side-partial hash aggregation
+    producing a vocabulary-sized frame; the dense numbering runs a
+    window WITHOUT partitioning over that frame ONLY (single-task by
+    construction, bounded by the dimension's cardinality — the same
+    contract as IVF centroids / vocabulary frames elsewhere); the fact
+    swap is one broadcast join. NULL tuple components are legitimate
+    dimension members (dense_rank sorts them first, per Spark's
+    NULLS FIRST default — matching the oracle's explicit
+    ``NULLS FIRST``)."""
+    cs = list(cols)
+    if not cs:
+        raise ValueError("factorize needs at least one column")
+    order = Window.orderBy(*[F.col(c) for c in cs])
+    dims = (
+        df.select(*cs)
+        .distinct()
+        .withColumn(id_name, F.dense_rank().over(order).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    # null-safe equality: a NULL tuple component is a real dimension
+    # member, and a plain equi-join would silently leave its fact rows
+    # keyless (NULL = NULL is NULL)
+    renamed = dims.select(
+        *[F.col(c).alias(f"__dim_{c}") for c in cs], id_name
+    )
+    cond = F.lit(True)
+    for c in cs:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__dim_{c}"))
+    fact = (
+        df.join(F.broadcast(renamed), cond, "left")
+        .drop(*cs, *[f"__dim_{c}" for c in cs])
+    )
+    return dims, fact
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    tokens_col: str,
+    id_col: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """Greedy token-budget dataset selection: take documents in
+    descending ``score_col`` order (ties broken by ``id_col`` — a
+    total order) until the cumulative ``tokens_col`` would exceed
+    ``budget``; whole documents only, no truncation. The step between
+    scoring (quality classifiers, DSIR) and training-set assembly:
+    "fill 10 B tokens with the best documents we have".
+
+    The running sum is GLOBAL but never single-task: documents
+    range-partition by (score desc, id) — so partition i holds
+    strictly better documents than partition i+1 — then one
+    O(partitions) driver pull of per-partition token totals turns into
+    exclusive offsets, and each partition computes its own prefix sum
+    under a per-partition window. Two narrow passes over a pinned
+    layout instead of Spark's one-partition global window (the classic
+    cumulative-sum scale trap). The pinned layout (localCheckpoint) is
+    also what makes ``spark_partition_id`` a stable join key between
+    the two passes.
+
+    Returns ``df``'s columns plus ``running_total`` (cumulative tokens
+    INCLUSIVE of the row), filtered to ``running_total <= budget``.
+    Rows with NULL score or tokens are rejected loudly — a NULL in the
+    sort key would land in an engine-defined position, and a NULL token
+    count makes every downstream total NULL."""
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    bad = df.filter(
+        F.col(score_col).isNull() | F.col(tokens_col).isNull()
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"select_token_budget: NULL {score_col!r} or {tokens_col!r} "
+            "rows present — filter or impute them first"
+        )
+    laid = (
+        df.repartitionByRange(
+            partitions, F.col(score_col).desc(), F.col(id_col)
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    partials = {
+        r["_pid"]: r["t"]
+        for r in laid.groupBy("_pid")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(partials):
+        offsets.append((pid, running))
+        running += partials[pid]
+    odf = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        laid.join(F.broadcast(odf), "_pid")
+        .withColumn(
+            "running_total",
+            F.col("_offset") + F.sum(F.col(tokens_col).cast("long")).over(w),
+        )
+        .filter(F.col("running_total") <= budget)
+        .drop("_pid", "_offset")
+    )
+    return out

@@ -24,6 +24,7 @@ operators/sketches.py (the ``approx_distinct_constraint`` variant).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 from typing import Callable
 
@@ -335,3 +336,102 @@ def column_profile(
     for f_ in frames[1:]:
         out = out.unionByName(f_)
     return out
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    edges: Sequence[float],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the drift monitor a training-data pipeline runs between
+    yesterday's corpus and today's (or between a source slice and the
+    whole): ``PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)`` over FIXED
+    half-open buckets ``(−∞, e_0) [e_0, e_1) … [e_{k−1}, ∞)``. The
+    conventional reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted.
+
+    Buckets are EXPLICIT edges, not quantiles, for two reasons: the
+    cross-engine contract (percentile estimates differ between engines
+    and releases; integer bucket counts over fixed edges are exact
+    everywhere), and the production one — a monitor's buckets must stay
+    FROZEN across runs or the metric measures its own re-bucketing.
+    Empty buckets clamp both proportions to ``eps`` (the standard
+    continuity correction; a bucket empty on BOTH sides contributes
+    exactly 0 by the clamp's symmetry). NULLs count into no bucket and
+    are reported via the ``n_null`` columns instead of silently
+    vanishing into a denominator.
+
+    Scale shape: one map-side CASE per row, two tiny hash aggregations
+    (O(buckets) output), a broadcast full-outer alignment on bucket id,
+    totals as one-row broadcast scalars. Returns one row per bucket:
+    ``(bucket, lo, hi, n_ref, n_cur, p_ref, p_cur, psi_term)`` with
+    psi_term rounded to 6 decimals (transcendental-margin rule); the
+    total PSI is ``sum(psi_term)`` — left to the caller/SQL so the
+    per-bucket attribution (WHICH band moved) stays visible."""
+    es = [float(e) for e in edges]
+    if not es or es != sorted(es) or len(set(es)) != len(es):
+        raise ValueError("edges must be a non-empty strictly-increasing list")
+
+    def bucket_expr():
+        b = F.when(F.col(col) < es[0], 0)
+        for i in range(1, len(es)):
+            b = b.when(F.col(col) < es[i], i)
+        return b.otherwise(len(es))
+
+    def side(df: DataFrame, n_name: str) -> DataFrame:
+        # ONE corpus pass per side: NULLs take the −1 sentinel bucket in
+        # the same aggregation (a when-chain on a NULL comparison would
+        # otherwise fall through to the last bucket); the O(buckets)
+        # result is checkpointed so the alignment join, the null pull,
+        # and the totals below never re-scan the corpus
+        b = (
+            F.when(F.col(col).isNull(), F.lit(-1))
+            .otherwise(bucket_expr())
+            .cast("long")
+        )
+        return (
+            df.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(n_name))
+            .localCheckpoint(eager=False)
+        )
+
+    spark = ref.sparkSession
+    sref, scur = side(ref, "n_ref"), side(cur, "n_cur")
+    bounds = [(i, (None if i == 0 else es[i - 1]),
+               (None if i == len(es) else es[i])) for i in range(len(es) + 1)]
+    spine = spark.createDataFrame(bounds, "bucket long, lo double, hi double")
+    nulls = F.broadcast(
+        sref.filter(F.col("bucket") == -1)
+        .agg(F.coalesce(F.sum("n_ref"), F.lit(0)).alias("n_null_ref"))
+        .crossJoin(
+            scur.filter(F.col("bucket") == -1)
+            .agg(F.coalesce(F.sum("n_cur"), F.lit(0)).alias("n_null_cur"))
+        )
+    )
+    joined = (
+        spine.join(F.broadcast(sref.filter(F.col("bucket") >= 0)), "bucket", "left")
+        .join(F.broadcast(scur.filter(F.col("bucket") >= 0)), "bucket", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+    )
+    p = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(eps))
+    q = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(eps))
+    return (
+        joined.crossJoin(totals)
+        .crossJoin(nulls)
+        .select(
+            "bucket", "lo", "hi", "n_ref", "n_cur",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            "n_null_ref", "n_null_cur",
+        )
+        .orderBy("bucket")
+    )

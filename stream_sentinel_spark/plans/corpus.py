@@ -140,10 +140,11 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) the stalest r06 rows that fit the remaining slots (q18-q19 after
-#    the x111-x117 additions claimed seven more head slots;
-#    q20-q22/q30-q32/q34 move just past the gate boundary). The other
-#    r06 rows are all locally oracle-proven every run; re-front in r10.
+# 5) after the x111-x120 additions claimed ten head slots, the 50-slot
+#    window ends at x93 — x100 (r07-green, re-rotated only for the
+#    shared leak fix) and the r06-stale rows q18-q22/q30-q32/q34 move
+#    just past the gate boundary. All are locally oracle-proven every
+#    run; re-front the r06 rows in r10.
 _DRIVER_PRIORITY = [
     # --- new this round: change feed, sequence packing (both regimes),
     # min_df, incremental view maintenance ---
@@ -160,6 +161,9 @@ _DRIVER_PRIORITY = [
     "x115_optimize_small_files",
     "x116_bloom_skip_point_lookup",
     "x117_bm25_keyword_search",
+    "x118_factorize_dims",
+    "x119_psi_drift",
+    "x120_token_budget_selection",
     # --- stalest (latest green = r05, the promised re-front) ---
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",
@@ -8656,10 +8660,13 @@ def x116(spark, sf):
     actually has), then probed by ORDER KEY — the axis the layout does
     NOT serve. Every file's [key_min, key_max] spans nearly the whole
     domain, so min/max stats prune nothing; but each file holds only
-    its own distinct keys, which the 8 KiB-per-file bloom bitmap
+    its own distinct keys, which the per-file bloom bitmap
     (`file_bloom_maps` — PARQUET-41's column bloom hoisted to the
-    planner's index, as Delta's bloom index / Iceberg ndv manifests do)
-    captures with <1% false positives. `read_pruned_bloom` consults
+    planner's index, as Delta's bloom index / Iceberg ndv manifests do;
+    width auto-sized per file from the same pass's
+    approx_count_distinct, because a fixed width has a measured
+    saturation cliff — STRESS_r09_ops3) captures with sub-percent
+    false positives. `read_pruned_bloom` consults
     the index, opens only files whose bitmap claims a probe key, and
     re-applies `o_orderkey IN (...)` exactly as the residual — a
     file-granularity SUPERSET selector, so a false positive costs one
@@ -8765,4 +8772,169 @@ def x117(spark, sf):
     docs = _t(spark, sf, "documents")
     return bm25_topk(
         docs, ["dup", "join", "spark"], "doc_id", "text", k=20
+    )
+
+
+@query(
+    "x118_factorize_dims",
+    """
+    SELECT DENSE_RANK() OVER (ORDER BY source NULLS FIRST, lang NULLS FIRST)
+             AS dim_id,
+           source, lang, count(*) AS n_docs
+    FROM documents GROUP BY source, lang ORDER BY dim_id
+    """,
+)
+def x118(spark, sf):
+    """DIMENSION EXTRACTION (`operators/curation.py:factorize`) — the
+    normalization every warehouse applies to string-typed metadata
+    before a 100 TB fact table carries it a billion times: documents'
+    (source, lang) tuples dictionary-encode into a dense
+    surrogate-keyed dim table (ids 1..K in tuple sort order —
+    deterministic, so engine and oracle agree without coordination)
+    and the fact side swaps to the integer key via one broadcast join.
+    The entry returns the dim table with per-dimension fact counts
+    computed FROM THE FACT SIDE's foreign keys — so the oracle match
+    proves the swap lost and duplicated nothing, not just that the
+    distinct came out right.
+
+    Scale shape: map-side-partial distinct to a vocabulary-sized frame;
+    dense numbering windows over THAT frame only (single-task by
+    construction, the bounded-frame contract); one broadcast join for
+    the swap. Oracle: DENSE_RANK over the grouped tuples."""
+    from stream_sentinel_spark.operators.curation import factorize
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "lang")
+    dims, fact = factorize(docs, ["source", "lang"])
+    counts = fact.groupBy("dim_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dims.join(counts, "dim_id")
+        .select("dim_id", "source", "lang", "n_docs")
+        .orderBy("dim_id")
+    )
+
+
+@query(
+    "x119_psi_drift",
+    """
+    WITH spine(bucket, lo, hi) AS (
+      VALUES (0, CAST(NULL AS DOUBLE), 150.0), (1, 150.0, 250.0),
+             (2, 250.0, 350.0), (3, 350.0, 450.0),
+             (4, 450.0, CAST(NULL AS DOUBLE))
+    ),
+    bref AS (
+      SELECT CASE WHEN n_chars IS NULL THEN -1
+                  WHEN n_chars < 150 THEN 0 WHEN n_chars < 250 THEN 1
+                  WHEN n_chars < 350 THEN 2 WHEN n_chars < 450 THEN 3
+                  ELSE 4 END AS bucket, count(*) AS n_ref
+      FROM documents GROUP BY 1
+    ),
+    bcur AS (
+      SELECT CASE WHEN n_chars IS NULL THEN -1
+                  WHEN n_chars < 150 THEN 0 WHEN n_chars < 250 THEN 1
+                  WHEN n_chars < 350 THEN 2 WHEN n_chars < 450 THEN 3
+                  ELSE 4 END AS bucket, count(*) AS n_cur
+      FROM documents WHERE lang = 'en' GROUP BY 1
+    ),
+    joined AS (
+      SELECT s.bucket, s.lo, s.hi,
+             COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+      FROM spine s LEFT JOIN bref r ON s.bucket = r.bucket
+      LEFT JOIN bcur c ON s.bucket = c.bucket
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM joined),
+    nn AS (
+      SELECT COALESCE((SELECT n_ref FROM bref WHERE bucket = -1), 0)
+               AS n_null_ref,
+             COALESCE((SELECT n_cur FROM bcur WHERE bucket = -1), 0)
+               AS n_null_cur
+    )
+    SELECT j.bucket, j.lo, j.hi, j.n_ref, j.n_cur,
+           round(greatest(j.n_ref / t.t_ref, 1e-6), 6) AS p_ref,
+           round(greatest(j.n_cur / t.t_cur, 1e-6), 6) AS p_cur,
+           round((greatest(j.n_ref / t.t_ref, 1e-6)
+                  - greatest(j.n_cur / t.t_cur, 1e-6))
+                 * ln(greatest(j.n_ref / t.t_ref, 1e-6)
+                      / greatest(j.n_cur / t.t_cur, 1e-6)), 6) AS psi_term,
+           nn.n_null_ref, nn.n_null_cur
+    FROM joined j CROSS JOIN tot t CROSS JOIN nn
+    ORDER BY j.bucket
+    """,
+)
+def x119(spark, sf):
+    """POPULATION STABILITY INDEX (`operators/quality.py:psi_drift`) —
+    the distribution-drift monitor between two corpus snapshots: the
+    English slice's document-length profile against the whole corpus,
+    over FROZEN explicit buckets (quantile buckets would measure their
+    own re-bucketing run-over-run, and no two engines agree on
+    percentile estimates — fixed edges make every count exact). Each
+    bucket row carries both proportions and its own psi_term, so a
+    drifting monitor shows WHICH band moved, not just that Σ crossed
+    0.1; NULLs are reported beside the buckets instead of vanishing
+    into a denominator.
+
+    Scale shape: one map-side CASE + one O(buckets) aggregation per
+    side (the NULL sentinel rides the same agg — one corpus pass per
+    side, pinned by checkpointing the bucket frames), broadcast
+    alignment on the 5-row spine, totals as one-row broadcast scalars.
+    Oracle: the identical CASE/clamp/ln arithmetic in SQL."""
+    from stream_sentinel_spark.operators.quality import psi_drift
+
+    docs = _t(spark, sf, "documents")
+    return psi_drift(
+        docs, docs.filter(F.col("lang") == "en"), "n_chars",
+        [150.0, 250.0, 350.0, 450.0],
+    )
+
+
+@query(
+    "x120_token_budget_selection",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, n_tok,
+             SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id)
+               AS running_total
+      FROM scored
+    )
+    SELECT doc_id, n_chars, n_tok, CAST(running_total AS BIGINT)
+             AS running_total
+    FROM ranked WHERE running_total <= 10000
+    ORDER BY running_total
+    """,
+)
+def x120(spark, sf):
+    """TOKEN-BUDGET DATASET SELECTION
+    (`operators/curation.py:select_token_budget`) — the step between
+    scoring and training-set assembly: take documents best-first
+    (n_chars as the stand-in score; ties broken by doc_id — a total
+    order) until the next document would push the cumulative token
+    count past 10 000; whole documents only.
+
+    The interesting part is HOW the global running sum runs: documents
+    range-partition by (score desc, id) so partition i strictly
+    outranks partition i+1, per-partition token totals make one
+    O(partitions) driver pull, and each partition prefix-sums under
+    its own window against a broadcast exclusive offset — two narrow
+    passes over a pinned layout, never Spark's one-task global window
+    (the classic cumulative-sum scale trap; the oracle's
+    `SUM() OVER (ORDER BY …)` is exactly that single-task plan, which
+    DuckDB can afford at oracle scale and a 100 TB engine cannot).
+    Oracle: the single-window formulation — the two-pass decomposition
+    must be bit-identical to it, integer arithmetic throughout."""
+    from stream_sentinel_spark.operators.curation import select_token_budget
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "n_chars", "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    return (
+        select_token_budget(
+            docs, 10_000, "n_chars", "n_tok", "doc_id"
+        )
+        .select("doc_id", "n_chars", "n_tok", "running_total")
+        .orderBy("running_total")
     )

@@ -204,22 +204,27 @@ def refresh_zone_maps(
 # Bloom-filter file skipping: the point-lookup complement to zone maps.
 # ---------------------------------------------------------------------------
 
-BLOOM_FILE_BITS = 1 << 13  # 8 192 bits/file: <1% fp at ~850 distinct keys
 BLOOM_FILE_K = 3
+_BLOOM_BITS_PER_KEY = 16  # with k=3: fp ≈ 0.13% per (value, file)
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 26  # 8 MiB/file hard cap
 
 
-def _file_bloom_positions(col, bits: int, hashes: int) -> list:
+def _file_bloom_positions(col, bits_minus_1, hashes: int) -> list:
     """k bit positions for one value: native ``xxhash64(cast(v AS
     string), seed_i)`` masked to the filter width. Values hash through
     their STRING form so the probe literal needs no knowledge of the
     column's physical type (int32 vs int64 hash differently raw — cast
     first and ``5`` probes a bigint column correctly); the cast costs
     one allocation per row in the one-off index build, nothing at probe
-    time. NULLs never reach this (filtered in the build; an equality
-    probe value must be non-null)."""
+    time. ``bits_minus_1`` is an EXPRESSION, not a constant — each
+    file's own width rides the index row, so differently-sized files
+    coexist in one index (the auto-sizing below depends on this).
+    NULLs never reach this (filtered in the build; an equality probe
+    value must be non-null)."""
     s = col.cast("string")
     return [
-        F.xxhash64(s, F.lit(i)).bitwiseAND(F.lit(bits - 1))
+        F.xxhash64(s, F.lit(i)).bitwiseAND(bits_minus_1)
         for i in range(hashes)
     ]
 
@@ -238,51 +243,93 @@ def _bloom_word(pos):
 def file_bloom_maps(
     df: DataFrame,
     column: str,
-    bits: int = BLOOM_FILE_BITS,
+    bits: int | str = "auto",
     hashes: int = BLOOM_FILE_K,
 ) -> DataFrame:
     """The bloom-filter skipping index of ``df``'s backing files for
     EQUALITY probes on ``column`` — what zone maps cannot serve: a
     high-cardinality key scattered by a layout clustered on some OTHER
     axis leaves every file's [min, max] spanning the whole domain, yet
-    each file holds only its own few thousand distinct keys, which an
-    8 KiB-per-file bitmap captures with <1% false positives. This is
-    Parquet's optional column bloom filter (PARQUET-41) hoisted to the
-    planner's index, exactly as :func:`file_zone_maps` hoists the
-    footer min/max — Iceberg v3 deletion-vector-adjacent ``ndv``/bloom
-    manifests and Delta's bloom-filter index do the same.
+    each file holds only its own distinct keys, which a per-file bitmap
+    captures with sub-percent false positives. This is Parquet's
+    optional column bloom filter (PARQUET-41) hoisted to the planner's
+    index, exactly as :func:`file_zone_maps` hoists the footer min/max
+    — Delta's bloom-filter index and Hudi's bloom index do the same.
 
-    One pass: per file, the distinct set bits of all non-null values'
-    k hash positions, stored SPARSE (``map<int, bigint>`` of 64-bit
-    words — a file never materializes words no value touched), plus
+    **Sizing is per file and measured, not guessed** (``bits="auto"``,
+    the default): the same pass that counts rows takes an
+    ``approx_count_distinct`` per file, and each file's width is the
+    next power of two above ``ndv × 16`` bits (clamped to [2^10,
+    2^26]). A FIXED width has a saturation cliff — 8 KiB is <1% fp at
+    ~850 keys but EVERY BIT SET at ~300 k keys, measured pruning
+    nothing at 20 M rows / 64 files (STRESS_r09_ops3) — and the right
+    width is a property of each file's content, not of the table.
+    Explicit int ``bits`` (power of two) pins every file to one width
+    instead; only the literal ``"auto"`` measures. The probe never
+    needs to know: each row carries its own ``_bloom_bits`` and the
+    probe masks against THAT column, so mixed widths coexist.
+
+    Stored SPARSE (``map<int, bigint>`` of touched 64-bit words), plus
     ``n_rows`` / ``{column}__nulls`` so every file appears even when
     all-null (an absent file would silently never be read; an all-null
-    file prunes because equality with NULL never matches, which the
-    empty map encodes for free). The index is self-describing:
-    ``_bloom_bits`` / ``_bloom_hashes`` ride every row, so the probe
-    side derives its hash family from the index instead of trusting a
-    caller to repeat the build parameters (a mismatched family would be
-    a silent false-negative — the one failure mode a bloom must never
-    have).
+    file's NULL map prunes it — equality with NULL never matches,
+    which ``coalesce(element_at(...), 0)`` encodes for free).
+    ``_bloom_hashes`` also rides every row: probe and refresh derive
+    the hash family from the index instead of trusting a caller to
+    repeat it (a mismatched family would be a silent false negative —
+    the one failure mode a bloom must never have).
 
     Same immutable-file-set contract as zone maps: refresh on append
     via :func:`refresh_bloom_maps`, rebuild after compaction.
     """
     if column not in df.columns:
         raise ValueError(f"file_bloom_maps: no column {column!r} in frame")
-    if bits < 64 or bits & (bits - 1):
-        raise ValueError(f"bits must be a power of two ≥ 64, got {bits}")
-    files = df.groupBy(F.input_file_name().alias(_FILE)).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(column).isNull().cast("long")).alias(f"{column}__nulls"),
-    ).filter(F.col(_FILE) != "")
+    if bits == "auto":
+        target = F.greatest(
+            F.col("__ndv").cast("bigint") * _BLOOM_BITS_PER_KEY,
+            F.lit(_BLOOM_MIN_BITS).cast("bigint"),
+        )
+        bits_expr = F.least(
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("bigint"),
+                F.ceil(F.log2(target)).cast("int"),
+            ),
+            F.lit(_BLOOM_MAX_BITS).cast("bigint"),
+        )
+    elif isinstance(bits, int) and not isinstance(bits, bool):
+        if bits < 64 or bits & (bits - 1):
+            raise ValueError(f"bits must be a power of two ≥ 64, got {bits}")
+        bits_expr = F.lit(bits).cast("bigint")
+    else:
+        raise ValueError(f"bits must be an int or 'auto', got {bits!r}")
+    files = (
+        df.groupBy(F.input_file_name().alias(_FILE))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(column).isNull().cast("long")).alias(f"{column}__nulls"),
+            F.approx_count_distinct(column).alias("__ndv"),
+        )
+        .filter(F.col(_FILE) != "")
+        .withColumn("_bloom_bits", bits_expr)
+        .drop("__ndv")
+        # O(files) rows consumed twice below (the width join + the
+        # final assembly): checkpoint so the corpus isn't re-scanned
+        .localCheckpoint(eager=True)
+    )
     pos = F.explode(
-        F.array(*_file_bloom_positions(F.col(column), bits, hashes))
+        F.array(
+            *_file_bloom_positions(
+                F.col(column), F.col("_bloom_bits") - 1, hashes
+            )
+        )
     ).alias("pos")
     word_idx, mask = _bloom_word(F.col("pos"))
     words = (
         df.filter(F.col(column).isNotNull())
-        .select(F.input_file_name().alias(_FILE), pos)
+        .select(F.input_file_name().alias(_FILE), F.col(column))
+        .join(F.broadcast(files.select(_FILE, "_bloom_bits")), _FILE)
+        .select(_FILE, pos)
         .select(_FILE, word_idx, mask)
         .groupBy(_FILE, "word_idx")
         .agg(F.bit_or("mask").alias("word"))
@@ -298,17 +345,18 @@ def file_bloom_maps(
     # exactly the file's truth
     return (
         files.join(words, _FILE, "left")
-        .withColumn("_bloom_bits", F.lit(bits))
         .withColumn("_bloom_hashes", F.lit(hashes))
     )
 
 
-def _bloom_family(bloom_maps: DataFrame) -> tuple[int, int] | None:
-    """The index's own (bits, hashes) — one bounded head(1) pull; the
-    build stamps every row identically and refresh re-uses this, so
-    the first row speaks for all. None for an empty index."""
-    head = bloom_maps.select("_bloom_bits", "_bloom_hashes").head(1)
-    return (head[0][0], head[0][1]) if head else None
+def _bloom_hash_count(bloom_maps: DataFrame) -> int | None:
+    """The index's own hash-family size — one bounded head(1) pull; the
+    build stamps every row identically and refresh re-uses this, so the
+    first row speaks for all (widths vary per file by design; the
+    NUMBER of hashes cannot, because it fixes the probe's expression
+    count). None for an empty index."""
+    head = bloom_maps.select("_bloom_hashes").head(1)
+    return head[0][0] if head else None
 
 
 def prune_files_bloom(
@@ -317,11 +365,12 @@ def prune_files_bloom(
     """The surviving subset of the bloom index under an equality probe
     ``column IN values``: a file survives when for AT LEAST ONE probe
     value all k hash bits are set in its map (sparse lookup — an
-    untouched word reads as 0). False positives pass (the residual
-    filter removes their rows); false negatives are impossible for any
-    file the index stats — so the pruned read equals the plain filtered
-    read by construction. Probe values must be non-null (equality with
-    NULL matches nothing — raise rather than silently drop)."""
+    untouched word reads as 0; each row masks against its OWN
+    ``_bloom_bits`` width). False positives pass (the residual filter
+    removes their rows); false negatives are impossible for any file
+    the index stats — so the pruned read equals the plain filtered read
+    by construction. Probe values must be non-null (equality with NULL
+    matches nothing — raise rather than silently drop)."""
     vals = list(values)
     if not vals:
         raise ValueError("prune_files_bloom needs at least one probe value")
@@ -332,15 +381,15 @@ def prune_files_bloom(
             f"bloom index has no filter for column {column!r} — rebuild "
             "file_bloom_maps with it"
         )
-    fam = _bloom_family(bloom_maps)
-    if fam is None:
+    hashes = _bloom_hash_count(bloom_maps)
+    if hashes is None:
         return bloom_maps
-    bits, hashes = fam
     bloom = F.col(f"{column}__bloom")
+    width = F.col("_bloom_bits") - 1
     hits = []
     for v in vals:
         hit = F.lit(True)
-        for pos_expr in _file_bloom_positions(F.lit(v), bits, hashes):
+        for pos_expr in _file_bloom_positions(F.lit(v), width, hashes):
             word_idx, mask = _bloom_word(pos_expr)
             word = F.coalesce(
                 F.element_at(bloom, word_idx), F.lit(0).cast("bigint")
@@ -392,17 +441,19 @@ def refresh_bloom_maps(
     """Incrementally extend the bloom index after an APPEND: stat only
     ``df``'s files the index doesn't know, under the INDEX'S OWN hash
     family (never a caller-supplied one — a family mismatch between
-    rows would be a silent false negative on probe). Append-only
-    tables refresh at the cost of the new files; rebuild after
-    compaction, as with zone maps."""
-    fam = _bloom_family(bloom_maps)
-    if fam is None:
+    rows would be a silent false negative on probe); each new file
+    auto-sizes its own width from its own ndv, exactly as the build
+    does. Append-only tables refresh at the cost of the new files;
+    rebuild after compaction, as with zone maps."""
+    hashes = _bloom_hash_count(bloom_maps)
+    if hashes is None:
         return file_bloom_maps(df, column)
-    bits, hashes = fam
     known = bloom_maps.select(F.col(_FILE).alias("__known"))
     fresh = (
         df.withColumn(_FILE, F.input_file_name())
         .join(F.broadcast(known), F.col(_FILE) == F.col("__known"), "left_anti")
         .drop(_FILE)
     )
-    return bloom_maps.unionByName(file_bloom_maps(fresh, column, bits, hashes))
+    return bloom_maps.unionByName(
+        file_bloom_maps(fresh, column, hashes=hashes)
+    )

@@ -1064,3 +1064,95 @@ class TestPackBucketed:
         assert set(got) == {2, 3}
         assert got[2].n_tok_packed == 256 and got[2].truncated
         assert not got[3].truncated
+
+
+# ---------------------------------------------------------------------------
+# factorize (dimension extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_factorize_dense_deterministic_ids(spark):
+    from stream_sentinel_spark.operators.curation import factorize
+
+    df = spark.createDataFrame(
+        [(1, "b", "x"), (2, "a", "y"), (3, "b", "x"), (4, "a", "y"), (5, "c", "z")],
+        "id long, s string, l string",
+    )
+    dims, fact = factorize(df, ["s", "l"])
+    d = {(r["s"], r["l"]): r["dim_id"] for r in dims.collect()}
+    # dense 1..K in tuple sort order
+    assert d == {("a", "y"): 1, ("b", "x"): 2, ("c", "z"): 3}
+    f = {r["id"]: r["dim_id"] for r in fact.collect()}
+    assert f == {1: 2, 2: 1, 3: 2, 4: 1, 5: 3}
+    assert "s" not in fact.columns and "l" not in fact.columns
+
+
+def test_factorize_null_is_a_dimension_member(spark):
+    from stream_sentinel_spark.operators.curation import factorize
+
+    df = spark.createDataFrame([(1, None), (2, "a"), (3, None)], "id long, s string")
+    dims, fact = factorize(df, ["s"])
+    d = {r["s"]: r["dim_id"] for r in dims.collect()}
+    assert d == {None: 1, "a": 2}  # Spark sorts NULLS FIRST
+    assert {r["id"]: r["dim_id"] for r in fact.collect()} == {1: 1, 2: 2, 3: 1}
+
+
+def test_factorize_rejects_no_cols(spark):
+    from stream_sentinel_spark.operators.curation import factorize
+
+    with pytest.raises(ValueError, match="at least one column"):
+        factorize(spark.range(1), [])
+
+
+# ---------------------------------------------------------------------------
+# select_token_budget
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_matches_single_window_reference(spark):
+    from stream_sentinel_spark.operators.curation import select_token_budget
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, float(rng.randint(0, 50)), rng.randint(1, 99)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tok long")
+    got = {
+        r["doc_id"]: r["running_total"]
+        for r in select_token_budget(df, 3000, "score", "n_tok", "doc_id", partitions=7).collect()
+    }
+    # sequential reference: descending score, doc_id tie-break
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want, cum = {}, 0
+    for i, (doc, _s, tok) in enumerate(ordered):
+        cum += tok
+        if cum > 3000:
+            break
+        want[doc] = cum
+    assert got == want
+
+
+def test_token_budget_boundary_doc_excluded_whole(spark):
+    from stream_sentinel_spark.operators.curation import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 3.0, 60), (2, 2.0, 50), (3, 1.0, 40)],
+        "doc_id long, score double, n_tok long",
+    )
+    rows = select_token_budget(df, 100, "score", "n_tok", "doc_id").collect()
+    # doc 2 would land at 110 > 100: excluded entirely, and the greedy
+    # does NOT skip ahead to doc 3 (prefix selection, not knapsack)
+    assert [(r["doc_id"], r["running_total"]) for r in rows] == [(1, 60)]
+
+
+def test_token_budget_rejects_nulls_and_negative_budget(spark):
+    from stream_sentinel_spark.operators.curation import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, 1.0, 5)], "doc_id long, score double, n_tok long"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        select_token_budget(df, 10, "score", "n_tok", "doc_id")
+    ok = spark.createDataFrame([(1, 1.0, 5)], "doc_id long, score double, n_tok long")
+    with pytest.raises(ValueError, match="non-negative"):
+        select_token_budget(ok, -1, "score", "n_tok", "doc_id")

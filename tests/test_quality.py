@@ -156,3 +156,61 @@ def test_column_profile_topk_order_and_ties(spark):
     )
     r = column_profile(df, ["c"], top_k=2).collect()[0]
     assert r["top_values"] == "x:3,y:3"  # count desc, value asc on ties
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_zero(spark):
+    from stream_sentinel_spark.operators.quality import psi_drift
+
+    df = spark.range(100).selectExpr("CAST(id % 40 AS DOUBLE) AS v")
+    rows = psi_drift(df, df, "v", [10.0, 20.0, 30.0]).collect()
+    assert len(rows) == 4
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    assert sum(r["n_ref"] for r in rows) == 100
+
+
+def test_psi_hand_computed_shift(spark):
+    import math
+
+    from stream_sentinel_spark.operators.quality import psi_drift
+
+    ref = spark.createDataFrame([(float(v),) for v in [1, 1, 5, 5]], "v double")
+    cur = spark.createDataFrame([(float(v),) for v in [1, 5, 5, 5]], "v double")
+    rows = {r["bucket"]: r for r in psi_drift(ref, cur, "v", [3.0]).collect()}
+    # bucket 0: p=0.5, q=0.25; bucket 1: p=0.5, q=0.75
+    t0 = (0.5 - 0.25) * math.log(0.5 / 0.25)
+    t1 = (0.5 - 0.75) * math.log(0.5 / 0.75)
+    assert rows[0]["psi_term"] == round(t0, 6)
+    assert rows[1]["psi_term"] == round(t1, 6)
+
+
+def test_psi_empty_bucket_clamps_and_nulls_reported(spark):
+    from stream_sentinel_spark.operators.quality import psi_drift
+
+    ref = spark.createDataFrame(
+        [(1.0,), (1.0,), (None,)], "v double"
+    )
+    cur = spark.createDataFrame([(9.0,), (None,), (None,)], "v double")
+    rows = {r["bucket"]: r for r in psi_drift(ref, cur, "v", [5.0]).collect()}
+    # bucket 0 is empty on the cur side: q clamps to eps, term finite
+    assert rows[0]["n_cur"] == 0 and rows[0]["p_cur"] == 1e-6
+    assert rows[0]["psi_term"] > 0
+    # a bucket empty on BOTH sides contributes exactly 0 — here none,
+    # but the null counts must surface, excluded from all denominators
+    assert rows[0]["n_null_ref"] == 1 and rows[0]["n_null_cur"] == 2
+    assert rows[0]["p_ref"] == 1.0  # 2 of 2 non-null ref rows
+
+
+def test_psi_rejects_bad_edges(spark):
+    import pytest as _pytest
+
+    from stream_sentinel_spark.operators.quality import psi_drift
+
+    df = spark.range(2).selectExpr("CAST(id AS DOUBLE) AS v")
+    for bad in ([], [3.0, 1.0], [1.0, 1.0]):
+        with _pytest.raises(ValueError, match="strictly-increasing"):
+            psi_drift(df, df, "v", bad)
