@@ -187,7 +187,13 @@ def refresh_zone_maps(
     at the cost of the new partition, never a full re-scan; after a
     COMPACTION or rewrite (files removed), rebuild with
     :func:`file_zone_maps` instead — this function only ever adds."""
-    known = zone_maps.select(F.col(_FILE).alias("__known"))
+    # checkpoint the O(files) name list: a parquet-PERSISTED index in
+    # the anti-join would otherwise put a second file source under the
+    # same plan as input_file_name(), which Spark rejects outright
+    # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+    known = zone_maps.select(F.col(_FILE).alias("__known")).localCheckpoint(
+        eager=True
+    )
     fresh = (
         df.withColumn(_FILE, F.input_file_name())
         .join(
@@ -384,29 +390,52 @@ def prune_files_bloom(
     hashes = _bloom_hash_count(bloom_maps)
     if hashes is None:
         return bloom_maps
-    bloom = F.col(f"{column}__bloom")
-    width = F.col("_bloom_bits") - 1
-    hits = []
-    for v in vals:
-        hit = F.lit(True)
-        for pos_expr in _file_bloom_positions(F.lit(v), width, hashes):
-            word_idx, mask = _bloom_word(pos_expr)
-            word = F.coalesce(
-                F.element_at(bloom, word_idx), F.lit(0).cast("bigint")
-            )
-            hit = hit & (word.bitwiseAND(mask) != 0)
-        hits.append(hit)
-    # balance the OR across probe values: a left-leaning chain of n
-    # values is an expression tree n·k deep, which overflows Catalyst's
-    # recursive column converter by a few hundred values — pairwise
-    # folding keeps the depth at log2(n), so a thousand-key probe list
-    # stays a plain (if wide) expression
-    while len(hits) > 1:
-        hits = [
-            hits[i] | hits[i + 1] if i + 1 < len(hits) else hits[i]
-            for i in range(0, len(hits), 2)
-        ]
-    return bloom_maps.filter(hits[0])
+    # DEDUPE the probe list: the membership test below counts matched
+    # probe rows per (file, value) against exactly k — a duplicated
+    # value would double its rows and break the count
+    vals = list(dict.fromkeys(vals))
+    # The probe is a HASH JOIN, not a per-row map lookup: Spark's
+    # element_at on a map is a LINEAR key scan, so an expression-side
+    # probe pays O(map entries) per (row, value, hash) — measured
+    # 10-14 s against a 64-file index whose auto-sized maps hold ~131 k
+    # words each, with the 0.9 s full 20 M-row scan standing right next
+    # to it. Exploding the maps once and hash-joining a tiny broadcast
+    # probe table costs O(index words + matches) instead, independent
+    # of both map width and probe-list length.
+    #
+    # The probe table is (distinct widths × values × k) rows — widths,
+    # not files: bit positions depend only on (value, width), so a
+    # million-file index with one width probes through one row per
+    # (value, hash).
+    spark = bloom_maps.sparkSession
+    vals_df = spark.createDataFrame([(v,) for v in vals]).toDF("__v")
+    widths = bloom_maps.select("_bloom_bits").distinct()
+    pos_arr = F.array(
+        *_file_bloom_positions(F.col("__v"), F.col("_bloom_bits") - 1, hashes)
+    )
+    probes = (
+        widths.crossJoin(F.broadcast(vals_df))
+        .select("_bloom_bits", "__v", F.posexplode(pos_arr).alias("_h", "_p"))
+    )
+    word_idx, mask = _bloom_word(F.col("_p"))
+    probes = probes.select("_bloom_bits", "__v", word_idx, mask)
+    words = bloom_maps.select(
+        _FILE, "_bloom_bits", F.explode(F.col(f"{column}__bloom"))
+    ).toDF(_FILE, "_bloom_bits", "word_idx", "word")
+    # a word row absent for a probed word_idx means the bit is unset —
+    # the inner join drops it, so the per-(file, value) match count
+    # reaches k iff EVERY hash's bit is set (duplicate positions within
+    # one value's hashes stay safe: each probe row passes or fails on
+    # its own bit, and the count target is the row count k)
+    hits = (
+        words.join(F.broadcast(probes), ["_bloom_bits", "word_idx"])
+        .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+        .groupBy(_FILE, "__v")
+        .agg(F.count(F.lit(1)).alias("_nset"))
+        .filter(F.col("_nset") == hashes)
+    )
+    surviving = hits.select(_FILE).distinct()
+    return bloom_maps.join(F.broadcast(surviving), _FILE, "semi")
 
 
 def read_pruned_bloom(
@@ -448,7 +477,12 @@ def refresh_bloom_maps(
     hashes = _bloom_hash_count(bloom_maps)
     if hashes is None:
         return file_bloom_maps(df, column)
-    known = bloom_maps.select(F.col(_FILE).alias("__known"))
+    # checkpoint the O(files) name list — same
+    # MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION guard as
+    # refresh_zone_maps: the index may itself be parquet-persisted
+    known = bloom_maps.select(F.col(_FILE).alias("__known")).localCheckpoint(
+        eager=True
+    )
     fresh = (
         df.withColumn(_FILE, F.input_file_name())
         .join(F.broadcast(known), F.col(_FILE) == F.col("__known"), "left_anti")

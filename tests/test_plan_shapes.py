@@ -383,12 +383,14 @@ def test_bm25_topk_plan_shape(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
-def test_bloom_prune_is_index_only(spark, tmp_path):
-    """x116's prune step: the survival predicate evaluates on the
-    O(files) INDEX frame alone — no join back to the data, no shuffle;
-    the pruned read's scan enumerates only surviving files (pinned by
-    inputFiles in test_skipping; here: the prune plan has no Exchange
-    beyond the index's own aggregation lineage once checkpointed)."""
+def test_bloom_prune_plan_shape(spark, tmp_path):
+    """x116's prune step is a HASH JOIN over the exploded index — never
+    a per-row map lookup (Spark's element_at on a map is a linear key
+    scan; the expression-side formulation measured 10-14 s against
+    131 k-word maps where the full data scan took 0.9 s). The probe
+    table and the survivor list broadcast; nothing touches the data
+    files; no CartesianProduct (the widths × values seed is a
+    broadcast NLJ of two tiny frames), no Python."""
     from stream_sentinel_spark.sources.skipping import (
         file_bloom_maps,
         prune_files_bloom,
@@ -400,5 +402,7 @@ def test_bloom_prune_is_index_only(spark, tmp_path):
         spark.read.schema("id long, key long").parquet(path), "key"
     ).localCheckpoint(eager=True)
     plan = prune_files_bloom(bm, "key", [3])._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    assert "Scan parquet" not in plan, plan

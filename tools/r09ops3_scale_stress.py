@@ -90,6 +90,7 @@ def _bloom_section(spark, rec, tmp):
         file_bloom_maps,
         file_zone_maps,
         prune_files,
+        prune_files_bloom,
         read_pruned_bloom,
         refresh_bloom_maps,
     )
@@ -105,9 +106,16 @@ def _bloom_section(spark, rec, tmp):
     rec["bloom_layout_write_20m_sec"] = round(time.perf_counter() - t0, 2)
 
     full = spark.read.schema(SCHEMA).parquet(path)
+    # persist the index as parquet and read it back — the deployment
+    # shape (the index lives next to the data and outlives the
+    # session); a localCheckpoint stores row-oriented InternalRows, so
+    # every probe would re-deserialize all 150 MB of map data instead
+    # of a columnar scan
+    ipath = f"{tmp}/bloom_idx"
     t0 = time.perf_counter()
-    bm = file_bloom_maps(full, "key").localCheckpoint(eager=True)
-    rec["bloom_index_build_sec"] = round(time.perf_counter() - t0, 2)
+    file_bloom_maps(full, "key").write.parquet(ipath)
+    rec["bloom_index_build_persist_sec"] = round(time.perf_counter() - t0, 2)
+    bm = spark.read.parquet(ipath)
     rec["bloom_index_files"] = bm.count()
     assert rec["bloom_index_files"] == len(full.inputFiles())
 
@@ -132,6 +140,12 @@ def _bloom_section(spark, rec, tmp):
     # false-positive surplus is ~2 files — anything near 64 means the
     # filter saturated (the fixed-width failure this sizing exists for)
     assert rec["bloom_files_opened"] <= 30, rec["bloom_files_opened"]
+
+    # repeat probe on the warm session: the steady-state planner cost
+    # (first probe pays codegen + broadcast build)
+    t0 = time.perf_counter()
+    prune_files_bloom(bm, "key", probe_keys).select("_file").collect()
+    rec["bloom_prune_repeat_sec"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
     want = full.filter(F.col("key").isin(probe_keys)).localCheckpoint(eager=True)
