@@ -140,11 +140,11 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) after the x111-x120 additions claimed ten head slots, the 50-slot
-#    window ends at x93 — x100 (r07-green, re-rotated only for the
-#    shared leak fix) and the r06-stale rows q18-q22/q30-q32/q34 move
-#    just past the gate boundary. All are locally oracle-proven every
-#    run; re-front the r06 rows in r10.
+# 5) after the x111-x122 additions claimed twelve head slots, the
+#    50-slot window ends at x88 — x90/x93/x100 (r06/r07-green,
+#    re-rotated only for the shared leak fix) and the r06-stale rows
+#    q18-q22/q30-q32/q34 move just past the gate boundary. All are
+#    locally oracle-proven every run; re-front the r06 rows in r10.
 _DRIVER_PRIORITY = [
     # --- new this round: change feed, sequence packing (both regimes),
     # min_df, incremental view maintenance ---
@@ -164,6 +164,8 @@ _DRIVER_PRIORITY = [
     "x118_factorize_dims",
     "x119_psi_drift",
     "x120_token_budget_selection",
+    "x121_bm25_from_postings_index",
+    "x122_bm25_incremental_index",
     # --- stalest (latest green = r05, the promised re-front) ---
     "x08_minhash_lsh_candidates",
     "x09_simhash_candidates",
@@ -8937,4 +8939,70 @@ def x120(spark, sf):
         )
         .select("doc_id", "n_chars", "n_tok", "running_total")
         .orderBy("running_total")
+    )
+
+
+_BM25_ORACLE = _ORACLES["x117_bm25_keyword_search"]
+
+
+@query("x121_bm25_from_postings_index", _BM25_ORACLE)
+def x121(spark, sf):
+    """BM25 FROM A PREBUILT POSTINGS INDEX
+    (`operators/indexing.py:postings_index` + `bm25_topk_from_index`)
+    — the index-once-query-many deployment shape: the full (term,
+    doc_id, tf) table and the doclen table are built in one corpus
+    pass (exactly the shuffle the from-scratch scorer pays PER QUERY),
+    then the same {dup, join, spark} query scores from the index
+    without ever touching the text. Pinned against x117's oracle
+    VERBATIM — the two execution paths must produce identical rounded
+    scores and the identical top-20 cut.
+
+    Scale shape at 100 TB: per query, a filter of the postings to the
+    query's own terms (term-partitioned postings prune the read to the
+    query's files) + an O(docs) stats aggregate — corpus text never
+    read at query time."""
+    from stream_sentinel_spark.operators.indexing import (
+        bm25_topk_from_index,
+        postings_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    postings, doclens = postings_index(docs, "doc_id", "text")
+    return bm25_topk_from_index(
+        postings, doclens, ["dup", "join", "spark"], k=20
+    )
+
+
+@query("x122_bm25_incremental_index", _BM25_ORACLE)
+def x122(spark, sf):
+    """INCREMENTAL POSTINGS MAINTENANCE
+    (`operators/indexing.py:append_postings`) — the index keeps up
+    with an appending corpus at the cost of the new documents only:
+    documents split 3:1 into a base (doc_id % 4 != 0) and an append
+    batch, the base indexes first, the batch appends (union-based —
+    sound because doc ids are NEW; re-appending an existing id raises,
+    the one silent corruption a union could cause), and the SAME BM25
+    query over the merged index must equal x117's from-scratch oracle
+    over the whole corpus — proving the incremental path loses,
+    duplicates, and re-weights nothing, idf shift included.
+
+    The same append contract as the minhash/LSH/zone-map/bloom index
+    families: append cheap, rebuild on rewrite."""
+    from stream_sentinel_spark.operators.indexing import (
+        append_postings,
+        bm25_topk_from_index,
+        postings_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    postings, doclens = postings_index(base, "doc_id", "text")
+    postings, doclens = append_postings(
+        postings.localCheckpoint(eager=False),
+        doclens.localCheckpoint(eager=False),
+        delta, "doc_id", "text",
+    )
+    return bm25_topk_from_index(
+        postings, doclens, ["dup", "join", "spark"], k=20
     )

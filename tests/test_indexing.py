@@ -261,3 +261,71 @@ def test_bm25_empty_terms_rejected(spark):
 
     with pytest.raises(ValueError, match="at least one query term"):
         bm25_topk(_docs(spark, ["a"]), [], "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# postings index + indexed/incremental BM25
+# ---------------------------------------------------------------------------
+
+
+def test_postings_index_exact_tfs(spark):
+    from stream_sentinel_spark.operators.indexing import postings_index
+
+    df = _docs(spark, ["a b a", "b c", "a"])
+    postings, doclens = postings_index(df, "doc_id", "text")
+    p = {(r["term"], r["doc_id"]): r["tf"] for r in postings.collect()}
+    assert p == {
+        ("a", 0): 2, ("b", 0): 1, ("b", 1): 1, ("c", 1): 1, ("a", 2): 1,
+    }
+    assert {r["doc_id"]: r["dl"] for r in doclens.collect()} == {0: 3, 1: 2, 2: 1}
+
+
+def test_bm25_from_index_equals_from_scratch(spark):
+    from stream_sentinel_spark.operators.indexing import (
+        bm25_topk,
+        bm25_topk_from_index,
+        postings_index,
+    )
+
+    texts = [
+        "the cat sat on the mat", "the dog sat", "cat cat cat",
+        "nothing here", "a long document mentioning cat once in many words",
+    ]
+    df = _docs(spark, texts)
+    postings, doclens = postings_index(df, "doc_id", "text")
+    direct = bm25_topk(df, ["cat", "sat"], "doc_id", "text", k=10).collect()
+    indexed = bm25_topk_from_index(postings, doclens, ["cat", "sat"], k=10).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_append_postings_incremental_equals_rebuild(spark):
+    from stream_sentinel_spark.operators.indexing import (
+        append_postings,
+        bm25_topk_from_index,
+        postings_index,
+    )
+
+    texts = ["a b c", "b c d", "c d e", "d e f", "e f a", "f a b"]
+    df = _docs(spark, texts)
+    base = df.filter("doc_id < 4")
+    delta = df.filter("doc_id >= 4")
+    p0, l0 = postings_index(base, "doc_id", "text")
+    p1, l1 = append_postings(p0, l0, delta, "doc_id", "text")
+    pf, lf = postings_index(df, "doc_id", "text")
+    assert sorted(map(tuple, p1.collect())) == sorted(map(tuple, pf.collect()))
+    assert sorted(map(tuple, l1.collect())) == sorted(map(tuple, lf.collect()))
+    a = bm25_topk_from_index(p1, l1, ["a", "d"], k=6).collect()
+    b = bm25_topk_from_index(pf, lf, ["a", "d"], k=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_append_postings_rejects_existing_doc(spark):
+    from stream_sentinel_spark.operators.indexing import (
+        append_postings,
+        postings_index,
+    )
+
+    df = _docs(spark, ["a b", "c d"])
+    p, l = postings_index(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="already exist"):
+        append_postings(p, l, df.filter("doc_id = 1"), "doc_id", "text")
