@@ -140,11 +140,12 @@ def query(name: str, oracle: str | None = None):
 #    module shared with the new change-feed read), and the
 #    leak-fix-rewritten streaming entries x84/x87/x88/x90/x93/x100
 #    (eager checkpoint + rmtree, VERDICT r08 item 8);
-# 5) after the x111-x122 additions claimed twelve head slots, the
-#    50-slot window ends at x88 — x90/x93/x100 (r06/r07-green,
-#    re-rotated only for the shared leak fix) and the r06-stale rows
-#    q18-q22/q30-q32/q34 move just past the gate boundary. All are
-#    locally oracle-proven every run; re-front the r06 rows in r10.
+# 5) the x111-x122 additions claimed twelve more head slots, so the
+#    50-slot window ends at x88: x90/x93/x100 (r06/r07-green,
+#    re-rotated last only for the shared leak fix) and the r06-stale
+#    rows q18-q22/q30-q32/q34 dropped OFF the priority list (it is
+#    pinned to exactly the 50 gate slots). All are locally
+#    oracle-proven every run; re-front the r06 rows in r10.
 _DRIVER_PRIORITY = [
     # --- new this round: change feed, sequence packing (both regimes),
     # min_df, incremental view maintenance ---
@@ -201,19 +202,6 @@ _DRIVER_PRIORITY = [
     "x84_streaming_detect_parity",
     "x87_streaming_interval_join_parity",
     "x88_streaming_dedup_parity",
-    "x90_streaming_windows_parity",
-    "x93_streaming_session_windows",
-    "x100_streaming_sliding_windows",
-    # --- next-stalest (latest green = r06) ---
-    "q18_set_ops",
-    "q19_scalars_part",
-    "q20_json_group",
-    "q21_dates_orders",
-    "q22_tumbling_windows",
-    "q30_outer_join_order_fill",
-    "q31_cube_returns",
-    "q32_lag_lead_ntile",
-    "q34_tpch_q4_priority",
 ]
 
 
