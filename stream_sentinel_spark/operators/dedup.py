@@ -854,14 +854,29 @@ def connected_components(
     edges = edges.localCheckpoint(eager=False)
     converged = True  # an empty/self-labeled graph is converged at round 0
     for it in range(max_iterations):
-        # propagate: new label = min(own, min over neighbors' labels)
+        # propagate: new label = min(own, min over neighbors' labels).
+        # The node's CURRENT label rides along as `_old` (null on the
+        # neighbor branch; min() ignores nulls and the labels branch
+        # carries exactly one non-null per id), so the convergence
+        # probe below is a shuffle-free filter over the checkpointed
+        # round result instead of a second node-sized join per round —
+        # at scale that join was a full extra shuffle of the label
+        # frame every round, at gate scale an extra job.
         neighbor_labels = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "component")
         prop = (
-            labels.unionByName(neighbor_labels)
+            labels.withColumn("_old", F.col("component"))
+            .unionByName(
+                neighbor_labels.withColumn(
+                    "_old", F.lit(None).cast(labels.schema["component"].dataType)
+                )
+            )
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
         )
         if it >= 2:
             # pointer doubling: adopt the label of my label. Every
@@ -879,17 +894,15 @@ def connected_components(
                 F.col("component").alias("_c2"),
             )
             prop = prop.join(lookup, "component").select(
-                "id", F.col("_c2").alias("component")
+                "id", F.col("_c2").alias("component"), "_old"
             )
         new_labels = prop.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_old")
         converged = changed == 0
         if converged:
             break
@@ -1746,7 +1759,7 @@ def build_minhash_index(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     base_path: str | None = None,
 ) -> None:
     """Persist the corpus side of :func:`incremental_neardups` as a
@@ -1763,8 +1776,21 @@ def build_minhash_index(
     - ``{table}_meta`` (n, num_hashes, bands) — self-describing params.
 
     One Arrow kernel pass over ``old`` total (the sig/codes frame is
-    checkpointed and feeds both bucketed writes)."""
-    from stream_sentinel_spark.sources.bucketing import write_bucketed, write_plain
+    checkpointed and feeds both bucketed writes).
+
+    ``num_buckets=None`` (default) sizes the bucket count to the corpus
+    (:func:`~stream_sentinel_spark.sources.bucketing.auto_num_buckets`
+    over the kernel frame's row count — one near-free count of the
+    already-checkpointed frame): a gate-sized corpus gets 4 buckets
+    instead of 32 near-empty files whose open/listing/task overhead
+    every subsequent match and append pays, while production-sized
+    corpora scale the count up (or pass it explicitly). The count is
+    recorded in ``{table}_meta``; appends and compaction follow it."""
+    from stream_sentinel_spark.sources.bucketing import (
+        auto_num_buckets,
+        write_bucketed,
+        write_plain,
+    )
 
     spark = old.sparkSession
 
@@ -1772,6 +1798,8 @@ def build_minhash_index(
         return None if base_path is None else f"{base_path}/{suffix}"
 
     kernel = _kernel_frame(old, id_col, text_col, n, num_hashes)
+    if num_buckets is None:
+        num_buckets = auto_num_buckets(kernel.count())
     write_bucketed(
         _banded_keys(kernel.select("id", "sig"), num_hashes, bands)
         .withColumnRenamed("id", "old_id"),
@@ -1803,6 +1831,9 @@ def append_minhash_index(
     table: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    meta=None,
+    kernel: DataFrame | None = None,
 ) -> None:
     """Accept a batch of documents into a stored
     :func:`build_minhash_index` without rebuilding — the text twin of
@@ -1821,13 +1852,22 @@ def append_minhash_index(
     the index grows (tools/index_scale_stress.py records it). N
     appends ≡ one rebuild bit-for-bit (tests/test_minhash_index.py).
     Params and bucket count come from ``{table}_meta``.
+
+    ``meta`` / ``kernel`` let a caller that already holds the meta row
+    and a materialized kernel frame over EXACTLY these rows (the ingest
+    loop computes one kernel per epoch and slices it) skip the per-call
+    meta read and the second Arrow signature pass — the kernel is
+    row-wise, so a filtered slice of a batch kernel is bit-identical to
+    recomputing it over the slice.
     """
     from stream_sentinel_spark.operators.similarity import _merge_bandstats
     from stream_sentinel_spark.sources.bucketing import write_bucketed
 
     spark = new.sparkSession
-    meta = spark.table(f"{table}_meta").head()
-    kernel = _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
+    if meta is None:
+        meta = spark.table(f"{table}_meta").head()
+    if kernel is None:
+        kernel = _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
     band_keys = (
         _banded_keys(kernel.select("id", "sig"), meta.num_hashes, meta.bands)
         .withColumnRenamed("id", "old_id")
@@ -1896,6 +1936,9 @@ def match_minhash_index(
     text_col: str = "text",
     threshold: float = 0.8,
     cutoff: int | None = None,
+    *,
+    meta=None,
+    kernel: DataFrame | None = None,
 ) -> DataFrame:
     """Match an incoming batch of documents against a stored
     :func:`build_minhash_index` — the same output contract as
@@ -1904,11 +1947,22 @@ def match_minhash_index(
     (pinned in tests/test_minhash_index.py), with the corpus paying
     nothing per batch beyond bucket-local join reads: signatures,
     shingle codes, band keys, and bucket counts all come from the index
-    tables. Same disjoint-id-space precondition as the one-shot path."""
+    tables. Same disjoint-id-space precondition as the one-shot path.
+
+    ``meta`` / ``kernel``: same contract as
+    :func:`append_minhash_index` — a precomputed meta row and a
+    materialized kernel frame over exactly the rows of ``new`` skip the
+    per-call meta read and the signature pass (the ingest loop computes
+    one kernel per epoch and feeds each stage a slice of it)."""
     from stream_sentinel_spark.sources.bucketing import bucketed
 
-    meta = spark.table(f"{table}_meta").head()
-    new_kernel = _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
+    if meta is None:
+        meta = spark.table(f"{table}_meta").head()
+    new_kernel = (
+        kernel
+        if kernel is not None
+        else _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
+    )
     kwargs = {} if cutoff is None else {"cutoff": cutoff}
     cands = _hot_salted_pair_join(
         bucketed(spark, f"{table}_bands").withColumnRenamed("old_id", "id"),

@@ -550,7 +550,7 @@ def build_lsh_index(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     base_path: str | None = None,
     hot_bucket_warn: int | None = 10_000,
 ) -> None:
@@ -614,13 +614,23 @@ def build_lsh_index(
     pass ``hot_bucket_warn=None`` to disable.
     """
     import warnings
-    from stream_sentinel_spark.sources.bucketing import write_bucketed, write_plain
+    from stream_sentinel_spark.sources.bucketing import (
+        auto_num_buckets,
+        write_bucketed,
+        write_plain,
+    )
 
     spark = old_df.sparkSession
 
     def _path(suffix: str) -> str | None:
         return None if base_path is None else f"{base_path}/{suffix}"
 
+    if num_buckets is None:
+        # sized to the corpus, not a constant (see auto_num_buckets):
+        # one column-pruned count scan of old_df — cheap next to the
+        # two map-only passes the build itself makes. Production-scale
+        # callers pass the count explicitly and skip the probe.
+        num_buckets = auto_num_buckets(old_df.count())
     if bits == "auto":
         # measure-then-pick (see _auto_lsh_bits): explicit bits always
         # win — only the literal "auto" triggers the probe
@@ -697,6 +707,9 @@ def append_lsh_index(
     table: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    *,
+    meta=None,
+    kernel: DataFrame | None = None,
 ) -> None:
     """Accept a batch into a stored :func:`build_lsh_index` WITHOUT
     rebuilding it — the missing piece between "tested artifact" and the
@@ -727,17 +740,26 @@ def append_lsh_index(
     from stream_sentinel_spark.sources.bucketing import write_bucketed
 
     spark = new_df.sparkSession
-    meta = spark.table(f"{table}_meta").head()
-    sig = lsh_signatures(new_df, id_col, vec_col, meta.bits, meta.dim, meta.seed)
-    # one signature pass shared by the bands append and the stats delta
-    band_keys = (
-        sig.select(
-            F.col("id").alias("old_id"),
-            F.explode(_band_struct_expr(meta.bits, meta.bands)).alias("bb"),
+    if meta is None:
+        meta = spark.table(f"{table}_meta").head()
+    if kernel is not None:
+        # caller-materialized per-epoch kernel (ingest loop): band keys
+        # re-derive from its pinned blocks — no second signature pass,
+        # no extra checkpoint
+        band_keys = _kernel_band_keys(kernel, meta.bits, meta.bands, "old_id")
+    else:
+        sig = lsh_signatures(
+            new_df, id_col, vec_col, meta.bits, meta.dim, meta.seed
         )
-        .select("old_id", "bb.band", "bb.val")
-        .localCheckpoint(eager=True)
-    )
+        # one signature pass shared by the bands append and the stats delta
+        band_keys = (
+            sig.select(
+                F.col("id").alias("old_id"),
+                F.explode(_band_struct_expr(meta.bits, meta.bands)).alias("bb"),
+            )
+            .select("old_id", "bb.band", "bb.val")
+            .localCheckpoint(eager=True)
+        )
     # align=True: ≤1 file per bucket per append instead of tasks×buckets
     # (see write_bucketed — the append-cost drift lever)
     write_bucketed(
@@ -748,9 +770,17 @@ def append_lsh_index(
         spark, f"{table}_bandstats", ["band", "val"],
         band_keys.groupBy("band", "val").agg(F.count(F.lit(1)).alias("_na")),
     )
-    vecs = new_df.select(
-        F.col(id_col).alias("old_id"), F.col(vec_col).alias("old_vec")
-    ).withColumn("old_nrm", norm(_as_double(F.col("old_vec"))))
+    vecs = (
+        kernel.select(
+            F.col("id").alias("old_id"),
+            F.col("vec").alias("old_vec"),
+            F.col("nrm").alias("old_nrm"),
+        )
+        if kernel is not None
+        else new_df.select(
+            F.col(id_col).alias("old_id"), F.col(vec_col).alias("old_vec")
+        ).withColumn("old_nrm", norm(_as_double(F.col("old_vec"))))
+    )
     write_bucketed(
         vecs, f"{table}_vecs", ["old_id"], meta.num_buckets, mode="append",
         align=True,
@@ -806,6 +836,35 @@ def _merge_bandstats(spark, table: str, keys: list, delta: DataFrame) -> None:
     merged.select(*keys, "_na").write.insertInto(table, overwrite=True)
 
 
+def _lsh_kernel_frame(
+    df: DataFrame, id_col: str, vec_col: str, bits: int, dim: int, seed: int
+) -> DataFrame:
+    """Checkpointed (id, vec, nrm, sig) frame — ONE pass over the batch
+    shared by the per-epoch match and append of the ingest loop, so the
+    signature/norm expressions run once per epoch instead of once per
+    stage. Row-wise values identical to the per-stage recomputation
+    (same expressions over the same rows)."""
+    return (
+        lsh_signatures(df, id_col, vec_col, bits, dim, seed, carry=[vec_col])
+        .withColumnRenamed(vec_col, "vec")
+        .withColumn("nrm", norm(_as_double(F.col("vec"))))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _kernel_band_keys(kernel: DataFrame, bits: int, bands: int, id_alias: str) -> DataFrame:
+    """(id_alias, band, val) band keys derived from a materialized LSH
+    kernel frame — the same :func:`_band_struct_expr` layout the
+    in-memory and persisted paths share; no checkpoint needed, the
+    explode re-derives from the kernel's pinned blocks."""
+    return (
+        kernel.select(
+            F.col("id").alias(id_alias),
+            F.explode(_band_struct_expr(bits, bands)).alias("bb"),
+        ).select(id_alias, "bb.band", "bb.val")
+    )
+
+
 def index_candidates(
     spark,
     new_df: DataFrame,
@@ -813,6 +872,9 @@ def index_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cutoff: int | None = None,
+    *,
+    meta=None,
+    kernel: DataFrame | None = None,
 ) -> DataFrame:
     """(old_id, new_id) candidate pairs of an incoming batch against a
     stored :func:`build_lsh_index` — the per-batch plan computes
@@ -823,12 +885,17 @@ def index_candidates(
     from stream_sentinel_spark.operators.dedup import _hot_salted_pair_join
     from stream_sentinel_spark.sources.bucketing import bucketed
 
-    meta = spark.table(f"{table}_meta").head()
+    if meta is None:
+        meta = spark.table(f"{table}_meta").head()
     old_bands = bucketed(spark, f"{table}_bands").withColumnRenamed(
         "old_id", "id"
     )
-    new_chunks = _banded_chunks(
-        new_df, id_col, vec_col, meta.bits, meta.bands, meta.dim, meta.seed
+    new_chunks = (
+        _kernel_band_keys(kernel, meta.bits, meta.bands, "id")
+        if kernel is not None
+        else _banded_chunks(
+            new_df, id_col, vec_col, meta.bits, meta.bands, meta.dim, meta.seed
+        )
     )
     kwargs = {} if cutoff is None else {"cutoff": cutoff}
     return (
@@ -852,6 +919,9 @@ def match_lsh_index(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     cutoff: int | None = None,
+    *,
+    meta=None,
+    kernel: DataFrame | None = None,
 ) -> DataFrame:
     """Match an incoming batch against a stored :func:`build_lsh_index`
     — same output contract as :func:`cosine_pairs_lsh_incremental`
@@ -859,15 +929,34 @@ def match_lsh_index(
     absent) and bit-equal values (pinned by tests/test_embedding_index),
     but the corpus pays NOTHING per batch beyond bucket-local join reads:
     signatures, norms, band keys, and bucket counts all come from the
-    index tables."""
+    index tables.
+
+    ``meta`` / ``kernel``: a precomputed meta row and a materialized
+    :func:`_lsh_kernel_frame` over exactly the rows of ``new_df`` skip
+    the per-call meta read and the signature/norm recomputation (the
+    ingest loop computes one kernel per epoch and slices it; values are
+    bit-identical — same expressions, same rows)."""
+    if meta is None:
+        meta = spark.table(f"{table}_meta").head()
     cands = spread_pairs(
-        index_candidates(spark, new_df, table, id_col, vec_col, cutoff)
+        index_candidates(
+            spark, new_df, table, id_col, vec_col, cutoff,
+            meta=meta, kernel=kernel,
+        )
     )
     cos_seq = _cos_seq_udf()
     old_vecs = spark.table(f"{table}_vecs")
-    new_vecs = new_df.select(
-        F.col(id_col).alias("new_id"), F.col(vec_col).alias("new_vec")
-    ).withColumn("new_nrm", norm(_as_double(F.col("new_vec"))))
+    new_vecs = (
+        kernel.select(
+            F.col("id").alias("new_id"),
+            F.col("vec").alias("new_vec"),
+            F.col("nrm").alias("new_nrm"),
+        )
+        if kernel is not None
+        else new_df.select(
+            F.col(id_col).alias("new_id"), F.col(vec_col).alias("new_vec")
+        ).withColumn("new_nrm", norm(_as_double(F.col("new_vec"))))
+    )
     verified = (
         cands.join(old_vecs, "old_id")
         .join(new_vecs, "new_id")

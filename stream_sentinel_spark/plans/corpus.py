@@ -22,6 +22,7 @@ Cross-engine determinism rules used throughout (the reason these hash-match):
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -5629,6 +5630,33 @@ def x79(spark, sf):
 _SENTINEL_KEY = -1
 
 
+@contextmanager
+def _stream_parts(spark, n_rows: int, target_rows: int = 25_000):
+    """Size STATEFUL-streaming shuffle partitions to the data, not the
+    session constant, for the duration of one gate stream (guide §2.2:
+    fewer, larger partitions; AQE cannot do this for us — it is
+    disabled in stateful streaming). Every micro-batch pays a fixed
+    per-partition cost (state store open/commit + for the Python
+    backends one Arrow worker round) regardless of rows, so near-empty
+    state partitions are pure overhead — the same measurement
+    bench.py's streaming leg documents (8 beats 32 at ~12.5k
+    events/batch). The count DERIVES from the stream's input volume
+    (ceil(rows/target), floor 4) and is capped at the session's
+    configured parallelism, so a production-sized input keeps the
+    session's scale-out while a gate-sized one stops paying for empty
+    partitions; the checkpoint pins it per query as usual.
+
+    Restores the session value on exit — batch entries measured after
+    a streaming entry are unaffected."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(4, min(int(old), -(-int(n_rows) // target_rows)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
     """Shared engine body of x84/x86: run the 3-rule pipeline through
     Structured Streaming over the events table and return the drained
@@ -5711,23 +5739,25 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
                     st = _os.stat(f)
                     _os.utime(f, (st.st_atime, base_mtime + 2.0 * (i + 1)))
                 seen = now
-        stream = read_file_stream(
-            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=watermark,
-            max_files_per_trigger=1 if watermark is not None else None,
-        )
-        alerts = compile_rules_streaming(
-            stream, DEFAULT_RULES, key_field="user_id", time_col="ts",
-            order_cols=("event_id",), backend=backend,
-        )
-        q = (
-            alerts.writeStream.format("parquet")
-            .option("path", f"{out_dir}/alerts")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_parts(spark, ev.count()):
+            stream = read_file_stream(
+                spark, f"{tmp}/ev", ev.schema, time_col="ts",
+                watermark=watermark,
+                max_files_per_trigger=1 if watermark is not None else None,
+            )
+            alerts = compile_rules_streaming(
+                stream, DEFAULT_RULES, key_field="user_id", time_col="ts",
+                order_cols=("event_id",), backend=backend,
+            )
+            q = (
+                alerts.writeStream.format("parquet")
+                .option("path", f"{out_dir}/alerts")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = (
             spark.read.parquet(f"{out_dir}/alerts")
             .filter(F.col("key") != str(_SENTINEL_KEY))
@@ -5985,26 +6015,27 @@ def x87(spark, sf):
         src = lambda: read_file_stream(  # noqa: E731
             spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
         )
-        joined = interval_join(
-            src(), src(), "user_id",
-            lower="0 seconds", upper="6 hours", watermark="5 seconds",
-        )
-        q = (
-            joined.select(
-                F.col("event_id").alias("l_id"),
-                F.col("event_id_r").alias("r_id"),
-                F.unix_millis("ts").alias("l_ms"),
-                F.unix_millis("ts_r").alias("r_ms"),
-                F.col("event_type_r").alias("r_type"),
+        with _stream_parts(spark, ev.count()):
+            joined = interval_join(
+                src(), src(), "user_id",
+                lower="0 seconds", upper="6 hours", watermark="5 seconds",
             )
-            .writeStream.format("parquet")
-            .option("path", f"{out_dir}/pairs")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                joined.select(
+                    F.col("event_id").alias("l_id"),
+                    F.col("event_id_r").alias("r_id"),
+                    F.unix_millis("ts").alias("l_ms"),
+                    F.unix_millis("ts_r").alias("r_ms"),
+                    F.col("event_type_r").alias("r_type"),
+                )
+                .writeStream.format("parquet")
+                .option("path", f"{out_dir}/pairs")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.read.parquet(f"{out_dir}/pairs").localCheckpoint(
             eager=True
         )
@@ -6048,27 +6079,28 @@ def x88(spark, sf):
         # two identical files = the same batch delivered twice
         ev.coalesce(1).write.parquet(f"{tmp}/ev")
         ev.coalesce(1).write.mode("append").parquet(f"{tmp}/ev")
-        stream = read_file_stream(
-            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
-        )
-        exactly_once = dedup_events(
-            stream, ["event_id"], time_col="ts", watermark="1 hour"
-        )
-        q = (
-            exactly_once.select(
-                "event_id",
-                "user_id",
-                F.unix_millis("ts").alias("ts_ms"),
-                "value",
+        with _stream_parts(spark, 2 * ev.count()):
+            stream = read_file_stream(
+                spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
             )
-            .writeStream.format("parquet")
-            .option("path", f"{out_dir}/events")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            exactly_once = dedup_events(
+                stream, ["event_id"], time_col="ts", watermark="1 hour"
+            )
+            q = (
+                exactly_once.select(
+                    "event_id",
+                    "user_id",
+                    F.unix_millis("ts").alias("ts_ms"),
+                    "value",
+                )
+                .writeStream.format("parquet")
+                .option("path", f"{out_dir}/events")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.read.parquet(f"{out_dir}/events").localCheckpoint(
             eager=True
         )
@@ -6114,32 +6146,33 @@ def x89(spark, sf):
     out_dir = tempfile.mkdtemp(prefix="ss_x89_out_")
     try:
         orders.coalesce(1).write.parquet(f"{tmp}/orders")
-        stream = read_file_stream(
-            spark, f"{tmp}/orders", orders.schema, time_col=None,
-            watermark=None,
-        )
-        agg = (
-            stream.join(
-                F.broadcast(customer),
-                stream["o_custkey"] == customer["c_custkey"],
+        with _stream_parts(spark, orders.count()):
+            stream = read_file_stream(
+                spark, f"{tmp}/orders", orders.schema, time_col=None,
+                watermark=None,
             )
-            .groupBy(F.col("c_mktsegment").alias("segment"))
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("total_price"),
+            agg = (
+                stream.join(
+                    F.broadcast(customer),
+                    stream["o_custkey"] == customer["c_custkey"],
+                )
+                .groupBy(F.col("c_mktsegment").alias("segment"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("total_price"),
+                )
             )
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("x89_seg")
-            .outputMode("complete")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("x89_seg")
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # complete-mode memory sink holds ONE row per segment (≤5 rows
         # total) — driver-side weight is nil, unlike the alert streams;
         # copy out and return a local frame so the sink is not retained
@@ -6185,25 +6218,26 @@ def x90(spark, sf):
     out_dir = tempfile.mkdtemp(prefix="ss_x90_out_")
     try:
         ev.coalesce(1).write.parquet(f"{tmp}/ev")
-        stream = read_file_stream(
-            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
-        )
-        agg = tumbling_counts(
-            stream, key_column(stream, "user_id"), "ts", "6 hours",
-            value_col="value",
-        )
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda df, _eid: df.write.mode("overwrite").parquet(
-                    f"{out_dir}/windows"
-                )
+        with _stream_parts(spark, ev.count()):
+            stream = read_file_stream(
+                spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
             )
-            .outputMode("complete")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            agg = tumbling_counts(
+                stream, key_column(stream, "user_id"), "ts", "6 hours",
+                value_col="value",
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("overwrite").parquet(
+                        f"{out_dir}/windows"
+                    )
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.read.parquet(f"{out_dir}/windows").localCheckpoint(
             eager=True
         )
@@ -6580,24 +6614,25 @@ def x93(spark, sf):
                 st = _os.stat(f)
                 _os.utime(f, (st.st_atime, base_mtime + 2.0 * (i + 1)))
             seen = now
-        stream = read_file_stream(
-            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None,
-            max_files_per_trigger=1,
-        ).withColumn(
-            "ts_ms", F.timestamp_millis(F.unix_millis("ts"))
-        ).withWatermark("ts_ms", "5 seconds")
-        sessions = session_windows(
-            stream, key_column(stream, "user_id"), "ts_ms", "1 hour"
-        )
-        q = (
-            sessions.writeStream.format("parquet")
-            .option("path", f"{out_dir}/sessions")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_parts(spark, ev.count()):
+            stream = read_file_stream(
+                spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None,
+                max_files_per_trigger=1,
+            ).withColumn(
+                "ts_ms", F.timestamp_millis(F.unix_millis("ts"))
+            ).withWatermark("ts_ms", "5 seconds")
+            sessions = session_windows(
+                stream, key_column(stream, "user_id"), "ts_ms", "1 hour"
+            )
+            q = (
+                sessions.writeStream.format("parquet")
+                .option("path", f"{out_dir}/sessions")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.read.parquet(f"{out_dir}/sessions").localCheckpoint(
             eager=True
         )
@@ -7171,24 +7206,26 @@ def x100(spark, sf):
     out_dir = tempfile.mkdtemp(prefix="ss_x100_out_")
     try:
         ev.coalesce(1).write.parquet(f"{tmp}/ev")
-        stream = read_file_stream(
-            spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
-        )
-        agg = sliding_counts(
-            stream, key_column(stream, "user_id"), "ts", "6 hours", "3 hours"
-        )
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda df, _eid: df.write.mode("overwrite").parquet(
-                    f"{out_dir}/windows"
-                )
+        with _stream_parts(spark, ev.count()):
+            stream = read_file_stream(
+                spark, f"{tmp}/ev", ev.schema, time_col="ts", watermark=None
             )
-            .outputMode("complete")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            agg = sliding_counts(
+                stream, key_column(stream, "user_id"), "ts", "6 hours",
+                "3 hours",
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, _eid: df.write.mode("overwrite").parquet(
+                        f"{out_dir}/windows"
+                    )
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         rows = spark.read.parquet(f"{out_dir}/windows").localCheckpoint(
             eager=True
         )

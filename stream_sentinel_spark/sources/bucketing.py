@@ -80,6 +80,25 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def auto_num_buckets(
+    n_rows: int, target_rows: int = 25_000, lo: int = 4, hi: int = 1024
+) -> int:
+    """Bucket count sized to the DATA, not a constant: the smallest
+    power of two (≥ ``lo``, ≤ ``hi``) holding at most ``target_rows``
+    base rows per bucket. A fixed count is wrong at both ends — 32
+    buckets over a 1 k-doc index is 32 near-empty files whose open +
+    listing + per-task cost every match and append then pays (measured:
+    the gate's ingest loops spend most of their wall in 32-task stages
+    over a few thousand rows), while 32 buckets over a 10^9-row corpus
+    is 30 M rows per bucket file. Callers that know their production
+    volume pass an explicit count; ``None`` in the index builders
+    routes here."""
+    b = lo
+    while b < hi and n_rows > b * target_rows:
+        b *= 2
+    return b
+
+
 def write_plain(
     df: DataFrame, table: str, path: str | None = None, mode: str = "overwrite"
 ) -> None:

@@ -94,22 +94,46 @@ _KIND_SPEC = {
 
 
 def _family(kind: str):
+    """(match, append, compact, prepare_kernel) for an index kind.
+
+    ``prepare_kernel(batch, id_col, content_col, meta)`` materializes
+    the ONE per-epoch kernel frame (signatures + verify inputs) that
+    the intra, match and append stages all slice — before round 9 each
+    stage recomputed its own signatures over overlapping row sets
+    (guide §1.2: don't compute things twice), which at gate scale was
+    two extra Arrow/expression passes plus their checkpoints per epoch
+    and at production scale two extra full passes over every batch."""
     if kind == "minhash":
         from stream_sentinel_spark.operators.dedup import (
+            _kernel_frame,
             append_minhash_index,
             compact_minhash_index,
             match_minhash_index,
         )
 
-        return match_minhash_index, append_minhash_index, compact_minhash_index
+        def prepare(batch, id_col, content_col, meta):
+            return _kernel_frame(
+                batch, id_col, content_col, meta.n, meta.num_hashes
+            )
+
+        return (
+            match_minhash_index, append_minhash_index,
+            compact_minhash_index, prepare,
+        )
     if kind == "lsh":
         from stream_sentinel_spark.operators.similarity import (
+            _lsh_kernel_frame,
             append_lsh_index,
             compact_lsh_index,
             match_lsh_index,
         )
 
-        return match_lsh_index, append_lsh_index, compact_lsh_index
+        def prepare(batch, id_col, content_col, meta):
+            return _lsh_kernel_frame(
+                batch, id_col, content_col, meta.bits, meta.dim, meta.seed
+            )
+
+        return match_lsh_index, append_lsh_index, compact_lsh_index, prepare
     raise ValueError(f"unknown index kind: {kind!r} (expected one of {_KINDS})")
 
 
@@ -122,6 +146,8 @@ def _intra_batch_matches(
     content_col: str,
     threshold: float,
     mode: str = "pairwise",
+    meta=None,
+    kernel: DataFrame | None = None,
 ) -> DataFrame:
     """(new_id, n_matches, best_*, first_match) over pairs WITHIN the
     batch — the same output contract as the index match, computed by
@@ -136,24 +162,44 @@ def _intra_batch_matches(
     one-doc-per-batch feed's decision on chains (A~B~C, A≁C: sequential
     diverts B but re-accepts C, because diverted B never entered the
     index). Match stats count accepted partners only, mirroring what
-    the index match would have reported mid-feed."""
-    meta = spark.table(f"{table}_meta").head()
-    if kind == "minhash":
-        from stream_sentinel_spark.operators.dedup import minhash_verified_pairs
+    the index match would have reported mid-feed.
 
-        pairs = minhash_verified_pairs(
-            batch, id_col, content_col,
-            n=meta.n, num_hashes=meta.num_hashes, bands=meta.bands,
-            threshold=threshold,
+    ``meta`` / ``kernel``: the loop's cached meta row and per-epoch
+    kernel frame — the pair computation then derives candidates and
+    verify inputs from the kernel's pinned blocks instead of re-running
+    the signature pass over the batch. Same expressions over the same
+    rows; pair sets and scores are bit-identical."""
+    if meta is None:
+        meta = spark.table(f"{table}_meta").head()
+    if kind == "minhash":
+        from stream_sentinel_spark.operators.dedup import (
+            _adaptive_verify,
+            _band_raw_pairs,
+            minhash_verified_pairs,
         )
+
+        if kernel is not None:
+            cands = _band_raw_pairs(
+                kernel.select("id", "sig"), meta.num_hashes, meta.bands
+            ).distinct()
+            pairs = _adaptive_verify(cands, kernel, threshold)
+        else:
+            pairs = minhash_verified_pairs(
+                batch, id_col, content_col,
+                n=meta.n, num_hashes=meta.num_hashes, bands=meta.bands,
+                threshold=threshold,
+            )
         score_col, best_name, first_long = "jaccard", "best_jaccard", False
     else:
         from stream_sentinel_spark.operators.similarity import cosine_pairs_lsh
 
-        pairs = cosine_pairs_lsh(
-            batch, id_col, content_col, threshold=threshold,
-            bits=meta.bits, bands=meta.bands, dim=meta.dim, seed=meta.seed,
-        )
+        if kernel is not None:
+            pairs = _cosine_pairs_from_kernel(kernel, threshold, meta)
+        else:
+            pairs = cosine_pairs_lsh(
+                batch, id_col, content_col, threshold=threshold,
+                bits=meta.bits, bands=meta.bands, dim=meta.dim, seed=meta.seed,
+            )
         score_col, best_name, first_long = "cos", "best_cos", True
     if mode == "transitive":
         return _greedy_component_matches(
@@ -166,6 +212,44 @@ def _intra_batch_matches(
         F.count(F.lit(1)).alias("n_matches"),
         F.max(score_col).alias(best_name),
         (first.cast("long") if first_long else first).alias("first_match"),
+    )
+
+
+def _cosine_pairs_from_kernel(kernel: DataFrame, threshold: float, meta) -> DataFrame:
+    """:func:`~stream_sentinel_spark.operators.similarity.cosine_pairs_lsh`
+    over a materialized (id, vec, nrm, sig) kernel frame: the band keys,
+    the salting probe and the verify inputs all re-derive from the
+    kernel's pinned blocks instead of recomputing signatures and norms
+    from the raw batch. Same expressions, same rows — the emitted
+    (a_id, b_id, cos) set is bit-identical to the one-shot operator."""
+    from stream_sentinel_spark.operators.dedup import _hot_salted_self_join
+    from stream_sentinel_spark.operators.similarity import (
+        _cos_seq_udf,
+        _kernel_band_keys,
+    )
+    from stream_sentinel_spark.operators.partitioning import spread_pairs
+
+    chunks = _kernel_band_keys(kernel, meta.bits, meta.bands, "id")
+    cands = spread_pairs(
+        _hot_salted_self_join(chunks, ["band", "val"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    cos_seq = _cos_seq_udf()
+    a = kernel.select(
+        F.col("id").alias("a_id"), F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = kernel.select(
+        F.col("id").alias("b_id"), F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos", cos_seq("a_vec", "b_vec", "a_nrm", "b_nrm"))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
     )
 
 
@@ -304,7 +388,7 @@ def make_dedup_ingest_batch_fn(
     and the atomic-append manifest protocol (module doc). Run
     :func:`recover_dedup_ingest` at loop start (automatic via
     :func:`run_dedup_ingest`) to restore a crashed run's state."""
-    match_fn, append_fn, compact_fn = _family(kind)
+    match_fn, append_fn, compact_fn, prepare_kernel = _family(kind)
     grown, _append_tables, _stats_keys, _best = _KIND_SPEC[kind]
     if dedup_within_batch not in (False, True, "pairwise", "transitive"):
         raise ValueError(
@@ -315,9 +399,26 @@ def make_dedup_ingest_batch_fn(
         "transitive" if dedup_within_batch == "transitive" else "pairwise"
     )
     n_appends = [0]
+    # the meta row is immutable for the life of an index (appends and
+    # compaction preserve it) — read it once per loop, not once per
+    # stage per epoch (three catalog reads + head() jobs per batch)
+    meta_box: list = []
+
+    def _meta(spark: SparkSession):
+        if not meta_box:
+            meta_box.append(spark.table(f"{table}_meta").head())
+        return meta_box[0]
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+
+        def _label(stage: str) -> None:
+            # per-stage job labels (guide §1.5) — the loop's many small
+            # jobs are otherwise indistinguishable in the UI/REST timeline
+            spark.sparkContext.setJobDescription(
+                f"ingest e{epoch_id}: {stage}"
+            )
+
         if commit_log_dir is not None:
             from stream_sentinel_spark.streaming.exactly_once import (
                 is_epoch_committed,
@@ -332,23 +433,42 @@ def make_dedup_ingest_batch_fn(
         # the append — without this each consumer would re-read the
         # source files (and the append's lineage would reach back into
         # the index tables it is writing)
+        _label("batch checkpoint")
         batch = batch_df.select(*payload).localCheckpoint(eager=True)
         appended = False
         if batch.take(1):
+            meta = _meta(spark)
+            # ONE kernel pass per epoch (signatures + verify inputs,
+            # eagerly checkpointed); the intra, match and append stages
+            # below consume row-slices of it instead of each re-running
+            # the signature computation over their subset of the batch
+            _label("kernel")
+            kernel = prepare_kernel(batch, id_col, content_col, meta)
             survivors = batch
+            surv_kernel = kernel
             intra = None
             if dedup_within_batch:
+                _label("intra-batch dedup")
                 intra = _intra_batch_matches(
                     spark, batch, table, kind, id_col, content_col, threshold,
-                    mode=intra_mode,
+                    mode=intra_mode, meta=meta, kernel=kernel,
                 ).localCheckpoint(eager=True)
+                # lazy anti-joins of checkpointed frames: each consumer
+                # re-derives a broadcast anti-join over pinned blocks —
+                # cheaper than materializing another copy per stage
                 survivors = batch.join(
                     intra.select(F.col("new_id").alias(id_col)), [id_col],
                     "left_anti",
-                ).localCheckpoint(eager=True)
+                )
+                surv_kernel = kernel.join(
+                    intra.select(F.col("new_id").alias("id")), ["id"],
+                    "left_anti",
+                )
+            _label("index match")
             matches = match_fn(
                 spark, survivors, table, id_col, content_col,
                 threshold=threshold, cutoff=cutoff,
+                meta=meta, kernel=surv_kernel,
             ).localCheckpoint(eager=True)
             if matches_path is not None:
                 out = matches
@@ -359,6 +479,7 @@ def make_dedup_ingest_batch_fn(
                 out.withColumn("epoch", F.lit(epoch_id)).write.mode(
                     "append"
                 ).parquet(matches_path)
+            _label("accepted")
             accepted = survivors.join(
                 matches.select(F.col("new_id").alias(id_col)), [id_col],
                 "left_anti",
@@ -368,7 +489,19 @@ def make_dedup_ingest_batch_fn(
                     "append"
                 ).parquet(accepted_path)
             if accepted.take(1):
-                append_fn(accepted, table, id_col, content_col)
+                # the accepted slice of the epoch kernel feeds all three
+                # index writes — checkpoint it once (the kernel rows of
+                # sig-less docs are absent by construction, exactly as
+                # the per-stage recomputation filtered them)
+                _label("index append")
+                acc_kernel = surv_kernel.join(
+                    matches.select(F.col("new_id").alias("id")), ["id"],
+                    "left_anti",
+                ).localCheckpoint(eager=True)
+                append_fn(
+                    accepted, table, id_col, content_col,
+                    meta=meta, kernel=acc_kernel,
+                )
                 n_appends[0] += 1
                 appended = True
                 if refresh_session is not None:
@@ -380,6 +513,7 @@ def make_dedup_ingest_batch_fn(
                 snapshot_state,
             )
 
+            _label("manifest commit")
             tables = [table + s for s in grown]
             paths = [p for p in (accepted_path, matches_path) if p is not None]
             commit_epoch_manifest(
@@ -391,6 +525,7 @@ def make_dedup_ingest_batch_fn(
         # compaction can never double-append — recovery only has to
         # finish (or re-snapshot after) a content-preserving swap
         if compact_every and appended and n_appends[0] % compact_every == 0:
+            _label("compaction")
             if commit_log_dir is not None:
                 from stream_sentinel_spark.streaming import manifest as mf
 
@@ -413,6 +548,7 @@ def make_dedup_ingest_batch_fn(
             if refresh_session is not None:
                 for suffix in grown:
                     refresh_session.catalog.refreshTable(table + suffix)
+        spark.sparkContext.setJobDescription(None)
 
     return run
 

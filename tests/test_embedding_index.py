@@ -178,8 +178,23 @@ def test_plan_still_exchange_free_after_appends(
     assert plan.count("hashpartitioning(band") == 1, plan
 
 
-def test_append_meta_carries_bucket_count(spark, index):
-    assert spark.table(f"{index}_meta").head().num_buckets == 32
+def test_append_meta_carries_bucket_count(spark, frames, index):
+    """The meta row records the bucket count appends/compaction follow.
+    Default builds auto-size it to the corpus (auto_num_buckets); an
+    explicit num_buckets always wins and is recorded verbatim."""
+    from stream_sentinel_spark.sources.bucketing import auto_num_buckets
+
+    old, _ = frames
+    assert (
+        spark.table(f"{index}_meta").head().num_buckets
+        == auto_num_buckets(old.count())
+    )
+    try:
+        build_lsh_index(old, "emb_explicit_nb", num_buckets=32)
+        assert spark.table("emb_explicit_nb_meta").head().num_buckets == 32
+    finally:
+        for suffix in ("bands", "vecs", "bandstats", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS emb_explicit_nb_{suffix}")
 
 
 def test_compaction_resets_files_and_preserves_matches(spark, frames):
