@@ -5631,7 +5631,7 @@ _SENTINEL_KEY = -1
 
 
 @contextmanager
-def _stream_parts(spark, n_rows: int, target_rows: int = 25_000):
+def _stream_parts(spark, n_rows: int, target_rows: int = 25_000, floor: int = 4):
     """Size STATEFUL-streaming shuffle partitions to the data, not the
     session constant, for the duration of one gate stream (guide §2.2:
     fewer, larger partitions; AQE cannot do this for us — it is
@@ -5641,7 +5641,10 @@ def _stream_parts(spark, n_rows: int, target_rows: int = 25_000):
     state partitions are pure overhead — the same measurement
     bench.py's streaming leg documents (8 beats 32 at ~12.5k
     events/batch). The count DERIVES from the stream's input volume
-    (ceil(rows/target), floor 4) and is capped at the session's
+    (ceil(rows/target), floor ``floor``; Python-state call sites pass
+    smaller targets — their cost scales with rows of per-partition
+    Python work, not only per-partition state overhead) and is capped
+    at the session's
     configured parallelism, so a production-sized input keeps the
     session's scale-out while a gate-sized one stops paying for empty
     partitions; the checkpoint pins it per query as usual.
@@ -5649,7 +5652,7 @@ def _stream_parts(spark, n_rows: int, target_rows: int = 25_000):
     Restores the session value on exit — batch entries measured after
     a streaming entry are unaffected."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(4, min(int(old), -(-int(n_rows) // target_rows)))
+    parts = max(floor, min(int(old), -(-int(n_rows) // target_rows)))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
         yield parts
@@ -5739,7 +5742,19 @@ def _streaming_detect(spark, sf, *, backend: str, watermark: str | None):
                     st = _os.stat(f)
                     _os.utime(f, (st.st_atime, base_mtime + 2.0 * (i + 1)))
                 seen = now
-        with _stream_parts(spark, ev.count()):
+        # Python-state backends scale with ROWS of per-partition Python
+        # work, not just per-partition state-store overhead, so their
+        # partition target is much smaller than the JVM-state entries'
+        # 25k (measured at sf0.1/100k rows: "bucketed" 3.2 s at 32
+        # parts vs 11.2 s at 4; "event_time_bucketed" — which re-reads
+        # every partition's event-time buffer on EACH trigger — is best
+        # at ~8 parts: 16.3 s vs 18.4 s at 32 and 20.8 s at 4).
+        per_backend = (
+            {"target_rows": 12_500, "floor": 8}
+            if backend.startswith("event_time")
+            else {"target_rows": 3_000, "floor": 8}
+        )
+        with _stream_parts(spark, ev.count(), **per_backend):
             stream = read_file_stream(
                 spark, f"{tmp}/ev", ev.schema, time_col="ts",
                 watermark=watermark,
