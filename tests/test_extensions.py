@@ -186,14 +186,16 @@ def test_connected_components_multi_hop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
-def test_connected_components_long_chain_converges(spark):
+def test_connected_components_long_chain_converges(spark, monkeypatch):
     """A 60-link path graph — diameter 3x the iteration cap. One-hop
     min-label propagation alone would exhaust max_iterations=20 and
     silently split the chain (ADVICE r08); pointer doubling covers
     diameter < 2^19 within the default cap, so the chain must come back
-    as ONE component with no warning."""
+    as ONE component with no warning. Forces the DISTRIBUTED loop (cap
+    0) — a 61-pair graph would otherwise take the driver fast path."""
     import warnings
 
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_PAIRS", 0)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], ["a_id", "b_id"]
     )
@@ -208,10 +210,12 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(61)}
 
 
-def test_connected_components_exhaustion_detected(spark):
+def test_connected_components_exhaustion_detected(spark, monkeypatch):
     """An exhausted iteration cap (labels still moving) warns by default
     and raises under require_convergence=True — never returns split
-    components silently."""
+    components silently. Distributed loop forced (cap 0); the driver
+    fast path is exact and never exhausts."""
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_PAIRS", 0)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], ["a_id", "b_id"]
     )
@@ -221,6 +225,45 @@ def test_connected_components_exhaustion_detected(spark):
         dedup.connected_components(
             pairs, max_iterations=1, require_convergence=True
         )
+
+
+def test_connected_components_driver_path_equals_loop(spark, monkeypatch):
+    """The driver union-find fast path and the distributed label loop
+    emit IDENTICAL (id, component) labels — pinned on a seeded random
+    graph (chains, a clique, isolated edges, skewed ids) plus the
+    null-id and overflow fallbacks."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(0, 40)]          # long chain
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260))
+              for _ in range(80)]                        # random clumps
+    edges += [(10_000_000_000 + i, i) for i in (3, 205)]  # big ids
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+
+    fast = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX_PAIRS", 0)
+    loop = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert fast == loop and len(fast) > 100
+
+    # a null id falls back to the distributed loop (no driver compare
+    # against None); result matches the loop's null handling
+    monkeypatch.undo()
+    with_null = spark.createDataFrame(
+        [(1, 2), (None, 4)], "a_id long, b_id long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(with_null).collect()
+    }
+    assert got[1] == 1 and got[2] == 1
 
 
 def test_greedy_component_matches_long_chain(spark):
