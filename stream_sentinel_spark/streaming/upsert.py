@@ -632,8 +632,11 @@ def maintain_agg_view(
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
         # the tmp build reads the live view — materialize it fully
         # before the swap so the DROP can't pull files out from under
-        # a lazy plan
-        write_plain(merged.localCheckpoint(eager=True), tmp)
+        # a lazy plan. coalesce(1): the view is O(|groups|) small by
+        # construction, and the shuffle-partition-count of the merge
+        # join otherwise fans it into dozens of near-empty files that
+        # every subsequent page's read and swap re-lists
+        write_plain(merged.coalesce(1).localCheckpoint(eager=True), tmp)
         if spark.catalog.tableExists(view):
             spark.sql(f"DROP TABLE {view}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {view}")
@@ -797,7 +800,7 @@ def make_upsert_batch_fn(
     seq_cols: Sequence[str],
     op_col: str | None = None,
     delete_op: str = "D",
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     commit_log_dir: str | None = None,
     refresh_session: SparkSession | None = None,
     compact_every: int | None = None,
@@ -831,6 +834,7 @@ def make_upsert_batch_fn(
     only (the default, history-truncating behavior). The callable runs
     only at compaction points, never on the append hot path."""
     from stream_sentinel_spark.sources.bucketing import (
+        auto_num_buckets,
         recover_compaction,
         table_num_buckets,
         write_bucketed,
@@ -881,8 +885,24 @@ def make_upsert_batch_fn(
             # appends follow the TABLE's current bucket spec, not the
             # configured one: a re-bucketing compaction (layout
             # evolution) or a loop restarted with a different setting
-            # must keep appending into the live layout
-            nb = table_num_buckets(spark, log) if exists else num_buckets
+            # must keep appending into the live layout. At creation,
+            # num_buckets=None sizes the count to the first batch
+            # (auto_num_buckets): a fixed 32 over gate-sized epochs
+            # wrote 32 near-empty files per append, and once the log
+            # crossed the ~32-path parallel-listing threshold every
+            # page read of the change feed paid a distributed
+            # file-listing JOB; production-scale epochs auto-size up
+            # (or callers pass the count), and a log that outgrows its
+            # creation count re-buckets at compaction.
+            nb = (
+                table_num_buckets(spark, log)
+                if exists
+                else (
+                    num_buckets
+                    if num_buckets is not None
+                    else auto_num_buckets(batch.count())
+                )
+            )
             write_bucketed(
                 batch, log, list(key_cols), nb,
                 mode="append" if exists else "overwrite", align=True,

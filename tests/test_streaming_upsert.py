@@ -224,12 +224,18 @@ def test_crash_mid_epoch_recovers_to_last_commit(spark, tmp_path):
         )
         fn(_changes(spark, E0), 0)
         committed = _snap_rows(spark, table)
-        # crash mid-epoch-1: files appended, no commit marker
-        from stream_sentinel_spark.sources.bucketing import write_bucketed
+        # crash mid-epoch-1: files appended, no commit marker (follow
+        # the table's bucket spec — creation auto-sizes it now)
+        from stream_sentinel_spark.sources.bucketing import (
+            table_num_buckets,
+            write_bucketed,
+        )
 
         write_bucketed(
             _changes(spark, E1).withColumn("_epoch", F.lit(1)),
-            f"{table}_log", ["k"], 32, mode="append", align=True,
+            f"{table}_log", ["k"],
+            table_num_buckets(spark, f"{table}_log"),
+            mode="append", align=True,
         )
         rep = recover_upsert_ingest(spark, table=table, commit_log_dir=commits)
         assert rep["orphans_deleted"], rep
@@ -635,7 +641,10 @@ def test_change_feed_excludes_uncommitted_epoch(spark, tmp_path):
     BEFORE loop-start recovery deletes its files. The catalog-table
     read (no commit_log_dir) sees them; the manifest-driven read never
     does."""
-    from stream_sentinel_spark.sources.bucketing import write_bucketed
+    from stream_sentinel_spark.sources.bucketing import (
+        table_num_buckets,
+        write_bucketed,
+    )
     from stream_sentinel_spark.streaming.upsert import read_upsert_changes
 
     table = _table()
@@ -647,10 +656,13 @@ def test_change_feed_excludes_uncommitted_epoch(spark, tmp_path):
         )
         fn(_changes(spark, E0), 0)
         fn(_changes(spark, E1), 1)
-        # crash mid-epoch-2: files appended, no commit marker
+        # crash mid-epoch-2: files appended, no commit marker (follow
+        # the table's auto-sized bucket spec)
         write_bucketed(
             _changes(spark, E2).withColumn("_epoch", F.lit(2)),
-            f"{table}_log", ["k"], 32, mode="append", align=True,
+            f"{table}_log", ["k"],
+            table_num_buckets(spark, f"{table}_log"),
+            mode="append", align=True,
         )
         feed = read_upsert_changes(spark, table, 0, commit_log_dir=commits)
         assert {r._epoch for r in feed.collect()} == {1}
