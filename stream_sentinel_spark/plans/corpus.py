@@ -5897,7 +5897,8 @@ _X85_DAG_ORACLE = f"""
 @query("x85_curation_dag", _X85_DAG_ORACLE)
 def x85(spark, sf):
     """The round-5 verdict's composed frontier entry: every stage of a
-    production curation run, chained lazily — Catalyst sees ONE plan.
+    production curation run, composed stage-over-stage with the
+    FAN-OUT frames pinned (localCheckpoint) between stages.
 
     ingest (source != src0) → quality gate (x04's features, ≥ 0.66,
     x15's cut) → exact dedup (x01 groups, min-id survivor) → near-dup
@@ -5916,7 +5917,18 @@ def x85(spark, sf):
     set (the MinHash path swaps in at 100 TB — same pair schema), the
     gram/containment stages are two hash aggs + one join each, and the
     final manifest is a 24-row roll-up; no stage materializes to the
-    driver."""
+    driver.
+
+    The fan-out frames (qualified, survivors, clusters, reps, clean —
+    each consumed by 2-3 downstream stages) are pinned with
+    localCheckpoint: fully lazy chaining re-ran each one's whole
+    upstream per consumer — the single plan held 38 parquet scans and
+    44 Exchanges with ZERO subtree reuse (guide §3.3: materialise
+    intermediates of very wide plans; §1.2: don't compute things
+    twice). Checkpointing is a barrier, not a semantic change — the
+    manifest is bit-identical (oracle gate) — and at 100 TB the
+    equivalent move is writing each stage's survivors to storage, which
+    a production curation run does anyway."""
     from stream_sentinel_spark.operators import curation
     from stream_sentinel_spark.operators.sampling import _md5_bucket
 
@@ -5927,22 +5939,24 @@ def x85(spark, sf):
     quality = text.quality_features(train, "doc_id", "text")
     qualified = train.join(
         quality.filter(F.col("quality_score") >= 0.66).select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     groups = dedup.exact_dedup_groups(qualified, "doc_id", "text")
     survivors = qualified.join(
         groups.select(F.col("keep_id").alias("doc_id")), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     pairs = dedup.ngram_jaccard_pairs(survivors, "doc_id", "text", n=3, threshold=0.8)
-    clusters = dedup.dedup_clusters(survivors, pairs.select("a_id", "b_id"), "doc_id")
+    clusters = dedup.dedup_clusters(
+        survivors, pairs.select("a_id", "b_id"), "doc_id"
+    ).localCheckpoint(eager=True)
     reps = survivors.join(
         clusters.filter(F.col("keep")).select(F.col("id").alias("doc_id")), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     cont = curation.decontaminate(eval_docs, reps, "doc_id", "text", n=5)
     clean = reps.join(
         cont.filter(F.col("containment") >= 0.5).select("doc_id"),
         "doc_id",
         "left_anti",
-    )
+    ).localCheckpoint(eager=True)
     assigned = clean.join(
         curation.leakage_safe_split(
             clean, clusters.select("id", "component"), "doc_id",
