@@ -510,11 +510,17 @@ def q12(spark, sf):
     # TPC-H Q3 shape: two broadcast-able dims against the fact table;
     # filters push to every scan; LIMIT has a total-order tie-break.
     customer = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # column-vs-literal comparisons (not unix_millis on the column):
+    # a filter on a DERIVED expression cannot push to the parquet scan
+    # (guide §6) — with the _utc_ts bound the predicate lands in
+    # PushedFilters and row groups outside the date range are skipped.
+    # Equivalent rows: both columns hold whole-day UTC instants, so the
+    # strict millisecond and timestamp comparisons agree.
     orders = _t(spark, sf, "orders").filter(
-        F.unix_millis("o_orderdate") < 820454400000
+        F.col("o_orderdate") < _utc_ts("1996-01-01 00:00:00")
     )
     lineitem = _t(spark, sf, "lineitem").filter(
-        F.unix_millis("l_shipdate") > 820454400000
+        F.col("l_shipdate") > _utc_ts("1996-01-01 00:00:00")
     )
     joined = (
         lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
@@ -769,7 +775,11 @@ def q21(spark, sf):
     utc_date = F.date_from_unix_date(
         F.floor(F.unix_millis("o_orderdate") / F.lit(86_400_000)).cast("int")
     )
-    return orders.filter(F.unix_millis("o_orderdate") >= 852076800000).select(
+    # pushable column-vs-literal bound (see q12) — the calendar math
+    # below stays epoch-day arithmetic, only the FILTER moved to the scan
+    return orders.filter(
+        F.col("o_orderdate") >= _utc_ts("1997-01-01 00:00:00")
+    ).select(
         "o_orderkey",
         F.year(utc_date).alias("y"),
         F.month(utc_date).alias("m"),
