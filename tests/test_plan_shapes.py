@@ -406,3 +406,24 @@ def test_bloom_prune_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Scan parquet" not in plan, plan
+
+
+def test_stream_parts_sizes_to_data_and_restores(spark):
+    """_stream_parts derives the stateful-stream partition count from
+    the input volume (ceil(rows/target), floor, capped at the session
+    value — production-sized inputs keep the session's scale-out) and
+    restores the session setting on exit."""
+    from stream_sentinel_spark.plans.corpus import _stream_parts
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    cap = int(old)
+    with _stream_parts(spark, 100, target_rows=25_000) as p:
+        assert p == min(cap, 4)  # floor
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(p)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    with _stream_parts(spark, 10**9, target_rows=25_000) as p:
+        assert p == cap  # capped at the session's configured parallelism
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old
+    with _stream_parts(spark, 100_000, target_rows=12_500, floor=8) as p:
+        assert p == min(cap, 8)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old

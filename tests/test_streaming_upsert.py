@@ -1228,3 +1228,44 @@ def test_consumer_lag(spark, tmp_path):
         assert lag == {"latest_epoch": 2, "offset": 2, "lag_epochs": 0}
     finally:
         _drop(spark, table)
+
+
+def test_log_bucket_count_auto_sizes_to_first_batch(spark):
+    """num_buckets=None (default) sizes the log's bucket count to the
+    FIRST batch via auto_num_buckets — a gate-sized epoch gets the
+    4-bucket floor instead of 32 near-empty files per append (whose
+    accumulated paths cross the parallel-listing threshold and put a
+    distributed listing job on every change-feed page read) — while an
+    explicit count always wins and appends keep following the table's
+    live spec either way."""
+    from stream_sentinel_spark.sources.bucketing import (
+        auto_num_buckets,
+        table_num_buckets,
+    )
+
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op"
+        )
+        fn(_changes(spark, E0), 0)
+        assert (
+            table_num_buckets(spark, f"{table}_log")
+            == auto_num_buckets(len(E0))
+            == 4
+        )
+        fn(_changes(spark, E1), 1)  # append follows the table's spec
+        assert table_num_buckets(spark, f"{table}_log") == 4
+        assert _snap_rows(spark, table) == _batch_twin(spark, E0 + E1)
+    finally:
+        _drop(spark, table)
+    explicit = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=explicit, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            num_buckets=16,
+        )
+        fn(_changes(spark, E0), 0)
+        assert table_num_buckets(spark, f"{explicit}_log") == 16
+    finally:
+        _drop(spark, explicit)
