@@ -64,6 +64,18 @@ def build_spark(cpus: int):
         # bench loop also forces a driver GC between queries.
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, the app/SQL status stores retain
+        # metadata for 1000 jobs/stages and 1000 SQL executions —
+        # including each execution's full plan graph. A 178-query
+        # corpus run accumulates thousands of stages and very large
+        # plan strings there, pure heap/GC drag on late queries. These
+        # caps bound the stores without touching what is timed (same
+        # knob class as the periodic-GC setting above).
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "20")
+        .config("spark.worker.ui.retainedExecutors", "20")
         .getOrCreate()
     )
 
