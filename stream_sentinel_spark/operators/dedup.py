@@ -854,6 +854,7 @@ def connected_components(
     b_col: str = "b_id",
     max_iterations: int = 20,
     require_convergence: bool = False,
+    probe: bool = True,
 ) -> DataFrame:
     """(id, component) — connected components of the similarity graph,
     component = min reachable id. THE step that turns near-dup pairs
@@ -898,20 +899,34 @@ def connected_components(
     jobs × rounds per micro-batch. Corpus-scale pair sets overflow the
     probe on its first job and take the distributed loop unchanged —
     the probe cost there is one truncated collect of ≤cap rows.
+
+    ``probe=False`` is the caller hint for KNOWN-large graphs (or
+    callers that already ran their own bounded pull — the ingest loop's
+    transitive stage does): skips the truncated collect and goes
+    straight to the distributed loop.
     """
     import warnings
 
-    head = pairs.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).limit(_DRIVER_CC_MAX_PAIRS + 1).collect()
-    if len(head) <= _DRIVER_CC_MAX_PAIRS and not any(
-        r["a"] is None or r["b"] is None for r in head
-    ):
-        return _driver_connected_components(pairs, head, a_col)
+    proj = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    if probe:
+        # lazy pin BEFORE probing: the probe's partial evaluation of the
+        # (possibly expensive) pair pipeline feeds the distributed
+        # branch's union instead of being recomputed twice more
+        proj = proj.localCheckpoint(eager=False)
+        head = proj.limit(_DRIVER_CC_MAX_PAIRS + 1).collect()
+        if (
+            len(head) <= _DRIVER_CC_MAX_PAIRS
+            # the driver path types its output from a_col alone; a
+            # mixed-width (a, b) pair frame takes the distributed loop,
+            # whose union widens to the common type
+            and pairs.schema[a_col].dataType == pairs.schema[b_col].dataType
+            and not any(r["a"] is None or r["b"] is None for r in head)
+        ):
+            return _driver_connected_components(pairs, head, a_col)
 
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        proj.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(proj.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
     # every node also neighbors itself, so isolated direction handling
@@ -1818,6 +1833,38 @@ def _kernel_frame(
     )
 
 
+def _epoch_frames(
+    batch: DataFrame,
+    payload: list[str],
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(batch, kernel) for one ingest-loop epoch off a SINGLE eager
+    checkpoint: the payload columns and the signature struct
+    materialize in one job, and both frames are projections (plus the
+    kernel's sig-notnull filter) over the pinned blocks. Round 9
+    checkpointed the batch and the kernel separately — one extra
+    materialization job and an extra pass over the batch per epoch
+    (guide §1.2/§2.6: the loop's cost is jobs-per-epoch). Kernel rows
+    and values are bit-identical to :func:`_kernel_frame` over the same
+    rows (same Arrow UDF, same filter); the batch rows are exactly the
+    source payload (the signature struct is dropped, never written)."""
+    sig_code = _text_sig_code_udf(n, num_hashes)(F.col(text_col))
+    combined = (
+        _spread(batch.select(*payload))
+        .withColumn("_sc", sig_code)
+        .localCheckpoint(eager=True)
+    )
+    kernel = (
+        combined.select(
+            F.col(id_col).alias("id"), "_sc.sig", "_sc.codes", "_sc.sz"
+        ).filter(F.col("sig").isNotNull())
+    )
+    return combined.drop("_sc"), kernel
+
+
 def build_minhash_index(
     old: DataFrame,
     table: str,
@@ -1914,7 +1961,9 @@ def append_minhash_index(
     ``{table}_verify`` with ``mode("append").bucketBy(...)`` (spec
     validated against the catalog; subsequent
     :func:`match_minhash_index` still joins the corpus side with no
-    Exchange), and ``{table}_bandstats`` is delta-merged in place. The
+    Exchange), and ``{table}_bandstats`` takes the batch's count deltas
+    as appended log rows (summed per key at read, re-aggregated at
+    compaction — see similarity._merge_bandstats). The
     corpus is never rescanned — per-append cost is O(batch), flat as
     the index grows (tools/index_scale_stress.py records it). N
     appends ≡ one rebuild bit-for-bit (tests/test_minhash_index.py).
@@ -1979,11 +2028,12 @@ def compact_minhash_index(
     silently relocated into the managed warehouse nor left leaking the
     old files. ``paths`` overrides the target location per table name
     (``{f"{table}_bands": "...", f"{table}_verify": "..."}``)."""
+    from stream_sentinel_spark.operators.similarity import _compact_bandstats
     from stream_sentinel_spark.sources.bucketing import compact_bucketed_rotating
 
     meta = spark.table(f"{table}_meta").head()
     paths = paths or {}
-    return {
+    out = {
         f"{table}_bands": compact_bucketed_rotating(
             spark, f"{table}_bands", ["band", "bucket"], meta.num_buckets,
             path=paths.get(f"{table}_bands"),
@@ -1993,6 +2043,10 @@ def compact_minhash_index(
             path=paths.get(f"{table}_verify"),
         ),
     }
+    # the stats append-log re-aggregates to one row per key on the same
+    # cadence (appends only ever add delta rows — see _merge_bandstats)
+    _compact_bandstats(spark, f"{table}_bandstats", ["band", "bucket"])
+    return out
 
 
 def match_minhash_index(
@@ -2031,11 +2085,13 @@ def match_minhash_index(
         else _kernel_frame(new, id_col, text_col, meta.n, meta.num_hashes)
     )
     kwargs = {} if cutoff is None else {"cutoff": cutoff}
+    from stream_sentinel_spark.operators.similarity import _read_bandstats
+
     cands = _hot_salted_pair_join(
         bucketed(spark, f"{table}_bands").withColumnRenamed("old_id", "id"),
         _banded_keys(new_kernel.select("id", "sig"), meta.num_hashes, meta.bands),
         ["band", "bucket"],
-        na=spark.table(f"{table}_bandstats"),
+        na=_read_bandstats(spark, f"{table}_bandstats", ["band", "bucket"]),
         **kwargs,
     ).distinct()
     docs = spark.table(f"{table}_verify").withColumnRenamed(

@@ -722,10 +722,10 @@ def append_lsh_index(
     :func:`match_lsh_index` still plans the corpus side as a bucketed
     FileScan with no Exchange — pinned by
     tests/test_embedding_index.py::test_plan_still_exchange_free_after_appends).
-    ``{table}_bandstats`` is DELTA-merged: the batch's (band, val)
-    counts union the stored counts and overwrite in place
-    (``insertInto(overwrite=True)`` keeps the table's identity and
-    location) — per-append cost is O(batch) + O(stats), never a corpus
+    ``{table}_bandstats`` takes the batch's (band, val) count deltas as
+    appended log rows (summed per key at read —
+    :func:`_read_bandstats`; re-aggregated at compaction) — per-append
+    cost is O(batch), never a stats rewrite or a corpus
     rescan. Signature params and bucket count come from
     ``{table}_meta``, so an append can't disagree with the build.
 
@@ -807,7 +807,7 @@ def compact_lsh_index(
 
     meta = spark.table(f"{table}_meta").head()
     paths = paths or {}
-    return {
+    out = {
         f"{table}_bands": compact_bucketed_rotating(
             spark, f"{table}_bands", ["band", "val"], meta.num_buckets,
             path=paths.get(f"{table}_bands"),
@@ -817,21 +817,43 @@ def compact_lsh_index(
             path=paths.get(f"{table}_vecs"),
         ),
     }
+    # the stats append-log re-aggregates to one row per key on the same
+    # cadence (appends only ever add delta rows — see _merge_bandstats)
+    _compact_bandstats(spark, f"{table}_bandstats", ["band", "val"])
+    return out
 
 
 def _merge_bandstats(spark, table: str, keys: list, delta: DataFrame) -> None:
-    """Delta-merge per-bucket counts into a stored stats table: stored ∪
-    delta → sum per key → overwrite IN PLACE. The merged frame is
-    localCheckpoint'd before the write so the overwrite never reads the
-    files it is replacing; ``insertInto(overwrite=True)`` (positional)
-    preserves the table's definition and external location, which a
-    ``saveAsTable("overwrite")`` drop-and-recreate would not."""
-    merged = (
-        spark.table(table)
-        .unionByName(delta)
-        .groupBy(*keys)
-        .agg(F.sum("_na").alias("_na"))
-        .localCheckpoint(eager=True)
+    """Log-structured merge of per-bucket counts: the stats table is an
+    APPEND LOG of count deltas (base rows from the build plus one delta
+    row set per append), summed per key at read time
+    (:func:`_read_bandstats`). Through round 9 every append re-read the
+    whole stored table, summed, checkpointed and overwrote it in place —
+    two jobs and a full stats rewrite per epoch of the ingest loop; the
+    counts are additive, so appending the delta is the same information
+    for one small bucket-count-sized write (guide §6; at 100 TB scale
+    the per-epoch cost stops being O(index buckets) rewritten). The log
+    is re-aggregated to one row per key at compaction
+    (:func:`_compact_bandstats`) and by the recovery rebuild."""
+    delta.select(*keys, "_na").write.insertInto(table, overwrite=False)
+
+
+def _read_bandstats(spark, table: str, keys: list) -> DataFrame:
+    """One row per key over the append-log stats table (sum of base +
+    deltas) — the frame every consumer of per-bucket counts must use;
+    a raw read sees one row per append and would duplicate joins."""
+    return spark.table(table).groupBy(*keys).agg(F.sum("_na").alias("_na"))
+
+
+def _compact_bandstats(spark, table: str, keys: list) -> None:
+    """Rewrite the stats append-log to one aggregated row per key (one
+    file) — round 9's per-append merge, now run only at compaction
+    cadence. The aggregated frame is localCheckpoint'd before the write
+    so the overwrite never reads the files it is replacing;
+    ``insertInto(overwrite=True)`` preserves the table's definition and
+    external location."""
+    merged = _read_bandstats(spark, table, keys).coalesce(1).localCheckpoint(
+        eager=True
     )
     merged.select(*keys, "_na").write.insertInto(table, overwrite=True)
 
@@ -850,6 +872,40 @@ def _lsh_kernel_frame(
         .withColumn("nrm", norm(_as_double(F.col("vec"))))
         .localCheckpoint(eager=True)
     )
+
+
+def _lsh_epoch_frames(
+    batch: DataFrame,
+    payload: list[str],
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    dim: int,
+    seed: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(batch, kernel) for one ingest-loop epoch off a SINGLE eager
+    checkpoint — the embedding twin of
+    :func:`~stream_sentinel_spark.operators.dedup._epoch_frames`: the
+    payload columns, the signature and the norm materialize in one job;
+    both frames are projections over the pinned blocks. Kernel values
+    are bit-identical to :func:`_lsh_kernel_frame` over the same rows
+    (same signature expression/kernel, same norm)."""
+    from stream_sentinel_spark.operators.partitioning import spread_small
+
+    carry = [c for c in payload if c != id_col]
+    combined = (
+        lsh_signatures(
+            spread_small(batch.select(*payload)),
+            id_col, vec_col, bits, dim, seed, carry=carry,
+        )
+        .withColumn("_nrm", norm(_as_double(F.col(vec_col))))
+        .localCheckpoint(eager=True)
+    )
+    kernel = combined.select(
+        "id", F.col(vec_col).alias("vec"), "sig", F.col("_nrm").alias("nrm")
+    )
+    b = combined.select(F.col("id").alias(id_col), *carry).select(*payload)
+    return b, kernel
 
 
 def _kernel_band_keys(kernel: DataFrame, bits: int, bands: int, id_alias: str) -> DataFrame:
@@ -903,7 +959,7 @@ def index_candidates(
             old_bands,
             new_chunks,
             ["band", "val"],
-            na=spark.table(f"{table}_bandstats"),
+            na=_read_bandstats(spark, f"{table}_bandstats", ["band", "val"]),
             **kwargs,
         )
         .select(F.col("a_id").alias("old_id"), F.col("b_id").alias("new_id"))

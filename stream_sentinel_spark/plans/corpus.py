@@ -5660,7 +5660,11 @@ def _stream_parts(spark, n_rows: int, target_rows: int = 25_000, floor: int = 4)
     partitions; the checkpoint pins it per query as usual.
 
     Restores the session value on exit — batch entries measured after
-    a streaming entry are unaffected."""
+    a streaming entry are unaffected. NOT concurrency-safe (ADVICE
+    r09): the knob is session-level, so two entries interleaved on one
+    session would race it — fine for the single-threaded gate/bench
+    this helper exists for; concurrent callers must use separate
+    sessions (cloned sessions have independent conf)."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     parts = max(floor, min(int(old), -(-int(n_rows) // target_rows)))
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))

@@ -94,26 +94,28 @@ _KIND_SPEC = {
 
 
 def _family(kind: str):
-    """(match, append, compact, prepare_kernel) for an index kind.
+    """(match, append, compact, prepare_epoch) for an index kind.
 
-    ``prepare_kernel(batch, id_col, content_col, meta)`` materializes
-    the ONE per-epoch kernel frame (signatures + verify inputs) that
-    the intra, match and append stages all slice — before round 9 each
-    stage recomputed its own signatures over overlapping row sets
-    (guide §1.2: don't compute things twice), which at gate scale was
-    two extra Arrow/expression passes plus their checkpoints per epoch
-    and at production scale two extra full passes over every batch."""
+    ``prepare_epoch(batch_df, payload, id_col, content_col, meta)``
+    materializes the epoch's (batch, kernel) pair off ONE eager
+    checkpoint (payload columns + signatures/verify inputs in a single
+    job) that the intra, match, append and sink stages all slice —
+    round 9 cut the per-stage signature recomputes (guide §1.2: don't
+    compute things twice) but still paid two materialization jobs per
+    epoch (batch, then kernel); round 10 fuses them (guide §2.6: the
+    loop's wall is dominated by jobs-per-epoch, not bytes)."""
     if kind == "minhash":
         from stream_sentinel_spark.operators.dedup import (
-            _kernel_frame,
+            _epoch_frames,
             append_minhash_index,
             compact_minhash_index,
             match_minhash_index,
         )
 
-        def prepare(batch, id_col, content_col, meta):
-            return _kernel_frame(
-                batch, id_col, content_col, meta.n, meta.num_hashes
+        def prepare(batch_df, payload, id_col, content_col, meta):
+            return _epoch_frames(
+                batch_df, payload, id_col, content_col,
+                meta.n, meta.num_hashes,
             )
 
         return (
@@ -122,15 +124,16 @@ def _family(kind: str):
         )
     if kind == "lsh":
         from stream_sentinel_spark.operators.similarity import (
-            _lsh_kernel_frame,
+            _lsh_epoch_frames,
             append_lsh_index,
             compact_lsh_index,
             match_lsh_index,
         )
 
-        def prepare(batch, id_col, content_col, meta):
-            return _lsh_kernel_frame(
-                batch, id_col, content_col, meta.bits, meta.dim, meta.seed
+        def prepare(batch_df, payload, id_col, content_col, meta):
+            return _lsh_epoch_frames(
+                batch_df, payload, id_col, content_col,
+                meta.bits, meta.dim, meta.seed,
             )
 
         return match_lsh_index, append_lsh_index, compact_lsh_index, prepare
@@ -271,12 +274,31 @@ def _greedy_component_matches(
     edges, the label iteration's first materialization, the final
     component join), and each unpinned read would re-run the whole
     LSH-candidate + exact-verify computation — measured 350 s → 87 s
-    on the 15 k-doc / 5 k-chain stress (STRESS_r08_ops.json)."""
+    on the 15 k-doc / 5 k-chain stress (STRESS_r08_ops.json).
+
+    ADAPTIVE REGIME (round 10; the connected_components probe hoisted
+    one level): a pair set that fits the driver cap runs the SAME
+    greedy on the driver over ONE truncated collect — greedy decisions
+    are component-local (a row's accepted-partner test only ever sees
+    ids of its own component), so one global ascending-id pass is
+    decision-identical to the per-component passes (pinned in
+    tests/test_ingest_pipeline.py). This replaces the component
+    labeling, the node-component join and the per-component
+    applyInPandas shuffle with a single collect — the transitive intra
+    stage was 21 jobs/epoch at gate scale (round-9 jobprof; x104's
+    round-9 regression). Oversized or null-id pair sets take the
+    distributed path unchanged (probe=False: the collect above already
+    was the probe)."""
     from pyspark.sql import types as T
 
-    from stream_sentinel_spark.operators.dedup import connected_components
+    from stream_sentinel_spark.operators.dedup import (
+        _DRIVER_CC_MAX_PAIRS,
+        connected_components,
+    )
 
-    pairs = pairs.localCheckpoint(eager=True)
+    # lazy pin: the bounded probe's evaluation feeds the distributed
+    # branch's three consumers instead of being recomputed
+    pairs = pairs.localCheckpoint(eager=False)
 
     id_type = pairs.schema["b_id"].dataType
     first_type = T.LongType() if first_long else pairs.schema["a_id"].dataType
@@ -288,6 +310,34 @@ def _greedy_component_matches(
             T.StructField("first_match", first_type),
         ]
     )
+
+    head = pairs.limit(_DRIVER_CC_MAX_PAIRS + 1).collect()
+    if len(head) <= _DRIVER_CC_MAX_PAIRS and not any(
+        r["a_id"] is None or r["b_id"] is None for r in head
+    ):
+        smaller: dict = {}
+        nodes: set = set()
+        for r in head:
+            a, b = r["a_id"], r["b_id"]
+            nodes.add(a)
+            nodes.add(b)
+            smaller.setdefault(b, []).append((a, r["_score"]))
+        accepted: set = set()
+        out_rows = []
+        for i in sorted(nodes):
+            hits = [(a, s) for a, s in smaller.get(i, ()) if a in accepted]
+            if hits:
+                out_rows.append(
+                    (
+                        i,
+                        len(hits),
+                        float(max(s for _, s in hits)),
+                        min(a for a, _ in hits),
+                    )
+                )
+            else:
+                accepted.add(i)
+        return pairs.sparkSession.createDataFrame(out_rows, out_schema)
 
     def greedy(pdf):
         import pandas as pd
@@ -320,7 +370,7 @@ def _greedy_component_matches(
     # With pointer doubling, the default 20 rounds cover diameter
     # < 2^19, so the raise is a backstop, not an expected path.
     comp = connected_components(
-        pairs, "a_id", "b_id", require_convergence=True
+        pairs, "a_id", "b_id", require_convergence=True, probe=False
     ).withColumnRenamed("id", "a_id")
     return (
         pairs.join(comp, "a_id")
@@ -388,7 +438,7 @@ def make_dedup_ingest_batch_fn(
     and the atomic-append manifest protocol (module doc). Run
     :func:`recover_dedup_ingest` at loop start (automatic via
     :func:`run_dedup_ingest`) to restore a crashed run's state."""
-    match_fn, append_fn, compact_fn, prepare_kernel = _family(kind)
+    match_fn, append_fn, compact_fn, prepare_epoch = _family(kind)
     grown, _append_tables, _stats_keys, _best = _KIND_SPEC[kind]
     if dedup_within_batch not in (False, True, "pairwise", "transitive"):
         raise ValueError(
@@ -429,21 +479,19 @@ def make_dedup_ingest_batch_fn(
         # the ingestion stamp is transport plumbing, not document
         # payload — it must reach neither the index nor the sinks
         payload = [c for c in batch_df.columns if c != INGEST_COL]
-        # checkpoint once: the batch feeds the match, the anti-join and
-        # the append — without this each consumer would re-read the
-        # source files (and the append's lineage would reach back into
-        # the index tables it is writing)
-        _label("batch checkpoint")
-        batch = batch_df.select(*payload).localCheckpoint(eager=True)
+        # ONE eager checkpoint per epoch (payload + signatures + verify
+        # inputs in a single job — round 9 paid two: a batch
+        # materialization, then a kernel pass over it); every stage
+        # below consumes projections/slices of the pinned blocks, so no
+        # consumer re-reads the source files and the append's lineage
+        # never reaches into the index tables it is writing
+        _label("epoch checkpoint")
+        meta = _meta(spark)
+        batch, kernel = prepare_epoch(
+            batch_df, payload, id_col, content_col, meta
+        )
         appended = False
         if batch.take(1):
-            meta = _meta(spark)
-            # ONE kernel pass per epoch (signatures + verify inputs,
-            # eagerly checkpointed); the intra, match and append stages
-            # below consume row-slices of it instead of each re-running
-            # the signature computation over their subset of the batch
-            _label("kernel")
-            kernel = prepare_kernel(batch, id_col, content_col, meta)
             survivors = batch
             surv_kernel = kernel
             intra = None
@@ -479,25 +527,44 @@ def make_dedup_ingest_batch_fn(
                 out.withColumn("epoch", F.lit(epoch_id)).write.mode(
                     "append"
                 ).parquet(matches_path)
+            # accepted stays LAZY: its consumers (the sink write and
+            # the appends' kernel slice) derive broadcast anti-joins
+            # over the pinned batch/matches blocks inside their own
+            # jobs — round 9's eager copy was one more job per epoch
+            # holding a third copy of the batch. The emptiness signal
+            # rides the sink write as an observed metric (zero extra
+            # jobs); without a sink it falls back to one take(1) over
+            # pinned blocks.
             _label("accepted")
             accepted = survivors.join(
                 matches.select(F.col("new_id").alias(id_col)), [id_col],
                 "left_anti",
-            ).localCheckpoint(eager=True)
+            )
             if accepted_path is not None:
-                accepted.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                    "append"
-                ).parquet(accepted_path)
-            if accepted.take(1):
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                (
+                    accepted.observe(obs, F.count(F.lit(1)).alias("n"))
+                    .withColumn("epoch", F.lit(epoch_id))
+                    .write.mode("append")
+                    .parquet(accepted_path)
+                )
+                has_accepted = obs.get["n"] > 0
+            else:
+                has_accepted = bool(accepted.take(1))
+            if has_accepted:
                 # the accepted slice of the epoch kernel feeds all three
-                # index writes — checkpoint it once (the kernel rows of
-                # sig-less docs are absent by construction, exactly as
-                # the per-stage recomputation filtered them)
+                # index writes — each re-derives this anti-join over the
+                # pinned kernel/matches blocks (no signature recompute;
+                # the kernel rows of sig-less docs are absent by
+                # construction, exactly as the per-stage recomputation
+                # filtered them)
                 _label("index append")
                 acc_kernel = surv_kernel.join(
                     matches.select(F.col("new_id").alias("id")), ["id"],
                     "left_anti",
-                ).localCheckpoint(eager=True)
+                )
                 append_fn(
                     accepted, table, id_col, content_col,
                     meta=meta, kernel=acc_kernel,

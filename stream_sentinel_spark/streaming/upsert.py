@@ -928,6 +928,20 @@ def make_upsert_batch_fn(
                 if compact_horizon is not None
                 else None
             )
+            # auto-sized logs (num_buckets=None at creation) RE-BUCKET
+            # at compaction to the current volume: a stream whose first
+            # trigger was small (the typical ramp-up) would otherwise
+            # stay pinned at the creation-time floor forever, and the
+            # rewrite is the one moment re-bucketing is free (the data
+            # moves anyway — see compact_upsert_log). Sized from the
+            # pre-compaction row count (one count of the log the
+            # compaction is about to read in full); explicit caller
+            # counts are never second-guessed.
+            compact_nb = (
+                auto_num_buckets(spark.table(log).count())
+                if num_buckets is None
+                else None
+            )
             if commit_log_dir is not None:
                 from stream_sentinel_spark.streaming import manifest as mf
 
@@ -937,7 +951,7 @@ def make_upsert_batch_fn(
                 compact_upsert_log(
                     spark, table, key_cols, seq_cols,
                     op_col=op_col, delete_op=delete_op,
-                    keep_since=keep_since,
+                    keep_since=keep_since, num_buckets=compact_nb,
                 )
                 mf.write_aux_snapshot(
                     spark, commit_log_dir, epoch_id,
@@ -948,7 +962,7 @@ def make_upsert_batch_fn(
                 compact_upsert_log(
                     spark, table, key_cols, seq_cols,
                     op_col=op_col, delete_op=delete_op,
-                    keep_since=keep_since,
+                    keep_since=keep_since, num_buckets=compact_nb,
                 )
             if refresh_session is not None:
                 refresh_session.catalog.refreshTable(log)

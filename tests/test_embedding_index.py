@@ -159,8 +159,13 @@ def test_appended_tables_are_row_identical(spark, index, appended_index):
     bands = lambda t: sorted(
         (r.old_id, r.band, r.val) for r in spark.table(f"{t}_bands").collect()
     )
+    from stream_sentinel_spark.operators.similarity import _read_bandstats
+
+    # the stats table is an append LOG (base + per-append deltas);
+    # the contract is the aggregated per-key counts
     stats = lambda t: sorted(
-        (r.band, r.val, r._na) for r in spark.table(f"{t}_bandstats").collect()
+        (r.band, r.val, r._na)
+        for r in _read_bandstats(spark, f"{t}_bandstats", ["band", "val"]).collect()
     )
     assert bands(appended_index) == bands(index)
     assert stats(appended_index) == stats(index)

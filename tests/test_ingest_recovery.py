@@ -53,11 +53,27 @@ def _table_rows(spark, name, cols):
     )
 
 
+def _stats_rows(spark, name):
+    # the stats table is an append LOG (base + per-append deltas); its
+    # contract — what recovery must restore — is the aggregated per-key
+    # counts, not the physical row layout (a recovery REBUILD collapses
+    # the log to one row per key; a clean run keeps base + deltas)
+    from stream_sentinel_spark.operators.similarity import _read_bandstats
+
+    spark.catalog.refreshTable(f"{name}_bandstats")
+    return sorted(
+        (r.band, r.bucket, r._na)
+        for r in _read_bandstats(
+            spark, f"{name}_bandstats", ["band", "bucket"]
+        ).collect()
+    )
+
+
 def _index_state(spark, name):
     return (
         _table_rows(spark, f"{name}_bands", ["old_id", "band", "bucket"]),
         _table_rows(spark, f"{name}_verify", ["old_id", "sz"]),
-        _table_rows(spark, f"{name}_bandstats", ["band", "bucket", "_na"]),
+        _stats_rows(spark, name),
     )
 
 

@@ -82,6 +82,7 @@ def test_per_batch_candidates_read_the_bucketed_index(
         _hot_salted_pair_join,
         _kernel_frame,
     )
+    from stream_sentinel_spark.operators.similarity import _read_bandstats
     from stream_sentinel_spark.sources.bucketing import bucketed
 
     _, new = frames
@@ -91,7 +92,7 @@ def test_per_batch_candidates_read_the_bucketed_index(
         bucketed(spark, "doc_idx_bands").withColumnRenamed("old_id", "id"),
         _banded_keys(new_kernel.select("id", "sig"), meta.num_hashes, meta.bands),
         ["band", "bucket"],
-        na=spark.table("doc_idx_bandstats"),
+        na=_read_bandstats(spark, "doc_idx_bandstats", ["band", "bucket"]),
     )
     plan = plan_of(cands)
     # corpus side: bucketed FileScan, no Exchange above it; the only
@@ -142,9 +143,15 @@ def test_appended_tables_are_row_identical(spark, index, appended_index):
         (r.old_id, r.band, r.bucket)
         for r in spark.table(f"{t}_bands").collect()
     )
+    from stream_sentinel_spark.operators.similarity import _read_bandstats
+
+    # the stats table is an append LOG (base + per-append deltas);
+    # the contract is the aggregated per-key counts
     stats = lambda t: sorted(
         (r.band, r.bucket, r._na)
-        for r in spark.table(f"{t}_bandstats").collect()
+        for r in _read_bandstats(
+            spark, f"{t}_bandstats", ["band", "bucket"]
+        ).collect()
     )
     assert bands(appended_index) == bands(index)
     assert stats(appended_index) == stats(index)
@@ -158,6 +165,7 @@ def test_match_plan_exchange_free_after_appends(
         _hot_salted_pair_join,
         _kernel_frame,
     )
+    from stream_sentinel_spark.operators.similarity import _read_bandstats
     from stream_sentinel_spark.sources.bucketing import bucketed
 
     _, new = frames
@@ -167,7 +175,7 @@ def test_match_plan_exchange_free_after_appends(
         bucketed(spark, "doc_app_bands").withColumnRenamed("old_id", "id"),
         _banded_keys(new_kernel.select("id", "sig"), meta.num_hashes, meta.bands),
         ["band", "bucket"],
-        na=spark.table("doc_app_bandstats"),
+        na=_read_bandstats(spark, "doc_app_bandstats", ["band", "bucket"]),
     )
     plan = plan_of(cands)
     assert "Bucketed: true" in plan, plan
