@@ -1091,6 +1091,7 @@ def ivf_train(
     vec_col: str = "embedding",
     n_cells: int = 16,
     iters: int = 3,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """Deterministic spherical k-means coarse quantizer.
 
@@ -1113,8 +1114,22 @@ def ivf_train(
     # re-scan and re-normalize the input. At 100 TB pass a deterministic
     # sample (e.g. sampling.hash_sample) as ``df`` — coarse-quantizer
     # training needs thousands of vectors per cell, not the full corpus.
+    # Parallelism is sized to the TRAINING ROWS (one bounded count of
+    # the input), not to the core count: every Lloyd iteration launches
+    # an Arrow kernel stage plus a keyed aggregation over this frame,
+    # and one near-empty partition per core made the 3-iteration loop
+    # pay ~100 python-worker round-trips for microseconds of numpy each
+    # (the round-9 x20 scaling pathology — 8 cores beat 32). At-scale
+    # inputs keep their natural partitioning (spread_rows never
+    # coalesces).
+    from stream_sentinel_spark.operators.partitioning import spread_rows
+
+    n_train = df.count() if n_rows is None else n_rows
     unit = (
-        spread_small(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")))
+        spread_rows(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+            n_train,
+        )
         .select("id", _unit(F.col("_v")).alias("v"))
         .localCheckpoint(eager=True)
     )
@@ -1190,11 +1205,23 @@ def ivf_topk(
     configuration an exactly-checkable query, not just a recall bound."""
     from pyspark.sql import Window
 
+    from stream_sentinel_spark.operators.partitioning import spread_rows
+
+    # one bounded count sizes BOTH the training and the scoring
+    # parallelism to the data (see ivf_train — the round-9 x20
+    # pathology was one near-empty partition per core through every
+    # Arrow-kernel stage of this pipeline)
+    n_corpus = corpus.count()
     if centroids is None:
-        centroids = ivf_train(corpus, id_col, vec_col, n_cells, iters)
+        centroids = ivf_train(
+            corpus, id_col, vec_col, n_cells, iters, n_rows=n_corpus
+        )
     assign = _assign_cells_udf(centroids)
     c = (
-        spread_small(corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_v")))
+        spread_rows(
+            corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_v")),
+            n_corpus,
+        )
         .select("n_id", _as_double(F.col("_v")).alias("n_vec"))
         .withColumn("n_nrm", norm(F.col("n_vec")))
         .withColumn("cell", assign(F.col("n_vec")))
