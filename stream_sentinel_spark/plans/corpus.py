@@ -7388,6 +7388,15 @@ def x101(spark, sf):
 
     docs = _t(spark, sf, "documents")
     cls = curation.nb_quality_classifier(docs, "doc_id", "text")
+    # Audited (round 10, jobprof + A/B) and deliberately left LAZY: the
+    # excision does consume its input from several subtrees (tokenized
+    # frame ×3, window inventory ×2), but in the one composed plan
+    # Catalyst's ReuseExchange serves them from one evaluation, and AQE
+    # runs the plan's ~19 exchange subqueries overlapped. Pinning the
+    # gate's survivor ids (localCheckpoint) was measured 5.2 → 6.5 s:
+    # the barrier serializes what the lazy DAG overlaps. x85 needed
+    # pinning because its five fan-out frames feed SEPARATE consumer
+    # plans; x101 is one plan end to end.
     kept = docs.join(cls.filter("pred_hi").select("doc_id"), "doc_id")
     cleaned = curation.excise_duplicated_spans(
         kept, "doc_id", "text", k=5
