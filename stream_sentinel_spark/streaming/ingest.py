@@ -527,32 +527,27 @@ def make_dedup_ingest_batch_fn(
                 out.withColumn("epoch", F.lit(epoch_id)).write.mode(
                     "append"
                 ).parquet(matches_path)
-            # accepted stays LAZY: its consumers (the sink write and
-            # the appends' kernel slice) derive broadcast anti-joins
-            # over the pinned batch/matches blocks inside their own
-            # jobs — round 9's eager copy was one more job per epoch
-            # holding a third copy of the batch. The emptiness signal
-            # rides the sink write as an observed metric (zero extra
-            # jobs); without a sink it falls back to one take(1) over
-            # pinned blocks.
+            # accepted stays LAZY: its consumers (the sink write, the
+            # take(1) emptiness guard and the appends' kernel slice)
+            # derive broadcast anti-joins over the pinned batch/matches
+            # blocks inside their own jobs — round 9's eager copy was
+            # one more materialization job per epoch holding a third
+            # copy of the batch. (An Observation metric on the sink
+            # write was tried for the emptiness signal and discarded:
+            # it saves one tiny pinned-block job but couples the loop
+            # to async listener delivery — a blocking get with no
+            # timeout is the wrong failure mode for a production
+            # stream.)
             _label("accepted")
             accepted = survivors.join(
                 matches.select(F.col("new_id").alias(id_col)), [id_col],
                 "left_anti",
             )
             if accepted_path is not None:
-                from pyspark.sql import Observation
-
-                obs = Observation()
-                (
-                    accepted.observe(obs, F.count(F.lit(1)).alias("n"))
-                    .withColumn("epoch", F.lit(epoch_id))
-                    .write.mode("append")
-                    .parquet(accepted_path)
-                )
-                has_accepted = obs.get["n"] > 0
-            else:
-                has_accepted = bool(accepted.take(1))
+                accepted.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(accepted_path)
+            has_accepted = bool(accepted.take(1))
             if has_accepted:
                 # the accepted slice of the epoch kernel feeds all three
                 # index writes — each re-derives this anti-join over the

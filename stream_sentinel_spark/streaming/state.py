@@ -809,33 +809,68 @@ def _make_event_time_flush_processor(
         pts = [det[rk][-1] + win for rk, win in rate_windows if det.get(rk)]
         return max(pts) if pts else None
 
+    def _empty_buf() -> dict:
+        return {c: [] for c in buf_cols}
+
     def process(key, pdfs: Iterator, state) -> Iterator:
         wm_ms = state.getCurrentWatermarkMs()
         blob = state.get[0] if state.exists else None
-        st: dict = json.loads(blob) if blob else {"det": {}, "buf": []}
+        st: dict = json.loads(blob) if blob else {"det": {}, "buf": _empty_buf()}
+        buf = st["buf"]
+        if isinstance(buf, list):
+            # blob written by the pre-columnar (row-dict) version of
+            # this processor — a checkpoint upgraded in place must keep
+            # flushing; rows convert once and re-persist columnar
+            buf = {c: [r[c] for r in buf] for c in buf_cols}
         if not state.hasTimedOut:
             for pdf in pdfs:
-                for r in pdf[buf_cols].to_dict("records"):
-                    # the original-event map is by far the widest buffer
-                    # field and is only READ at flush time — encode it
-                    # once on arrival so each batch's state re-dump
-                    # escapes one flat string per pending row instead of
-                    # re-walking a nested dict per row per batch
-                    r[_EVMAP] = json.dumps(r[_EVMAP])
-                    st["buf"].append(r)
-        ready = [r for r in st["buf"] if r[_TSUS] // 1000 <= wm_ms]
-        pending = [r for r in st["buf"] if r[_TSUS] // 1000 > wm_ms]
-        st["buf"] = pending
+                for c in buf_cols:
+                    if c == _EVMAP:
+                        # the original-event map is by far the widest
+                        # buffer field and is only READ at flush time —
+                        # encode it once on arrival so each batch's
+                        # state re-dump escapes one flat string per
+                        # pending row instead of re-walking a nested
+                        # dict per row per batch
+                        buf[c].extend(json.dumps(m) for m in pdf[c])
+                    else:
+                        buf[c].extend(pdf[c].tolist())
+        # COLUMNAR buffer (round 10): the state blob stores one list
+        # per column instead of one dict per row — the whole-buffer
+        # json round-trip every trigger pays (the dominant cost of this
+        # backend: a trigger that buffers N rows re-encodes all N) goes
+        # from N·|cols| repeated keys and dict constructions to |cols|
+        # flat arrays, and arrival/flush use vectorized column pulls
+        # instead of to_dict("records") row loops. Values, flush order
+        # and detector semantics are unchanged (the evaluation sorts by
+        # (ts, *order_cols) downstream).
+        ts = buf[_TSUS]
+        n_ready = sum(1 for t in ts if t // 1000 <= wm_ms)
+        if n_ready == len(ts):
+            ready_buf, pending_buf = (buf if ts else None), _empty_buf()
+        elif n_ready == 0:
+            ready_buf, pending_buf = None, buf
+        else:
+            mask = [t // 1000 <= wm_ms for t in ts]
+            ready_buf = {
+                c: [v for v, m in zip(buf[c], mask) if m] for c in buf_cols
+            }
+            pending_buf = {
+                c: [v for v, m in zip(buf[c], mask) if not m] for c in buf_cols
+            }
+        st["buf"] = pending_buf
+        n_pending = len(pending_buf[_TSUS])
         out = None
-        if ready:
-            for r in ready:
-                # str = current blob format (encoded on arrival above);
-                # dict = a blob written by the pre-encoding version of
-                # this processor — a checkpoint upgraded in place must
-                # keep flushing, not poison every retry with TypeError
-                if isinstance(r[_EVMAP], str):
-                    r[_EVMAP] = json.loads(r[_EVMAP])
-            frame = [pd.DataFrame(ready, columns=buf_cols)]
+        if ready_buf is not None:
+            # str = current blob format (encoded on arrival above);
+            # dict = a row buffered by the pre-encoding version — a
+            # checkpoint upgraded in place must keep flushing, not
+            # poison every retry with TypeError
+            ready_buf[_EVMAP] = [
+                json.loads(s) if isinstance(s, str) else s
+                for s in ready_buf[_EVMAP]
+            ]
+            frame = [pd.DataFrame(ready_buf, columns=buf_cols)]
             if bucketed:
                 out = _run_rules_over_bucket(
                     st["det"], frame, rule_specs, value_cols, order_cols
@@ -847,18 +882,17 @@ def _make_event_time_flush_processor(
             if ttl_ms is not None:
                 if bucketed:
                     lt = st.setdefault("last", {})
-                    for r in ready:
-                        k = r[_KEY]
-                        t = r[_TSUS] // 1000
-                        if t > lt.get(k, -1):
-                            lt[k] = t
+                    for k, t in zip(ready_buf[_KEY], ready_buf[_TSUS]):
+                        tms = t // 1000
+                        if tms > lt.get(k, -1):
+                            lt[k] = tms
                 else:
+                    # max commutes with the (monotone) floor division
                     st["last"] = max(
-                        st.get("last") or 0,
-                        max(r[_TSUS] // 1000 for r in ready),
+                        st.get("last") or 0, max(ready_buf[_TSUS]) // 1000
                     )
         # watermark-expired rate windows + whole-key eviction
-        pend_keys = {r[_KEY] for r in pending} if bucketed else None
+        pend_keys = set(pending_buf[_KEY]) if bucketed else None
         next_fire: list[int] = []
         if bucketed:
             lt = st.get("last", {})
@@ -882,16 +916,16 @@ def _make_event_time_flush_processor(
             for k in empties:
                 del st["det"][k]
                 lt.pop(k, None)
-            empty = not pending and not st["det"]
+            empty = not n_pending and not st["det"]
         else:
             _prune_rate(st["det"], wm_ms)
-            if not pending:
+            if not n_pending:
                 at = _evict_at(st["det"], st.get("last"), wm_ms)
                 if at is not None and at < wm_ms:  # strict — see above
                     st["det"] = {}
                 elif at is not None:
                     next_fire.append(at)
-            empty = not pending and not any(st["det"].values())
+            empty = not n_pending and not any(st["det"].values())
         if empty:
             # nothing buffered and no detector window holds history —
             # drop the state entirely instead of persisting an empty
@@ -899,7 +933,7 @@ def _make_event_time_flush_processor(
             state.remove()
         else:
             state.update((json.dumps(st),))
-            if pending:
+            if n_pending:
                 # re-arm: fires as soon as the watermark moves again
                 state.setTimeoutTimestamp(wm_ms + 1)
             elif next_fire:

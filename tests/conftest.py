@@ -6,6 +6,34 @@ import pytest
 from pyspark.sql import SparkSession
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (large-size/stress variants)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: large-size/stress variant of coverage that also exists at "
+        "default size — excluded from the default run so the suite fits "
+        "the driver's verification budget (round-9 verdict item 1); run "
+        "with --runslow (CI / pre-release) or -m slow",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier: needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")

@@ -225,6 +225,8 @@ def _fixed_vocab_corpus(spark, n_docs):
     ).docs
 
 
+# slow tier: 500-1500-doc growth-law stress of the guard's cost model; the guard's routing itself is covered by the regime tests
+@pytest.mark.slow
 def test_candidate_mass_growth_law(spark):
     """The cost law the guard's docstring states: Σ idx_df·df grows
     quadratically on a fixed-vocab corpus (every df ∝ n) and linearly
@@ -242,6 +244,8 @@ def test_candidate_mass_growth_law(spark):
     assert masses[("heaps", 1500)] < 3.5 * masses[("heaps", 500)]
 
 
+# slow tier: 5000-doc sized probe of the warn bound; the probe/warning plumbing is exercised by the guard regime tests at default size
+@pytest.mark.slow
 def test_candidate_warn_fires_fixed_vocab_silent_heaps(spark):
     """The guard itself, at the SAME corpus size and the SAME bound:
     5000 fixed-vocab docs exceed it (measured mass 539549), 5000

@@ -264,6 +264,8 @@ def test_hot_bucket_build_warning(spark, frames):
             spark.sql(f"DROP TABLE IF EXISTS emb_hot_{s}")
 
 
+# slow tier: 3000-vector skewed-cluster sizing sweep of the bits='auto' probe; the probe's no-probe-on-explicit-bits contract and hot-bucket warning run at default size in test_hot_bucket_build_warning
+@pytest.mark.slow
 def test_auto_bits_widens_on_clustered_corpus(spark):
     """bits="auto" (VERDICT r08 item 5): a corpus with a tight hot
     cluster auto-selects ≥8-bit band keys (the cluster's hottest bucket

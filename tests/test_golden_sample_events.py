@@ -111,6 +111,8 @@ def _run_corpus_parity(spark, raw_events):
     assert got == expected
 
 
+# slow tier: hypothesis sweep; the pinned counterexamples (test_half_up_tie_regression and friends) and the golden corpus run at default size
+@pytest.mark.slow
 @settings(
     max_examples=int(os.environ.get("PARITY_MAX_EXAMPLES", "15")),
     deadline=None,

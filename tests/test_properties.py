@@ -92,6 +92,8 @@ def _spark_alerts(spark, events):
     return sorted(out, key=lambda a: (a[1], a[2], a[4]))
 
 
+# slow tier: hypothesis sweep; the reference-sim parity runs at default size on the golden corpus
+@pytest.mark.slow
 @settings(
     max_examples=12,
     deadline=None,
@@ -141,6 +143,8 @@ def test_rate_invariant_under_key_renaming(spark):
 # ---------------------------------------------------------------------------
 
 
+# slow tier: hypothesis sweep over both packing impls; closed-form cases run at default size in test_curation/test_oracle_parity (x106-x109)
+@pytest.mark.slow
 @settings(
     max_examples=12, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -9,6 +9,8 @@ give for arbitrary inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -72,6 +74,8 @@ def _reference(texts, n, threshold, rare_frac, min_size):
     return out
 
 
+# slow tier: hypothesis sweep; containment correctness runs at default size in test_containment
+@pytest.mark.slow
 @settings(**_SETTINGS)
 @given(
     texts=_texts,

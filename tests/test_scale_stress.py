@@ -25,6 +25,11 @@ from stream_sentinel_spark.operators.dedup import (
 )
 from stream_sentinel_spark.testing import make_skewed_corpus
 
+# slow tier: the whole module is sized stress (skewed corpora, recall
+# floors, the full-scale sweep); operator correctness runs at default
+# size in the per-operator test files
+pytestmark = pytest.mark.slow
+
 HOT, PLANTED, N = 200, 150, 2_000
 TRUTH = HOT * (HOT - 1) // 2 + PLANTED
 

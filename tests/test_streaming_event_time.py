@@ -249,6 +249,8 @@ def test_arrival_order_backend_differs_on_shuffled_input(
     assert streamed != batch
 
 
+# slow tier: combined both-backends compiler sweep; each backend's batch parity runs at default size in test_event_time_mode_matches_batch_despite_shuffled_arrival and test_event_time_bucketed_matches_batch_and_per_key
+@pytest.mark.slow
 def test_compile_rules_streaming_event_time_backends(spark, event_time_fixture):
     """The pipeline compiler reaches both event-time backends: the
     compiled stream (stateless branches native + event-time stateful
@@ -515,3 +517,57 @@ def test_bucketed_event_time_ttl_evicts_only_idle_keys():
     blob = _json.loads(st._blob)
     assert "idle" not in blob["det"] and "live" in blob["det"]
     assert blob["last"] == {"live": 12_000}
+
+
+def test_columnar_buffer_partial_flush_and_legacy_upgrade():
+    """The state blob's pending buffer is COLUMNAR (round 10: one list
+    per column instead of one dict per row — the whole-buffer json
+    round-trip per trigger was the backend's dominant cost). A partial
+    flush must keep exactly the not-yet-ready rows, persist them
+    columnar, and flush them on the next watermark advance; a legacy
+    row-dict blob must upgrade in place to the columnar layout."""
+    import json as _json
+
+    from stream_sentinel_spark.streaming import state as S
+
+    proc = S._make_event_time_processor([_rate_spec(win_s=60)], {}, ("event_id",))
+    st = _EvtFakeState()
+    st.wm = 1_500  # ts 1s ready, ts 2s pending
+    out = list(proc(("k",), iter([_pdf([1, 2])]), st))
+    blob = _json.loads(st._blob)
+    assert isinstance(blob["buf"], dict), "pending buffer persists columnar"
+    assert blob["buf"][S._TSUS] == [2_000_000]
+    assert blob["buf"]["event_id"] == ["e2"]
+    assert blob["det"]["r0"] == [1_000], "only the ready row evaluated"
+    assert st.armed_at == st.wm + 1, "re-armed while rows pend"
+    # second advance flushes the pending row identically
+    st.hasTimedOut = True
+    st.wm = 10_000
+    list(proc(("k",), iter([]), st))
+    assert _json.loads(st._blob)["det"]["r0"] == [1_000, 2_000]
+
+    # legacy list-of-row-dicts blob upgrades in place and keeps pending
+    legacy = _json.dumps(
+        {
+            "det": {},
+            "buf": [
+                {
+                    S._TSUS: 1_000_000,
+                    S._EVMAP: {"n": "1"},
+                    "event_id": "e1",
+                },
+                {
+                    S._TSUS: 9_000_000,
+                    S._EVMAP: _json.dumps({"n": "9"}),
+                    "event_id": "e9",
+                },
+            ],
+        }
+    )
+    st2 = _EvtFakeState(blob=legacy)
+    st2.wm = 1_500  # first legacy row ready, second pending
+    list(proc(("k",), iter([]), st2))
+    blob2 = _json.loads(st2._blob)
+    assert blob2["det"]["r0"] == [1_000]
+    assert isinstance(blob2["buf"], dict)
+    assert blob2["buf"][S._TSUS] == [9_000_000]
