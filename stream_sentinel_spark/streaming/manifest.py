@@ -28,13 +28,15 @@ the alert sink to the index sink):
    precisely an uncommitted epoch's leftover. Structured Streaming then
    replays that epoch from its offset checkpoint against a byte-clean
    index.
-3. **Stats tables rebuild, not prune.** ``_bandstats`` is maintained by
-   an in-place overwrite (``insertInto(overwrite=True)``), so a crash
-   inside ITS commit can lose old files rather than leave extras —
-   deletion can't recover that. The stats table is derivable state
-   (an Exchange-free groupBy of the recovered bucketed ``_bands``), so
-   recovery rebuilds it whenever its on-disk inventory differs from the
-   snapshot in either direction.
+3. **Stats tables rebuild, not prune.** ``_bandstats`` is an append
+   LOG of count deltas (round 10; summed per key at read), but its
+   COMPACTION and the recovery rebuild still overwrite in place
+   (``insertInto(overwrite=True)``) — a crash inside THAT commit can
+   lose old files rather than leave extras, and deletion can't recover
+   that. The stats table is derivable state (an Exchange-free groupBy
+   of the recovered bucketed ``_bands``), so recovery rebuilds it —
+   collapsing the log to one aggregated row set — whenever its on-disk
+   inventory differs from the snapshot in either direction.
 4. **Compaction gets a WAL.** ``compact_*_index`` swaps entire tables
    (new files everywhere), which snapshot-diffing would misread as one
    giant orphan set. The loop therefore writes a ``compact-pending``
