@@ -1269,3 +1269,50 @@ def test_log_bucket_count_auto_sizes_to_first_batch(spark):
         assert table_num_buckets(spark, f"{explicit}_log") == 16
     finally:
         _drop(spark, explicit)
+
+
+def test_compaction_rebuckets_auto_sized_log_to_current_volume(spark):
+    """ADVICE r09 (medium): an auto-sized log created from a SMALL first
+    trigger (the typical stream ramp-up) must not stay pinned at the
+    4-bucket floor forever — the in-loop compaction re-derives the
+    count from the log's current volume (the rewrite is the one moment
+    re-bucketing is free). Explicit counts are never second-guessed
+    (covered by test_log_bucket_count_auto_sizes_to_first_batch)."""
+    from pyspark.sql import functions as F
+
+    from stream_sentinel_spark.sources.bucketing import (
+        auto_num_buckets,
+        table_num_buckets,
+    )
+
+    table = _table()
+    try:
+        fn = make_upsert_batch_fn(
+            table=table, key_cols=["k"], seq_cols=["seq"], op_col="op",
+            compact_every=2,
+        )
+        fn(_changes(spark, E0), 0)  # tiny ramp-up batch → 4-bucket floor
+        assert table_num_buckets(spark, f"{table}_log") == 4
+        big = spark.range(10, 120_010).select(
+            F.col("id").alias("k"),
+            F.lit(50).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        fn(big, 1)  # 2nd append → compaction fires → re-bucket
+        n_rows = spark.table(f"{table}_log").count()
+        want = auto_num_buckets(n_rows + 0)  # sized from pre-compaction count
+        assert want > 4, "fixture must outgrow the floor"
+        assert table_num_buckets(spark, f"{table}_log") == auto_num_buckets(
+            len(E0) + 120_000
+        )
+        # content unchanged by the layout evolution
+        snap = read_upsert_snapshot(
+            spark, table, ["k"], ["seq"], op_col="op"
+        )
+        assert snap.count() == 3 + 120_000
+        assert sorted(
+            (r.k, r.seq, r.val) for r in snap.filter("k <= 3").collect()
+        ) == [(1, 10, "a0"), (2, 10, "b0"), (3, 10, "c0")]
+    finally:
+        _drop(spark, table)
